@@ -1,0 +1,73 @@
+"""Operator registry (SURVEY.md §2B).
+
+Each operator is a function ``(spark, sf_dir) -> DataFrame`` registered with
+``@query(name, oracle=...)``. ``oracle`` is the ANSI-SQL string DuckDB runs on
+the same parquet tables; ``None`` marks rows-only checks (non-SQL-expressible).
+
+Importing this package pulls in every operator module so the registry is full.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register a named operator and (optionally) its DuckDB oracle SQL."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name: {name}")
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Read one of the driver's fixture tables (TESTDATA.md).
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark reads as a raw
+    int64 under ``spark.sql.legacy.parquet.nanosAsLong``. Normalize to:
+    - ``ts``    TimestampType at microsecond precision (Spark-native), and
+    - ``ts_ns`` the exact nanosecond epoch long (for integer-exact windowed
+      arithmetic that must match the DuckDB oracle bit-for-bit).
+    """
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    if table == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts_ns", F.col("ts")).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+        )
+    return df
+
+
+def _import_all() -> None:
+    # Import for registration side effects; order is alphabetical-ish but
+    # irrelevant (names are unique).
+    from . import (  # noqa: F401
+        aggregations,
+        dedup,
+        joins,
+        multimodal,
+        scalar,
+        scans,
+        setops,
+        similarity,
+        streaming_windows,
+        text,
+        windows,
+    )
+
+
+_import_all()

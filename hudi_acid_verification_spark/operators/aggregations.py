@@ -1,0 +1,184 @@
+"""Aggregation operators (SURVEY.md §2B: agg_group, agg_distinct,
+agg_rollup_cube, plus the flagship q1_pricing_summary).
+
+Lineage: the reference's only aggregation is the implicit group-by-pk
+uniqueness audit (resultset/ResultSet.java:23-34); §2B generalizes to full
+grouped aggregation.
+
+Float-parity strategy (matters for the DuckDB oracle): double-precision SUMs
+are order-dependent, and Spark's partition-parallel reduction visits rows in
+a different order than DuckDB. We therefore cast inputs to DECIMAL before
+aggregating — decimal addition is exact and associative, so Spark and DuckDB
+agree bit-for-bit at any partitioning/parallelism. Products of two factors use
+DECIMAL(18,4) (result scale 8, precision 37 ≤ 38 — no engine-specific
+rounding); three factors use DECIMAL(12,4) (result precision exactly 38).
+Averages are computed as exact decimal SUM cast to double, divided by COUNT —
+a single deterministic double division.
+
+Scale notes: groupBy on low-cardinality keys is a map-side partial agg
+(hash aggregate) followed by a tiny shuffle of partial states — the shuffle
+volume is O(#groups × #partitions), not O(rows), so this survives 100 TB.
+count(DISTINCT x) expands to a two-phase expand+agg; approx_count_distinct
+is the scale path and is benchmarked alongside.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import load, query
+
+_DEC2 = "decimal(18,4)"  # two-factor products stay exact
+_DEC3 = "decimal(12,4)"  # three-factor products stay exact
+
+
+def _dec2(c: str) -> F.Column:
+    return F.col(c).cast(_DEC2)
+
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT
+        l_returnflag,
+        l_linestatus,
+        sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
+        sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS sum_base_price,
+        sum(CAST(l_extendedprice AS DECIMAL(18,4))
+            * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS sum_disc_price,
+        sum(CAST(l_extendedprice AS DECIMAL(12,4))
+            * CAST(1.0 - l_discount AS DECIMAL(12,4))
+            * CAST(1.0 + l_tax AS DECIMAL(12,4))) AS sum_charge,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_price,
+        CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_disc,
+        count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H-Q1-style pricing summary (SURVEY.md §7.1).
+
+    Scan → pushed filter → hash aggregate (map-side partial) → 6-group result.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    cnt = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec2("l_quantity")).alias("sum_qty"),
+            F.sum(_dec2("l_extendedprice")).alias("sum_base_price"),
+            F.sum(
+                _dec2("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")).cast(_DEC2)
+            ).alias("sum_disc_price"),
+            F.sum(
+                F.col("l_extendedprice").cast(_DEC3)
+                * (F.lit(1.0) - F.col("l_discount")).cast(_DEC3)
+                * (F.lit(1.0) + F.col("l_tax")).cast(_DEC3)
+            ).alias("sum_charge"),
+            (F.sum(_dec2("l_quantity")).cast("double") / cnt).alias("avg_qty"),
+            (F.sum(_dec2("l_extendedprice")).cast("double") / cnt).alias("avg_price"),
+            (F.sum(_dec2("l_discount")).cast("double") / cnt).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_group",
+    oracle="""
+    SELECT
+        o_orderpriority,
+        o_orderstatus,
+        count(*) AS n_orders,
+        sum(CAST(o_totalprice AS DECIMAL(18,4))) AS sum_price,
+        min(o_totalprice) AS min_price,
+        max(o_totalprice) AS max_price,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_price
+    FROM orders
+    GROUP BY o_orderpriority, o_orderstatus
+    """,
+)
+def agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy + sum/avg/count/min/max (§2B agg_group)."""
+    cnt = F.count(F.lit(1))
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(
+            cnt.alias("n_orders"),
+            F.sum(_dec2("o_totalprice")).alias("sum_price"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            (F.sum(_dec2("o_totalprice")).cast("double") / cnt).alias("avg_price"),
+        )
+    )
+
+
+@query(
+    "agg_distinct",
+    oracle="""
+    SELECT
+        l_returnflag,
+        count(DISTINCT l_suppkey) AS n_supp,
+        count(DISTINCT l_partkey) AS n_part,
+        count(DISTINCT l_orderkey) AS n_orders,
+        count(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column COUNT(DISTINCT) (§2B agg_distinct).
+
+    Exact distinct expands the plan (one Expand + re-agg per distinct column);
+    at 100 TB prefer approx_count_distinct (HLL sketch, no expand) unless
+    exactness is required — bench.py carries the approx variant.
+    """
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct("l_partkey").alias("n_part"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@query(
+    "agg_rollup_cube",
+    oracle="""
+    SELECT
+        l_returnflag,
+        l_linestatus,
+        GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
+        sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
+        count(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE with grouping_id to disambiguate NULL data vs NULL subtotal rows.
+
+    Spark's grouping_id() over cube(a, b) == GROUPING(a)*2 + GROUPING(b).
+    At scale CUBE multiplies the input by 2^k in the Expand operator — keep k
+    small or pre-aggregate per (a, b) first; Catalyst already pushes the
+    partial agg below the expand.
+    """
+    return (
+        load(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.sum(_dec2("l_quantity")).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "sum_qty", "n")
+    )

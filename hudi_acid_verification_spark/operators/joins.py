@@ -1,0 +1,153 @@
+"""Join operators (SURVEY.md §2B: join_inner_equi, join_left, join_semi,
+join_anti, merge_upsert).
+
+Lineage: the reference's only join is the equi-join inside MERGE INTO
+(writer/TransactionWriter.java:154-159); semi/anti are the relational core of
+its presence/absence verification (resultexpectations/ExpectRecordPresence.java,
+ExpectRecordAbsence.java).
+
+Scale notes: dimension tables (region/nation/supplier) are broadcast —
+shuffle-free map-side hash joins at any fact-table size. Fact-fact joins
+(orders ⋈ customer) shuffle on the join key; AQE handles skew splitting.
+The MERGE rewrite is a full-outer join on the primary key: at 100 TB this is
+the one join that must shuffle both sides, so partition/bucket both tables by
+the key to make it co-located (AcidTable stores data hash-distributed by pk
+for exactly this reason).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import load, query
+
+
+@query(
+    "join_inner_equi",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name, r.r_name, c.c_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE c.c_acctbal > 0.0
+    """,
+)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema inner joins; both dims broadcast (shuffle-free)."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0.0)
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "inner")
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "inner")
+        .select("c_custkey", "c_name", "n_name", "r_name", "c_acctbal")
+    )
+
+
+@query(
+    "join_left",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+    FROM orders o
+    LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving all orders."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "left").select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000.0
+    )
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as left-semi join (reference presence check, ExpectRecordPresence)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000.0)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as left-anti join (reference absence check, ExpectRecordAbsence)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "merge_upsert",
+    oracle="""
+    WITH source AS (
+        SELECT c_custkey AS s_custkey,
+               c_acctbal + 1000.0 AS s_acctbal
+        FROM customer WHERE c_mktsegment = 'BUILDING'
+        UNION ALL
+        SELECT c_custkey + 10000000 AS s_custkey,
+               0.0 AS s_acctbal
+        FROM customer WHERE c_mktsegment = 'MACHINERY'
+    )
+    SELECT
+        COALESCE(t.c_custkey, s.s_custkey) AS c_custkey,
+        COALESCE(s.s_acctbal, t.c_acctbal) AS c_acctbal,
+        CASE WHEN t.c_custkey IS NULL THEN 'inserted'
+             WHEN s.s_custkey IS NULL THEN 'unchanged'
+             ELSE 'updated' END AS merge_action
+    FROM customer t
+    FULL OUTER JOIN source s ON t.c_custkey = s.s_custkey
+    """,
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO rewrite: full-outer join + COALESCE (SURVEY §2A #11).
+
+    Mirrors writer/TransactionWriter.java:154-159 semantics — WHEN MATCHED
+    updates the payload, WHEN NOT MATCHED inserts — without a lakehouse jar.
+    The source here is derived deterministically from the customer fixture:
+    BUILDING customers get an updated balance, synthetic new keys are inserts.
+    AcidTable.merge() (acid/table.py) wraps this same plan for the ACID path.
+    """
+    t = load(spark, sf_dir, "customer")
+    building = t.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("s_custkey"),
+        (F.col("c_acctbal") + F.lit(1000.0)).alias("s_acctbal"),
+    )
+    inserts = t.filter(F.col("c_mktsegment") == "MACHINERY").select(
+        (F.col("c_custkey") + F.lit(10000000)).alias("s_custkey"),
+        F.lit(0.0).alias("s_acctbal"),
+    )
+    s = building.unionByName(inserts)
+    return (
+        t.join(s, t.c_custkey == s.s_custkey, "full_outer")
+        .select(
+            F.coalesce(t.c_custkey, s.s_custkey).alias("c_custkey"),
+            F.coalesce(s.s_acctbal, t.c_acctbal).alias("c_acctbal"),
+            F.when(t.c_custkey.isNull(), F.lit("inserted"))
+            .when(s.s_custkey.isNull(), F.lit("unchanged"))
+            .otherwise(F.lit("updated"))
+            .alias("merge_action"),
+        )
+    )

@@ -1,0 +1,105 @@
+"""Scalar function surface (SURVEY.md §2B: scalar_string_date_math,
+array_map_json).
+
+All expressions are per-row, JVM-side, whole-stage-codegen'd — no UDFs. The
+oracle SQL uses DuckDB's spellings of the same functions (date_diff vs
+datediff, string_split vs split); semantics are aligned and results are
+deterministic per row, so parity is exact.
+
+Array results are serialized with array_join for the oracle comparison —
+engines agree on strings more reliably than on nested-list value encodings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import load, query
+
+
+@query(
+    "scalar_string_date_math",
+    oracle="""
+    SELECT
+        o_orderkey,
+        lower(o_orderpriority) AS prio_lower,
+        upper(o_orderstatus) AS status_upper,
+        substr(o_orderpriority, 1, 1) AS prio_code,
+        concat(o_orderstatus, '-', o_orderpriority) AS status_prio,
+        length(o_orderpriority) AS prio_len,
+        replace(o_orderpriority, '-', '_') AS prio_snake,
+        year(o_orderdate) AS order_year,
+        month(o_orderdate) AS order_month,
+        dayofmonth(o_orderdate) AS order_day,
+        date_diff('day', DATE '1995-01-01', o_orderdate) AS days_since_95,
+        CAST(strftime(o_orderdate, '%Y-%m') AS VARCHAR) AS order_ym,
+        floor(o_totalprice / 10.0 + 0.5) / 100.0 AS price_k,
+        abs(o_totalprice - 150000.0) AS dist_from_150k,
+        CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS price_bucket,
+        o_orderkey % 7 AS key_mod
+    FROM orders
+    """,
+)
+def scalar_string_date_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String / date / math scalar functions in one projection."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.lower("o_orderpriority").alias("prio_lower"),
+        F.upper("o_orderstatus").alias("status_upper"),
+        F.substring("o_orderpriority", 1, 1).alias("prio_code"),
+        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("status_prio"),
+        F.length("o_orderpriority").alias("prio_len"),
+        F.replace(F.col("o_orderpriority"), F.lit("-"), F.lit("_")).alias("prio_snake"),
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_95"
+        ),
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_ym"),
+        # round(double, 2) disagrees across engines (Spark rounds the shortest
+        # decimal repr half-up; DuckDB rounds the binary value) — use an
+        # explicit floor(x*100 + 0.5)/100, which is pure deterministic double
+        # arithmetic and therefore engine-independent.
+        (F.floor(F.col("o_totalprice") / 10.0 + 0.5) / 100.0).alias("price_k"),
+        F.abs(F.col("o_totalprice") - 150000.0).alias("dist_from_150k"),
+        F.floor(F.col("o_totalprice") / 50000.0).cast("bigint").alias("price_bucket"),
+        (F.col("o_orderkey") % 7).alias("key_mod"),
+    )
+
+
+@query(
+    "array_map_json",
+    oracle="""
+    SELECT
+        event_id,
+        CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k,
+        len(string_split(event_type, 'r')) AS n_parts,
+        string_split(event_type, 'r')[1] AS first_part,
+        array_to_string([user_id % 10, event_id % 10], ',') AS id_digits,
+        array_to_string(list_sort(string_split(event_type, 'r')), '|') AS parts_sorted
+    FROM events
+    """,
+)
+def array_map_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction + array construction/sort/join on events.props.
+
+    get_json_object stays in the JVM (Jackson-based); no Python round-trip.
+    Arrays are emitted as joined strings so the oracle compares scalars.
+    """
+    e = load(spark, sf_dir, "events")
+    parts = F.split(F.col("event_type"), "r")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+        F.size(parts).alias("n_parts"),
+        F.element_at(parts, 1).alias("first_part"),
+        F.concat_ws(
+            ",",
+            (F.col("user_id") % 10).cast("string"),
+            (F.col("event_id") % 10).cast("string"),
+        ).alias("id_digits"),
+        F.array_join(F.array_sort(parts), "|").alias("parts_sorted"),
+    )

@@ -1,0 +1,82 @@
+"""Scan / projection / filter operators (SURVEY.md §2B: scan_project,
+filter_pred, in_list_delete_semantics).
+
+Lineage: reference snapshot scan (reader/ReaderThread.java:77-82), DELETE
+IN-list (writer/TransactionWriter.java:168-178 — implemented with the
+*intended* anti-join semantics, not defect D2).
+
+Scale notes: all three are scan-shaped — Catalyst pushes the predicates and
+the projection into the parquet reader (verify with .explain: PushedFilters /
+ReadSchema), so at 100 TB they read only the referenced columns and row
+groups that survive min/max pruning. The anti-join broadcasts the key side
+when small; at scale the key side is a shuffle-free broadcast if < 10 MB,
+else AQE picks sort-merge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import load, query
+
+
+@query(
+    "scan_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice, l_shipdate
+    FROM lineitem
+    """,
+)
+def scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-pruned scan: only the projected columns reach the reader."""
+    return load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_shipdate"
+    )
+
+
+@query(
+    "filter_pred",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_orderstatus IN ('O', 'F')
+      AND o_totalprice > 150000.0
+      AND o_orderdate >= TIMESTAMP '1995-01-01'
+    """,
+)
+def filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compound predicate (range + IN-list + date bound), fully pushed down."""
+    df = load(spark, sf_dir, "orders")
+    return df.filter(
+        F.col("o_orderstatus").isin("O", "F")
+        & (F.col("o_totalprice") > 150000.0)
+        & (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+
+
+@query(
+    "in_list_delete_semantics",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE l_orderkey NOT IN (
+        SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'
+    )
+    """,
+)
+def in_list_delete_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE ... WHERE pk IN (...) as its relational core: a left-anti join.
+
+    Reference intent: TransactionWriter.java:168-178 (defect D2 fixed — the
+    reference's undelimited IN-list never matched anything). At scale the
+    delete-key set is small relative to the table, so Spark broadcasts it and
+    the anti-join is shuffle-free.
+    """
+    lineitem = load(spark, sf_dir, "lineitem")
+    keys = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderkey").alias("l_orderkey")
+    )
+    return lineitem.join(F.broadcast(keys), "l_orderkey", "left_anti").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )

@@ -1,0 +1,122 @@
+"""Window-function operators (SURVEY.md §2B: window_latest_per_key,
+window_rank_topk, window_running, sort_limit_topk).
+
+Lineage: window_latest_per_key is the Hudi precombine rule the reference
+delegates to its upsert sink (writer/TransactionWriter.java:136 —
+"keep the row with the greatest precombine value per key"), re-expressed as
+row_number() over (partition by key order by ord desc).
+
+Scale notes: a window partitioned by a key is one shuffle on that key plus a
+per-partition sort — same cost shape as groupBy. Deterministic tie-breaks
+(orderkey/linenumber in the ORDER BY) make results reproducible across
+engines and partitionings. Global ORDER BY ... LIMIT k is a TakeOrderedAndProject
+in Spark: each partition keeps its local top-k, the driver merges — no global
+sort, safe at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import load, query
+
+
+@query(
+    "window_latest_per_key",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_shipdate, l_extendedprice
+    FROM (
+        SELECT l_orderkey, l_linenumber, l_shipdate, l_extendedprice,
+               row_number() OVER (
+                   PARTITION BY l_orderkey
+                   ORDER BY l_shipdate DESC, l_linenumber DESC
+               ) AS rn
+        FROM lineitem
+    ) WHERE rn = 1
+    """,
+)
+def window_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest row per key — the precombine/dedup rule of the upsert sink."""
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.col("l_shipdate").desc(), F.col("l_linenumber").desc()
+    )
+    return (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@query(
+    "window_rank_topk",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rnk
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey
+               ) AS rnk
+        FROM orders
+    ) WHERE rnk <= 3
+    """,
+)
+def window_rank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer (deterministic tie-break on orderkey)."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@query(
+    "window_running",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS running_spend
+    FROM orders
+    """,
+)
+def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-customer spend (decimal-exact cumulative sum)."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).over(w).alias("running_spend"),
+    )
+
+
+@query(
+    "sort_limit_topk",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25
+    """,
+)
+def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: TakeOrderedAndProject (per-partition heap + driver merge)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(25)
+    )
