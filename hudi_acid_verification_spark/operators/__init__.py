@@ -56,6 +56,7 @@ def _import_all() -> None:
     # Import for registration side effects; order is alphabetical-ish but
     # irrelevant (names are unique).
     from . import (  # noqa: F401
+        acid_ops,
         aggregations,
         dedup,
         joins,

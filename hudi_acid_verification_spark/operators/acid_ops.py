@@ -1,0 +1,81 @@
+"""ACID table surface exposed as driver-checkable queries (SURVEY.md §2B:
+acid_snapshot_read — rows-only; the concurrency harness in ``verify/`` is the
+real gate for this layer).
+
+The query builds an AcidTable under /tmp from the customer fixture, runs the
+full DML surface (upsert → merge → delete), audits PK uniqueness, and returns
+the final snapshot. Fully deterministic: same fixture in → same table out.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import load, query
+
+_SCHEMA = T.StructType(
+    [
+        T.StructField("primaryKeyValue", T.StringType(), False),
+        T.StructField("partitionKeyValue", T.StringType(), False),
+        T.StructField("dataValue", T.StringType(), True),
+    ]
+)
+
+
+@query("acid_snapshot_read")  # rows-only: checked by the harness, not DuckDB
+def acid_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Create → upsert → merge → delete → audited snapshot (SURVEY §2A #6/#14).
+
+    Mirrors the reference lifecycle (TransactionManager.java:39-41 DDL,
+    TransactionWriter.java:121-178 DML, ReaderThread.java:74-83 read) on the
+    customer fixture: pk = customer key, partition = market segment.
+    """
+    from hudi_acid_verification_spark.acid import AcidTable
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "hudi_acid_verification_spark",
+        f"acid_snapshot_read_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+
+    table = AcidTable.create(
+        spark, base, _SCHEMA,
+        pk="primaryKeyValue", partition_col="partitionKeyValue",
+        precombine_col="dataValue",
+    )
+
+    cust = load(spark, sf_dir, "customer").select(
+        F.concat(F.lit("C"), F.col("c_custkey")).alias("primaryKeyValue"),
+        F.col("c_mktsegment").alias("partitionKeyValue"),
+        F.col("c_name").alias("dataValue"),
+    )
+    table.upsert(cust)
+
+    # merge: update payload for AUTOMOBILE customers, insert synthetic keys
+    updates = cust.filter(F.col("partitionKeyValue") == "AUTOMOBILE").select(
+        "primaryKeyValue",
+        "partitionKeyValue",
+        F.concat(F.col("dataValue"), F.lit(" [updated]")).alias("dataValue"),
+    )
+    inserts = cust.filter(F.col("partitionKeyValue") == "FURNITURE").select(
+        F.concat(F.lit("X"), F.col("primaryKeyValue")).alias("primaryKeyValue"),
+        F.lit("SYNTHETIC").alias("partitionKeyValue"),
+        F.lit("inserted-by-merge").alias("dataValue"),
+    )
+    table.merge(updates.unionByName(inserts), update_cols=["dataValue"])
+
+    # delete every HOUSEHOLD customer (intended DELETE semantics, D2 fixed)
+    household = cust.filter(F.col("partitionKeyValue") == "HOUSEHOLD").select(
+        "primaryKeyValue"
+    )
+    table.delete(household)
+
+    table.audit_unique()
+    return table.snapshot()

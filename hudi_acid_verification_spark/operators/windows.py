@@ -30,16 +30,24 @@ from . import load, query
         SELECT l_orderkey, l_linenumber, l_shipdate, l_extendedprice,
                row_number() OVER (
                    PARTITION BY l_orderkey
-                   ORDER BY l_shipdate DESC, l_linenumber DESC
+                   ORDER BY l_shipdate DESC, l_linenumber DESC,
+                            l_extendedprice DESC
                ) AS rn
         FROM lineitem
     ) WHERE rn = 1
     """,
 )
 def window_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Latest row per key — the precombine/dedup rule of the upsert sink."""
+    """Latest row per key — the precombine/dedup rule of the upsert sink.
+
+    The ORDER BY covers every projected column: the fixture has duplicate
+    (orderkey, linenumber) pairs, and any residual tie then concerns rows
+    identical in the projection, so the winner is output-deterministic.
+    """
     w = Window.partitionBy("l_orderkey").orderBy(
-        F.col("l_shipdate").desc(), F.col("l_linenumber").desc()
+        F.col("l_shipdate").desc(),
+        F.col("l_linenumber").desc(),
+        F.col("l_extendedprice").desc(),
     )
     return (
         load(spark, sf_dir, "lineitem")

@@ -1,0 +1,187 @@
+"""AcidTable unit + concurrency tests (SURVEY.md §7.2).
+
+Covers the reference's transactional surface with its defects fixed:
+upsert/merge/delete semantics, snapshot isolation, PK-uniqueness audit,
+atomicity under writer failure, and serialized concurrent commits.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hudi_acid_verification_spark.acid import (
+    AcidTable,
+    CommitConflictError,
+    InconsistentSnapshotError,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("primaryKeyValue", T.StringType(), False),
+        T.StructField("partitionKeyValue", T.StringType(), False),
+        T.StructField("dataValue", T.StringType(), True),
+    ]
+)
+
+
+def rows(spark, data):
+    return spark.createDataFrame(data, SCHEMA)
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    return AcidTable.create(
+        spark, path, SCHEMA, pk="primaryKeyValue",
+        partition_col="partitionKeyValue", precombine_col="dataValue",
+    )
+
+
+def snap_dict(table):
+    return {
+        r["primaryKeyValue"]: (r["partitionKeyValue"], r["dataValue"])
+        for r in table.snapshot().collect()
+    }
+
+
+def test_create_empty_snapshot(table):
+    assert table.snapshot().count() == 0
+    assert table.version() == 0
+
+
+def test_upsert_insert_and_replace(spark, table):
+    table.upsert(rows(spark, [("PK1", "P0", "v1"), ("PK2", "P1", "v2")]))
+    assert snap_dict(table) == {"PK1": ("P0", "v1"), "PK2": ("P1", "v2")}
+    # same pk replaces, new pk appends
+    table.upsert(rows(spark, [("PK1", "P0", "v9"), ("PK3", "P0", "v3")]))
+    assert snap_dict(table) == {
+        "PK1": ("P0", "v9"), "PK2": ("P1", "v2"), "PK3": ("P0", "v3"),
+    }
+    table.audit_unique()
+
+
+def test_upsert_precombine_dedups_batch(spark, table):
+    # duplicate pk within one batch: greatest precombine (dataValue) wins
+    table.upsert(rows(spark, [("PK1", "P0", "a"), ("PK1", "P0", "z")]))
+    assert snap_dict(table) == {"PK1": ("P0", "z")}
+
+
+def test_merge_updates_only_datavalue(spark, table):
+    """MERGE parity: matched rows update dataValue only; unmatched insert
+    (TransactionWriter.java:154-159)."""
+    table.upsert(rows(spark, [("PK1", "P0", "old"), ("PK2", "P1", "keep")]))
+    table.merge(
+        rows(spark, [("PK1", "P9", "new"), ("PK3", "P2", "ins")]),
+        update_cols=["dataValue"],
+    )
+    got = snap_dict(table)
+    # PK1: dataValue updated, partition NOT moved (P0, not source's P9)
+    assert got["PK1"] == ("P0", "new")
+    assert got["PK2"] == ("P1", "keep")
+    assert got["PK3"] == ("P2", "ins")
+    table.audit_unique()
+
+
+def test_delete_intended_semantics(spark, table):
+    table.upsert(rows(spark, [(f"PK{i}", f"P{i % 2}", f"v{i}") for i in range(6)]))
+    table.delete(["PK0", "PK3", "PKmissing"])
+    assert set(snap_dict(table)) == {"PK1", "PK2", "PK4", "PK5"}
+
+
+def test_snapshot_isolation_and_time_travel(spark, table):
+    table.upsert(rows(spark, [("PK1", "P0", "v1")]))
+    old = table.snapshot()  # resolves manifest v1 now
+    v1 = table.version()
+    table.upsert(rows(spark, [("PK1", "P0", "v2"), ("PK2", "P0", "x")]))
+    # the previously-resolved snapshot still sees the old state
+    assert {r["dataValue"] for r in old.collect()} == {"v1"}
+    assert table.snapshot(version=v1).count() == 1
+    assert table.snapshot().count() == 2
+
+
+def test_partition_scoped_rewrite(spark, table):
+    """COW must not rewrite partitions untouched by the commit."""
+    table.upsert(rows(spark, [("PK1", "P0", "a"), ("PK2", "P1", "b")]))
+    m1 = table._read_manifest()
+    p1_files = {f["file"] for f in m1.files if f["partition"] == "P1"}
+    table.upsert(rows(spark, [("PK1", "P0", "a2")]))  # touches P0 only
+    m2 = table._read_manifest()
+    assert {f["file"] for f in m2.files if f["partition"] == "P1"} == p1_files
+
+
+def test_atomicity_orphan_files_invisible(spark, table):
+    """Files written without a manifest swap are never visible (the crash-
+    before-commit case)."""
+    table.upsert(rows(spark, [("PK1", "P0", "v1")]))
+    m = table._read_manifest()
+    # simulate a crashed writer: data lands, manifest never swaps
+    rows(spark, [("PKghost", "P0", "boo")]).write.mode("overwrite").partitionBy(
+        "partitionKeyValue"
+    ).parquet(os.path.join(table._data_dir, "crashed-commit"))
+    assert "PKghost" not in snap_dict(table)
+    assert table._read_manifest().version == m.version
+
+
+def test_audit_detects_duplicates(spark, table, tmp_path):
+    table.upsert(rows(spark, [("PK1", "P0", "v1")]))
+    # forge a duplicate by writing a second file and appending it manually,
+    # placed in the table's hive layout like a real commit's file
+    staging = str(tmp_path / "forge-staging")
+    rows(spark, [("PK1", "P1", "dup")]).write.mode("overwrite").partitionBy(
+        "partitionKeyValue"
+    ).parquet(staging)
+    m = table._read_manifest()
+    forged = list(m.files)
+    src_dir = os.path.join(staging, "partitionKeyValue=P1")
+    dest_dir = os.path.join(table._data_dir, "partitionKeyValue=P1")
+    os.makedirs(dest_dir, exist_ok=True)
+    for fn in os.listdir(src_dir):
+        if fn.endswith(".parquet"):
+            os.rename(os.path.join(src_dir, fn), os.path.join(dest_dir, fn))
+            forged.append(
+                {"file": os.path.join("partitionKeyValue=P1", fn), "partition": "P1"}
+            )
+    from hudi_acid_verification_spark.acid.table import _Manifest
+
+    table._write_manifest_and_swap(
+        _Manifest(m.version + 1, m.schema, m.pk, m.partition_col, m.precombine_col, forged)
+    )
+    with pytest.raises(InconsistentSnapshotError):
+        table.audit_unique()
+
+
+def test_concurrent_writers_serialize(spark, table):
+    """N threads upserting disjoint keys: all commits land, versions are
+    strictly sequential, no lost updates (the reference's core question)."""
+    errs: list[Exception] = []
+
+    def work(i: int) -> None:
+        try:
+            df = rows(spark, [(f"PK{i}-{j}", f"P{j % 2}", f"v{i}") for j in range(3)])
+            table.upsert(df, timeout=120.0)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=work, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    assert table.version() == 6
+    assert table.snapshot().count() == 18
+    table.audit_unique()
+
+
+def test_lock_timeout_raises(table):
+    fd = table._acquire_lock()
+    try:
+        with pytest.raises(CommitConflictError):
+            table._acquire_lock(timeout=0.2)
+    finally:
+        table._release_lock(fd)
