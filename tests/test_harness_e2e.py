@@ -1,0 +1,41 @@
+"""Randomized end-to-end concurrency test — the pytest port of the
+reference's TransactionManagerTest.java:38-50, against AcidTable.
+
+The reference's own run degrades (3-9 final rows, dead writers —
+BASELINE.md); the rebuild's target is the *intended* outcome: every
+transaction commits, zero verification failures, zero dead threads.
+
+Reduced workload for CI speed (the full 1000-txn config runs via
+scripts/run_acid_harness.py); same seed/weights/key-space shape.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from hudi_acid_verification_spark.verify import HarnessConfig, TransactionHarness
+
+
+@pytest.mark.slow
+def test_concurrent_harness_passes(spark, tmp_path):
+    cfg = HarnessConfig(
+        table_path=str(tmp_path / "acid_tbl"),
+        number_of_writers=2,
+        number_of_readers=2,
+        total_transactions=30,
+        records_per_transaction=3,
+        maximum_number_of_records=40,
+        maximum_number_of_partitions=4,
+        seed=1234,
+    )
+    report = TransactionHarness(spark, cfg).run()
+
+    assert report.committed_transactions == 30
+    assert report.failed_transactions == 0
+    assert report.verification_failures == 0, report.failure_details[:3]
+    assert not report.writer_errors, report.writer_errors[:3]
+    assert not report.reader_errors, report.reader_errors[:3]
+    assert report.verification_runs > 0
+    # steady state: inserts dominate early; the table holds whatever the
+    # seeded mix produced, bounded by the key space
+    assert 0 < report.final_row_count <= 40
