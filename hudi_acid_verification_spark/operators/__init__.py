@@ -67,6 +67,7 @@ def _import_all() -> None:
         similarity,
         streaming_windows,
         text,
+        udf_ops,
         windows,
     )
 

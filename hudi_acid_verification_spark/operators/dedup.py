@@ -1,1 +1,302 @@
-"""Placeholder — filled in a later milestone this round."""
+"""Deduplication operators over ``documents`` (north-star LLM-data-pipeline
+surface): exact, n-gram Jaccard, MinHash+LSH near-dup, SimHash.
+
+All four are pure DataFrame compositions (no UDFs) and all four are DuckDB-
+oracled: the hash primitives are md5-based so both engines compute identical
+signatures, and every aggregate is an exact integer, so results match
+bit-for-bit under any partitioning.
+
+Scale notes (100 TB): the shingle inverted index is the shuffle hot spot —
+(doc, shingle) rows hash-shuffle on shingle for the pair join. MinHash+LSH is
+the scale path: candidates come from equality on (band_id, band_key), a tiny
+key space, so the join is shuffle-on-band rather than all-pairs; exact
+verification then touches only candidate pairs. Stop-shingle removal (drop
+shingles appearing in > X% of docs) would cap the inverted-index skew — the
+fixture's 31-word vocabulary is the adversarial case for this, which is why
+thresholds here are tuned high.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import load, query
+
+_P = 2147483647  # Mersenne prime 2^31-1 for the minhash universal family
+_K = 12          # signature length
+_BANDS = 4       # LSH bands of R = K/BANDS rows
+_R = _K // _BANDS
+_JACCARD_T = 0.5
+
+
+def _a(k: int) -> int:
+    return 7919 * (k + 1)
+
+
+def _b(k: int) -> int:
+    return 104729 * k + 12345
+
+
+def _h32_spark(col: F.Column) -> F.Column:
+    """32-bit md5-prefix hash — cross-engine deterministic."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+def _shingles_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, word-bigram shingle hash)."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    shingles = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda x, y: F.concat(x, F.lit(" "), y),
+    )
+    return (
+        d.select("doc_id", F.explode(shingles).alias("shingle"))
+        .select("doc_id", _h32_spark(F.col("shingle")).alias("h"))
+        .distinct()
+    )
+
+
+_SHINGLES_SQL = """
+    toks AS (
+        SELECT doc_id, u.tok, u.pos
+        FROM documents d,
+             LATERAL (
+                SELECT unnest(string_split(d.text, ' ')) AS tok,
+                       unnest(generate_series(1, len(string_split(d.text, ' ')))) AS pos
+             ) u
+    ),
+    shingles AS (
+        SELECT DISTINCT t1.doc_id,
+               CAST(('0x' || substr(md5(t1.tok || ' ' || t2.tok), 1, 8)) AS BIGINT) AS h
+        FROM toks t1
+        JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+    )
+"""
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT array_to_string(string_split(text, ' ')[1:3], ' ') AS dedup_key,
+           min(doc_id) AS keeper_doc_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content key with a deterministic keeper (min doc_id).
+
+    The key is the first-3-token prefix — the fixture has no full-text
+    duplicates, so a prefix key exercises real group collapsing. At scale
+    this is one hash aggregation on the key (map-side partial), the same
+    shape as dropDuplicates + a deterministic tie-break.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return (
+        d.select(
+            F.array_join(F.slice(toks, 1, 3), " ").alias("dedup_key"), "doc_id"
+        )
+        .groupBy("dedup_key")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SHINGLES_SQL},
+    sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM shingles a
+        JOIN shingles b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b, i.n_common,
+           CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= {_JACCARD_T}
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact bigram-shingle Jaccard near-dup pairs via an inverted index
+    (shuffle on shingle hash → pair counts → threshold)."""
+    sh = _shingles_spark(spark, sf_dir).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "h")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "h")
+    inter = (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= _JACCARD_T)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+
+
+def _minhash_oracle() -> str:
+    sig_cols = ", ".join(
+        f"min(({_a(k)} * h + {_b(k)}) % {_P}) AS s{k}" for k in range(_K)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {j} AS band_id, "
+        + " || '_' || ".join(f"s{j * _R + r}" for r in range(_R))
+        + " AS band_key FROM sigs"
+        for j in range(_BANDS)
+    )
+    return f"""
+    WITH {_SHINGLES_SQL},
+    sigs AS (SELECT doc_id, {sig_cols} FROM shingles GROUP BY doc_id),
+    bands AS ({band_selects}),
+    cands AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM bands x
+        JOIN bands y ON x.band_id = y.band_id AND x.band_key = y.band_key
+                    AND x.doc_id < y.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+    verified AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS n_common
+        FROM cands c
+        JOIN shingles a ON a.doc_id = c.doc_a
+        JOIN shingles b ON b.doc_id = c.doc_b AND b.h = a.h
+        GROUP BY 1, 2
+    )
+    SELECT v.doc_a, v.doc_b,
+           CAST(v.n_common AS DOUBLE) / (sa.n + sb.n - v.n_common) AS jaccard
+    FROM verified v
+    JOIN sizes sa ON sa.doc_id = v.doc_a
+    JOIN sizes sb ON sb.doc_id = v.doc_b
+    WHERE CAST(v.n_common AS DOUBLE) / (sa.n + sb.n - v.n_common) >= {_JACCARD_T}
+    """
+
+
+@query("dedup_near_minhash", oracle=_minhash_oracle())
+def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup detection, exact-verified.
+
+    shingle → K=12 universal-hash minima (signature) → 4 bands × 3 rows →
+    candidate pairs from band-key equality → exact Jaccard ≥ 0.5 on
+    candidates only. The LSH band join replaces the all-pairs comparison —
+    the 100 TB path. Signatures use (a_k·h + b_k) mod 2^31-1 over the md5
+    shingle hash, so Spark and DuckDB derive identical candidates.
+    """
+    sh = _shingles_spark(spark, sf_dir).cache()
+    sigs = sh.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(_a(k)) * F.col("h") + F.lit(_b(k))) % F.lit(_P)).alias(
+                f"s{k}"
+            )
+            for k in range(_K)
+        ]
+    )
+    bands = None
+    for j in range(_BANDS):
+        key = F.concat_ws("_", *[f"s{j * _R + r}" for r in range(_R)])
+        part = sigs.select(
+            "doc_id", F.lit(j).alias("band_id"), key.alias("band_key")
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    x = bands.select(F.col("doc_id").alias("doc_a"), "band_id", "band_key")
+    y = bands.select(F.col("doc_id").alias("doc_b"), "band_id", "band_key")
+    cands = (
+        x.join(y, ["band_id", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), "h")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "h")
+    verified = (
+        cands.join(a, "doc_a")
+        .join(b, ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    return (
+        verified.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= _JACCARD_T)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+@query(
+    "dedup_simhash",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h
+        FROM toks
+    ),
+    bit_sums AS (
+        SELECT doc_id, b.bit,
+               sum(CASE WHEN (h // CAST(power(2, b.bit) AS BIGINT)) % 2 = 1
+                        THEN 1 ELSE -1 END) AS s
+        FROM hashed, (SELECT unnest(generate_series(0, 31)) AS bit) b
+        GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           sum(CASE WHEN s > 0 THEN CAST(power(2, bit) AS BIGINT) ELSE 0 END)
+               AS simhash
+    FROM bit_sums
+    GROUP BY doc_id
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document from the token multiset.
+
+    Each token votes ±1 per bit position of its md5-32 hash; the sign of the
+    per-bit sum sets the fingerprint bit. Expressed as explode × 32 bits →
+    two hash aggregations — integer-exact, order-independent, identical in
+    both engines. (Near-dup query over simhashes = small hamming distance;
+    the fingerprint itself is the checkable artifact.)
+    """
+    d = load(spark, sf_dir, "documents")
+    hashed = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).select("doc_id", _h32_spark(F.col("tok")).alias("h"))
+    bits = hashed.select(
+        "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("bit")
+    )
+    pow2 = F.pow(F.lit(2.0), F.col("bit")).cast("bigint")
+    bit_sums = bits.groupBy("doc_id", "bit").agg(
+        F.sum(
+            F.when((F.col("h") / pow2).cast("bigint") % 2 == 1, 1).otherwise(-1)
+        ).alias("s")
+    )
+    return bit_sums.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("s") > 0, pow2).otherwise(F.lit(0))).alias("simhash")
+    )

@@ -1,1 +1,199 @@
-"""Placeholder — filled in a later milestone this round."""
+"""Similarity search over the ``embeddings`` table (north-star surface):
+brute-force cosine top-k as the exactness baseline, and a random-hyperplane
+LSH-bucketed variant as the 100 TB scale path.
+
+Cross-engine determinism: float32 elements are quantized to int64 at scale
+1e7 (floor(x·1e7 + 0.5) — pure IEEE double ops), so dot products and
+norms are exact integer sums — associative, partition-order-independent, and
+bit-identical in DuckDB. Quantized magnitudes: |x| ≤ 10 ⇒ xi ≤ 1e8, products
+≤ 1e16, 64-element sums ≤ 6.4e17 — comfortably inside int64. The final
+cosine is one deterministic double expression over those integers (the 1e7
+scale cancels between dot and norms).
+
+Scale notes: brute-force is O(Q·N·d) — fine when the query batch broadcasts
+and each executor scores its corpus shard (TakeOrdered merges per-query
+heaps), but every query pays a full scan. The LSH variant buckets vectors by
+8 hyperplane sign bits in ONE corpus scan; a query probes only its bucket
+(~N/256). An IVF index swaps hyperplanes for k-means centroids with the same
+probe-shortlist → exact-rescore query shape.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import load, query
+
+_SCALE = 10_000_000  # 1e7 quantization
+_N_QUERIES = 8       # vec_id < 8 are the query vectors
+_TOP_K = 5
+_N_PLANES = 8
+_DIM = 64
+
+
+def _w(plane: int, i: int) -> int:
+    """Deterministic pseudo-random hyperplane weight in [-1000, 1000]
+    (md5-derived, reproducible as literals in both engines)."""
+    h = int(hashlib.md5(f"{plane}_{i}".encode()).hexdigest()[:8], 16)
+    return h % 2001 - 1000
+
+
+_PLANES = [[_w(p, i) for i in range(_DIM)] for p in range(_N_PLANES)]
+
+
+def _qi(x: F.Column) -> F.Column:
+    """float32 → int64 at scale 1e7 via pure IEEE double arithmetic.
+
+    floor(x·1e7 + 0.5) uses only exact-widening and correctly-rounded double
+    ops, so it is engine-independent — unlike decimal casts, where Spark
+    rounds the widened double but DuckDB rounds the float32 directly
+    (observed 1-ulp disagreements on ~4% of fixture elements).
+    """
+    return F.floor(x.cast("double") * F.lit(float(_SCALE)) + F.lit(0.5)).cast(
+        "bigint"
+    )
+
+
+def _dot_int(a: F.Column, b: F.Column) -> F.Column:
+    """Σ quant(aᵢ)·quant(bᵢ) — exact int64, order-independent."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: _qi(x) * _qi(y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, z: acc + z,
+    )
+
+
+_ORACLE_ELEMS = f"""
+    elems AS (
+        SELECT vec_id,
+               CAST(floor(CAST(u.x AS DOUBLE) * {_SCALE} + 0.5) AS BIGINT) AS x,
+               u.i
+        FROM embeddings,
+             LATERAL (
+                SELECT unnest(embedding) AS x,
+                       unnest(generate_series(1, len(embedding))) AS i
+             ) u
+    ),
+    norms AS (
+        SELECT vec_id, sqrt(CAST(sum(x * x) AS DOUBLE)) AS nrm
+        FROM elems GROUP BY vec_id
+    )
+"""
+
+
+@query(
+    "similarity_topk",
+    oracle=f"""
+    WITH {_ORACLE_ELEMS},
+    dots AS (
+        SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+               sum(q.x * v.x) AS dot
+        FROM elems q
+        JOIN elems v ON v.i = q.i
+        WHERE q.vec_id < {_N_QUERIES} AND v.vec_id != q.vec_id
+        GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, cosine, rnk FROM (
+        SELECT d.query_id, d.neighbor_id,
+               CAST(d.dot AS DOUBLE) / (nq.nrm * nv.nrm) AS cosine,
+               row_number() OVER (
+                   PARTITION BY d.query_id
+                   ORDER BY CAST(d.dot AS DOUBLE) / (nq.nrm * nv.nrm) DESC,
+                            d.neighbor_id
+               ) AS rnk
+        FROM dots d
+        JOIN norms nq ON nq.vec_id = d.query_id
+        JOIN norms nv ON nv.vec_id = d.neighbor_id
+    ) WHERE rnk <= {_TOP_K}
+    """,
+)
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast query batch × corpus scan.
+
+    zip_with/aggregate keep the arithmetic inside the JVM (no UDF, no
+    explode) and the per-query window keeps only k rows after scoring.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("vvec")
+    )
+    nq = F.sqrt(_dot_int(F.col("qvec"), F.col("qvec")).cast("double"))
+    nv = F.sqrt(_dot_int(F.col("vvec"), F.col("vvec")).cast("double"))
+    scored = (
+        F.broadcast(queries)
+        .join(corpus, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _dot_int(F.col("qvec"), F.col("vvec")).cast("double") / (nq * nv)
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )
+
+
+def _lsh_oracle() -> str:
+    values = ", ".join(
+        f"({p}, {i + 1}, {_PLANES[p][i]})"
+        for p in range(_N_PLANES)
+        for i in range(_DIM)
+    )
+    return f"""
+    WITH planes(plane, i, w) AS (VALUES {values}),
+    {_ORACLE_ELEMS},
+    bits AS (
+        SELECT e.vec_id, p.plane,
+               CASE WHEN sum(e.x * p.w) > 0 THEN '1' ELSE '0' END AS bit
+        FROM elems e JOIN planes p ON p.i = e.i
+        GROUP BY 1, 2
+    ),
+    buckets AS (
+        SELECT vec_id, string_agg(bit, '' ORDER BY plane) AS bucket
+        FROM bits GROUP BY vec_id
+    )
+    SELECT bucket, count(*) AS n_vectors,
+           min(vec_id) AS min_vec_id, max(vec_id) AS max_vec_id
+    FROM buckets
+    GROUP BY bucket
+    """
+
+
+@query("similarity_ann_lsh", oracle=_lsh_oracle())
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucketing — the ANN scale path.
+
+    Each vector gets an 8-bit signature (sign of the exact-integer dot with
+    8 fixed md5-derived hyperplanes); the result profiles the bucket
+    histogram. One corpus scan, one hash aggregate — no pairwise work at
+    index time; a query probes only its own bucket.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    bit_cols = []
+    for p in range(_N_PLANES):
+        wvec = F.array(*[F.lit(w).cast("bigint") for w in _PLANES[p]])
+        dot = F.aggregate(
+            F.zip_with(F.col("embedding"), wvec, lambda x, w: _qi(x) * w),
+            F.lit(0).cast("bigint"),
+            lambda acc, z: acc + z,
+        )
+        bit_cols.append(F.when(dot > 0, F.lit("1")).otherwise(F.lit("0")))
+    bucketed = emb.select("vec_id", F.concat(*bit_cols).alias("bucket"))
+    return bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.min("vec_id").alias("min_vec_id"),
+        F.max("vec_id").alias("max_vec_id"),
+    )

@@ -1,1 +1,229 @@
-"""Placeholder — filled in a later milestone this round."""
+"""Time-window operators over the ``events`` table (SURVEY.md §2B:
+stream_tumbling / stream_sliding / stream_session / stream_watermark_late).
+
+The first three run Spark's window machinery in batch mode (identical
+semantics to the streaming engine, DuckDB-oracle-able); the watermark demo
+is a genuine Structured Streaming query (rows-only — DuckDB has no watermark
+concept).
+
+Timestamp determinism: events.ts is nanosecond parquet. Spark computes on
+the µs-truncated timestamp; window boundaries are whole seconds, and
+truncating ns → µs can never cross a µs-aligned boundary, so bucket
+assignment matches DuckDB's arithmetic exactly (DuckDB itself truncates the
+ns parquet to µs on read). Session gaps compare inter-event deltas against
+the gap; to keep boundary-exact deltas identical, session logic runs on the
+same exact µs longs in both engines.
+
+Scale notes: tumbling/sliding windows are groupBy on (bucket, key) — map-side
+partial agg, shuffle O(#windows). Sliding emits size/slide copies per row in
+the Expand; keep the ratio small. Sessionization is a window function over
+(user, ts) — one shuffle on user_id; in true streaming it's
+session_window + watermark state eviction.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import load, query
+
+_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+@query(
+    "stream_tumbling",
+    oracle=f"""
+    SELECT
+        strftime(make_timestamp((epoch_us(ts) // 3600000000) * 3600000000),
+                 '{_FMT_DUCK}') AS window_start,
+        event_type,
+        count(*) AS n_events,
+        sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling window aggregation (batch mode of the streaming op)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("window.start"), _FMT_SPARK).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "stream_sliding",
+    oracle=f"""
+    WITH expanded AS (
+        SELECT strftime(make_timestamp(
+                   ((epoch_us(ts) // 1800000000) - off.i) * 1800000000),
+                   '{_FMT_DUCK}') AS window_start,
+               value
+        FROM events, (VALUES (0), (1)) off(i)
+    )
+    SELECT window_start,
+           count(*) AS n_events,
+           sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+    FROM expanded
+    GROUP BY window_start
+    """,
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour window sliding every 30 minutes: each event lands in exactly
+    two windows (Spark's Expand does the ×2 duplication)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("window.start"), _FMT_SPARK).alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_GAP_US = 30 * 60 * 1_000_000  # 30-minute session gap
+
+
+@query(
+    "stream_session",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id, epoch_us(ts) AS ts_us,
+               lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts))
+                   AS prev_us
+        FROM events
+    ),
+    marked AS (
+        SELECT user_id, ts_us,
+               CASE WHEN prev_us IS NULL OR ts_us - prev_us > {_GAP_US}
+                    THEN 1 ELSE 0 END AS is_start
+        FROM ordered
+    ),
+    sessions AS (
+        SELECT user_id, ts_us,
+               sum(is_start) OVER (
+                   PARTITION BY user_id ORDER BY ts_us
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM marked
+    )
+    SELECT user_id, session_id,
+           count(*) AS n_events,
+           min(ts_us) AS session_start_us,
+           max(ts_us) AS session_end_us
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap sessionization per user (lag → gap flag → running sum →
+    group), on exact microsecond longs for cross-engine bit-parity (DuckDB
+    truncates the parquet's ns timestamps to µs on read, so µs is the shared
+    exact domain).
+
+    Semantically identical to Spark's session_window(ts, '30 minutes')
+    (which the streaming watermark demo below uses natively).
+    """
+    e = load(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts_ns DIV 1000").alias("ts_us")
+    )
+    w_lag = Window.partitionBy("user_id").orderBy("ts_us")
+    marked = e.withColumn(
+        "is_start",
+        F.when(
+            F.lag("ts_us").over(w_lag).isNull()
+            | (F.col("ts_us") - F.lag("ts_us").over(w_lag) > _GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    w_run = w_lag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions = marked.withColumn("session_id", F.sum("is_start").over(w_run))
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_us").alias("session_start_us"),
+        F.max("ts_us").alias("session_end_us"),
+    )
+
+
+@query("stream_watermark_late")  # rows-only: watermark semantics ≠ SQL
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Genuine Structured Streaming: watermark + tumbling count with late-data
+    drop, driven deterministically through two file-source micro-batches.
+
+    Batch 1 carries the newest half of events (advancing the watermark to
+    max(ts) − 1 hour); batch 2 carries the oldest half, which now arrives
+    *late* — windows older than the watermark are dropped from state, so the
+    append-mode result differs from the batch answer. maxFilesPerTrigger=1 +
+    lexicographic file names make the batch order, and hence the output,
+    reproducible. (ReaderThread-style cache games are unnecessary: each
+    micro-batch is a fresh snapshot, mirroring AcidTable's manifest reads.)
+    """
+    e = load(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        "hudi_acid_verification_spark",
+        f"stream_late_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(stage, ignore_errors=True)
+    src = os.path.join(stage, "src")
+    split_ts = e.selectExpr(
+        "timestamp_micros(CAST(percentile(unix_micros(ts), 0.5) AS BIGINT)) AS m"
+    ).collect()[0]["m"]
+    e.filter(F.col("ts") >= split_ts).coalesce(1).write.parquet(
+        os.path.join(src, "batch=0")
+    )
+    e.filter(F.col("ts") < split_ts).coalesce(1).write.parquet(
+        os.path.join(src, "batch=1")
+    )
+
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(src + "/batch=*")
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    qname = "stream_watermark_late_sink"
+    ckpt = os.path.join(stage, "ckpt")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.sql(f"SELECT * FROM {qname}")
+    return out.select(
+        F.date_format(F.col("window.start"), _FMT_SPARK).alias("window_start"),
+        "event_type",
+        "n_events",
+    )

@@ -1,1 +1,249 @@
-"""Placeholder — filled in a later milestone this round."""
+"""Text-analysis operators over the ``documents`` table (north-star LLM-data-
+pipeline surface: language ID, quality scoring, token counting, document
+fingerprinting).
+
+Everything is built from JVM-side expressions (split / higher-order array
+functions / regexp) — no Python UDFs in these paths, so whole-stage codegen
+covers them end-to-end and they scale with the scan.
+
+Cross-engine determinism notes:
+- token hashing uses md5 (identical in both engines) with the leading 8 hex
+  digits parsed as an integer — 32 bits, so position-weighted sums over
+  10^3-token documents stay far below int64 overflow;
+- ratios are exact-integer counts divided once as doubles (deterministic);
+- the fingerprint is an order-weighted commutative sum, so it is independent
+  of row/partition order while still sensitive to token positions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import load, query
+
+# Tiny per-language stopword dictionaries for the n-gram/stopword heuristic.
+# The fixture vocabulary is synthetic English-ish database words, so 'en'
+# dominates — the point is the *mechanism* (score → deterministic argmax).
+_LANG_STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "for"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "zu", "mit"),
+    "es": ("el", "la", "de", "y", "es", "un", "en", "por"),
+    "fr": ("le", "la", "et", "est", "un", "une", "dans", "pour"),
+}
+
+_TOKEN_REGEX = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def _tokens(col: str = "text") -> F.Column:
+    return F.split(F.col(col), " ")
+
+
+def _stop_count(tokens: F.Column, words: tuple[str, ...]) -> F.Column:
+    return F.size(F.filter(tokens, lambda x: x.isin(*words)))
+
+
+@query(
+    "text_stats",
+    oracle="""
+    SELECT
+        doc_id,
+        lang,
+        n_chars,
+        len(string_split(text, ' ')) AS n_tokens,
+        len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+        CAST(list_sum(list_transform(string_split(text, ' '), x -> len(x))) AS BIGINT)
+            AS sum_token_len,
+        CAST(list_sum(list_transform(string_split(text, ' '), x -> len(x))) AS DOUBLE)
+            / len(string_split(text, ' ')) AS avg_token_len,
+        CAST(list_max(list_transform(string_split(text, ' '), x -> len(x))) AS INTEGER)
+            AS max_token_len
+    FROM documents
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics (length profile of the corpus)."""
+    toks = _tokens()
+    tok_lens = F.transform(toks, lambda x: F.length(x))
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.aggregate(tok_lens, F.lit(0).cast("bigint"), lambda a, x: a + x).alias(
+            "sum_token_len"
+        ),
+        (
+            F.aggregate(tok_lens, F.lit(0).cast("bigint"), lambda a, x: a + x).cast(
+                "double"
+            )
+            / F.size(toks)
+        ).alias("avg_token_len"),
+        F.array_max(tok_lens).alias("max_token_len"),
+    )
+
+
+def _lang_id_oracle() -> str:
+    score = {
+        lang: (
+            "len(list_filter(string_split(text, ' '), x -> x IN ("
+            + ", ".join(f"'{w}'" for w in words)
+            + ")))"
+        )
+        for lang, words in _LANG_STOPWORDS.items()
+    }
+    return f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               {score['en']} AS s_en, {score['de']} AS s_de,
+               {score['es']} AS s_es, {score['fr']} AS s_fr
+        FROM documents
+    )
+    SELECT doc_id, lang AS actual_lang, s_en, s_de, s_es, s_fr,
+           CASE
+               WHEN s_de > greatest(s_en, s_es, s_fr) THEN 'de'
+               WHEN s_es > greatest(s_en, s_fr) THEN 'es'
+               WHEN s_fr > s_en THEN 'fr'
+               ELSE 'en'
+           END AS predicted_lang
+    FROM scored
+    """
+
+
+@query("text_lang_id", oracle=_lang_id_oracle())
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-dictionary language ID with a deterministic argmax
+    (priority-ordered CASE — ties resolve identically in both engines)."""
+    toks = _tokens()
+    df = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        _stop_count(toks, _LANG_STOPWORDS["en"]).alias("s_en"),
+        _stop_count(toks, _LANG_STOPWORDS["de"]).alias("s_de"),
+        _stop_count(toks, _LANG_STOPWORDS["es"]).alias("s_es"),
+        _stop_count(toks, _LANG_STOPWORDS["fr"]).alias("s_fr"),
+    )
+    return df.withColumn(
+        "predicted_lang",
+        F.when(
+            F.col("s_de") > F.greatest("s_en", "s_es", "s_fr"), F.lit("de")
+        )
+        .when(F.col("s_es") > F.greatest("s_en", "s_fr"), F.lit("es"))
+        .when(F.col("s_fr") > F.col("s_en"), F.lit("fr"))
+        .otherwise(F.lit("en")),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    WITH feats AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_distinct(string_split(text, ' '))) AS n_distinct,
+               len(list_filter(string_split(text, ' '),
+                   x -> x IN ({", ".join(f"'{w}'" for w in _LANG_STOPWORDS['en'])})))
+                   AS n_stop,
+               n_chars
+        FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           CAST(n_distinct AS DOUBLE) / n_tokens AS distinct_ratio,
+           CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+           CAST(n_tokens >= 20 AND n_tokens <= 80 AS INTEGER) AS len_ok,
+           0.5 * (CAST(n_distinct AS DOUBLE) / n_tokens)
+             + 0.3 * (CAST(n_stop AS DOUBLE) / n_tokens)
+             + 0.2 * CAST(n_tokens >= 20 AND n_tokens <= 80 AS INTEGER)
+             AS quality_score
+    FROM feats
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style composite quality score: lexical diversity + stopword
+    density + length window, combined with fixed weights."""
+    toks = _tokens()
+    feats = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        _stop_count(toks, _LANG_STOPWORDS["en"]).alias("n_stop"),
+    )
+    distinct_ratio = F.col("n_distinct").cast("double") / F.col("n_tokens")
+    stop_ratio = F.col("n_stop").cast("double") / F.col("n_tokens")
+    len_ok = (
+        (F.col("n_tokens") >= 20) & (F.col("n_tokens") <= 80)
+    ).cast("int")
+    return feats.select(
+        "doc_id",
+        "n_tokens",
+        distinct_ratio.alias("distinct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        len_ok.alias("len_ok"),
+        (0.5 * distinct_ratio + 0.3 * stop_ratio + 0.2 * len_ok).alias(
+            "quality_score"
+        ),
+    )
+
+
+@query(
+    "text_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '{_TOKEN_REGEX}')) AS regex_tokens,
+           CAST(ceil(len(text) / 4.0) AS BIGINT) AS byte_pair_estimate
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace split, a BPE-ish regex
+    (letter runs / digit runs / single punctuation), and the chars/4
+    heuristic LLM pipelines use for budget estimates."""
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(_tokens()).alias("ws_tokens"),
+        F.regexp_count("text", F.lit(_TOKEN_REGEX)).alias("regex_tokens"),
+        F.ceil(F.length("text") / 4.0).cast("bigint").alias("byte_pair_estimate"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, u.tok, u.pos
+        FROM documents d,
+             LATERAL (
+                SELECT unnest(string_split(d.text, ' ')) AS tok,
+                       unnest(generate_series(1, len(string_split(d.text, ' ')))) AS pos
+             ) u
+    )
+    SELECT doc_id,
+           sum(pos * CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT))
+               % 1000000007 AS fingerprint,
+           count(*) AS n_tokens
+    FROM toks
+    GROUP BY doc_id
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-weighted rolling document fingerprint.
+
+    fp(doc) = Σ position_i · md5_32(token_i)  (mod 1e9+7): order-sensitive
+    like a rolling hash, yet a commutative exact-integer sum — identical
+    under any Spark partitioning and in DuckDB. posexplode + hash aggregate;
+    at 100 TB this is a map-side partial agg keyed by doc_id.
+    """
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.posexplode(_tokens()).alias("pos0", "tok")
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint").alias("h32"),
+    )
+    return tok.groupBy("doc_id").agg(
+        (F.sum(F.col("pos") * F.col("h32")) % F.lit(1000000007)).alias("fingerprint"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )
