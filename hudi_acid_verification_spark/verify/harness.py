@@ -165,9 +165,18 @@ class TransactionHarness:
         if txn.manipulation_type is ManipulationType.INSERT:
             table.upsert(df, timeout=timeout)
         elif txn.manipulation_type is ManipulationType.UPDATE:
-            table.merge(df, update_cols=["dataValue"], timeout=timeout)
+            # partition = f(pk) in this workload (generator.partition_for),
+            # so the merge can skip the matched-partition discovery scan
+            table.merge(
+                df, update_cols=["dataValue"], timeout=timeout,
+                partition_from_key=True,
+            )
         else:
-            table.delete([r[0] for r in rows], timeout=timeout)
+            table.delete(
+                [r[0] for r in rows],
+                timeout=timeout,
+                partitions=sorted({r[1] for r in rows}),
+            )
 
     def _writer_loop(self) -> None:
         session = self.spark.newSession()
