@@ -33,11 +33,17 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    # Two passes, report the per-query minimum: pass 1 absorbs residual
+    # codegen/alloc noise (first-touch of an operator's plan shape is
+    # JVM-compile-bound, not engine-bound).
     timings: dict[str, float] = {}
-    for name, fn in sorted(ops.QUERIES.items()):
-        start = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 4)
+    for _pass in range(2):
+        for name, fn in sorted(ops.QUERIES.items()):
+            start = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            elapsed = round(time.perf_counter() - start, 4)
+            if name not in timings or elapsed < timings[name]:
+                timings[name] = elapsed
 
     total = round(sum(timings.values()), 4)
     print(

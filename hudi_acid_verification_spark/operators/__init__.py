@@ -58,9 +58,12 @@ def _import_all() -> None:
     from . import (  # noqa: F401
         acid_ops,
         aggregations,
+        asof,
+        composite,
         dedup,
         joins,
         multimodal,
+        pivoting,
         scalar,
         scans,
         setops,

@@ -1,0 +1,127 @@
+"""As-of and range joins — operators Spark lacks natively, composed from
+built-ins per the custom-operator preference order (composition first,
+pandas UDF only if semantics demand it; these don't).
+
+- as-of join: "latest prior matching event" = IGNORE NULLS carry-forward
+  window — ONE shuffle on the partition key, no self-join, no range scan.
+  (pd.merge_asof per group would be the applyInPandas fallback; the window
+  formulation stays in the JVM and streams.)
+- range join: value BETWEEN lo AND hi against a band table = bucketize the
+  value to the band grid, then EQUI-join on the bucket — turns an O(N·B)
+  theta join into a broadcast hash join. The general recipe for ranges of
+  mixed width is banding by the minimum band width; here the grid is fixed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import load, query
+
+
+@query(
+    "join_asof_carry",
+    oracle="""
+    SELECT event_id, user_id, event_type, ts_us,
+           last_value(CASE WHEN event_type = 'purchase' THEN value END
+                      IGNORE NULLS) OVER (
+               PARTITION BY user_id
+               ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS last_purchase_value
+    FROM (SELECT event_id, user_id, event_type, value,
+                 epoch_us(ts) AS ts_us FROM events)
+    """,
+)
+def join_asof_carry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (event → user's most recent prior-or-current purchase)
+    expressed as an IGNORE NULLS last_value carry-forward."""
+    e = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.expr("ts_ns DIV 1000").alias("ts_us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts_us",
+        F.last(
+            F.when(F.col("event_type") == "purchase", F.col("value")),
+            ignorenulls=True,
+        )
+        .over(w)
+        .alias("last_purchase_value"),
+    )
+
+
+_BAND_WIDTH = 50  # price-band grid width
+
+
+@query(
+    "join_range_band",
+    oracle=f"""
+    WITH bands(band_lo, band_hi, band_name) AS (VALUES
+        (0,    500,  'budget'),
+        (500,  1000, 'mid'),
+        (1000, 1500, 'premium'),
+        (1500, 2000, 'luxury')
+    ),
+    grid AS (
+        SELECT b.band_name, b.band_lo, b.band_hi,
+               u.bucket
+        FROM bands b,
+             LATERAL (SELECT unnest(generate_series(
+                 b.band_lo // {_BAND_WIDTH},
+                 (b.band_hi - 1) // {_BAND_WIDTH})) AS bucket) u
+    )
+    SELECT p.p_partkey, p.p_retailprice, g.band_name
+    FROM part p
+    JOIN grid g
+      ON CAST(floor(p.p_retailprice / {_BAND_WIDTH}) AS BIGINT) = g.bucket
+     AND p.p_retailprice >= g.band_lo AND p.p_retailprice < g.band_hi
+    """,
+)
+def join_range_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (price BETWEEN band bounds) as bucketize + equi-join.
+
+    The band table explodes to one row per covered bucket; the fact side
+    computes its bucket and hash-joins — broadcastable, no theta join.
+    """
+    spark_bands = spark.createDataFrame(
+        [(0, 500, "budget"), (500, 1000, "mid"),
+         (1000, 1500, "premium"), (1500, 2000, "luxury")],
+        "band_lo int, band_hi int, band_name string",
+    )
+    grid = spark_bands.select(
+        "band_name",
+        "band_lo",
+        "band_hi",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("band_lo") / _BAND_WIDTH).cast("bigint"),
+                F.floor((F.col("band_hi") - 1) / _BAND_WIDTH).cast("bigint"),
+            )
+        ).alias("bucket"),
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    return (
+        p.withColumn(
+            "bucket",
+            F.floor(F.col("p_retailprice") / _BAND_WIDTH).cast("bigint"),
+        )
+        .join(F.broadcast(grid), "bucket")
+        .filter(
+            (F.col("p_retailprice") >= F.col("band_lo"))
+            & (F.col("p_retailprice") < F.col("band_hi"))
+        )
+        .select("p_partkey", "p_retailprice", "band_name")
+    )
