@@ -58,6 +58,7 @@ def _import_all() -> None:
     from . import (  # noqa: F401
         acid_ops,
         aggregations,
+        ann,
         asof,
         composite,
         dedup,
@@ -68,6 +69,7 @@ def _import_all() -> None:
         scans,
         setops,
         similarity,
+        subqueries,
         streaming_windows,
         text,
         udf_ops,

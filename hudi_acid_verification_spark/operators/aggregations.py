@@ -182,3 +182,66 @@ def agg_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("l_returnflag", "l_linestatus", "gid", "sum_qty", "n")
     )
+
+
+@query(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS p50_qty,
+           quantile_cont(l_quantity, 0.9) AS p90_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` == DuckDB
+    quantile_cont: both sort and linearly interpolate, so doubles agree).
+
+    Scale notes: exact percentile shuffles all values per group; the 100 TB
+    path is approx_percentile (t-digest sketch, map-side mergeable) — kept
+    out of the oracle because sketches are engine-specific.
+    """
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_quantity, 0.5D)").alias("p50_qty"),
+            F.expr("percentile(l_quantity, 0.9D)").alias("p90_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "agg_skew_salted",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant two-phase aggregation: salt the hot grouping key with
+    crc32(event_id) % 16, partially aggregate per (key, salt), then collapse
+    the salt. The salted shuffle spreads a hot key over 16 reducers; the
+    second shuffle moves only 16 partial states per key. Result is identical
+    to the plain GROUP BY (the oracle), because count/sum are commutative
+    monoids and decimal addition is exact.
+    """
+    salted = (
+        load(spark, sf_dir, "events")
+        .withColumn("salt", F.crc32(F.col("event_id").cast("string")) % 16)
+        .groupBy("event_type", "salt")
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(F.col("value").cast(_DEC2)).alias("psum"),
+        )
+    )
+    return salted.groupBy("event_type").agg(
+        F.sum("pn").alias("n_events"),
+        F.sum("psum").alias("sum_value"),
+    )

@@ -74,3 +74,35 @@ def test_anti_join_shape(spark):
 def test_merge_upsert_is_single_shuffle_join(spark):
     plan = plan_of(spark, "merge_upsert")
     assert "FullOuter" in plan or "full_outer" in plan.lower()
+
+
+def test_q4_exists_decorrelates_to_semi_join(spark):
+    plan = plan_of(spark, "q4_order_priority")
+    assert "LeftSemi" in plan, "EXISTS must plan as a semi join (no row dup)"
+    assert "GreaterThanOrEqual(o_orderdate" in plan, "date filter not pushed"
+
+
+def test_range_band_join_broadcasts(spark):
+    plan = plan_of(spark, "join_range_band")
+    assert "BroadcastHashJoin" in plan, (
+        "bucketized range join must hash-join the exploded band grid"
+    )
+    assert "NestedLoop" not in plan, "range join degenerated to a theta join"
+
+
+def test_asof_is_single_window_no_self_join(spark):
+    plan = plan_of(spark, "join_asof_carry")
+    assert "Window" in plan
+    assert "Join" not in plan, "as-of carry-forward must not self-join"
+
+
+def test_ivf_probe_broadcasts_centroids(spark):
+    plan = plan_of(spark, "similarity_ivf")
+    assert "BroadcastExchange" in plan, "centroid/probe tables must broadcast"
+
+
+def test_salted_agg_two_phase(spark):
+    plan = plan_of(spark, "agg_skew_salted")
+    # two Exchanges: salted pre-agg shuffle + collapse shuffle
+    assert plan.count("Exchange") >= 2
+    assert "partial_" in plan.lower() or "Partial" in plan
