@@ -456,3 +456,105 @@ class AcidTable:
                 kdf.unpersist()
 
         return self._commit(mutate, timeout)
+
+    # ------------------------------------------------- incremental / timeline
+
+    def history(self) -> list[dict]:
+        """Commit timeline (Hudi `.hoodie` timeline analog): one entry per
+        retained manifest version with its live-file count per partition."""
+        out = []
+        for name in sorted(os.listdir(self._manifest_dir)):
+            if not (name.startswith("v") and name.endswith(".json")):
+                continue
+            with open(os.path.join(self._manifest_dir, name)) as f:
+                m = _Manifest.from_json(f.read())
+            parts: dict[str, int] = {}
+            for e in m.files:
+                parts[e["partition"]] = parts.get(e["partition"], 0) + 1
+            out.append(
+                {"version": m.version, "n_files": len(m.files), "partitions": parts}
+            )
+        return out
+
+    def read_incremental(
+        self, begin_version: int, end_version: int | None = None
+    ) -> DataFrame:
+        """Post-image rows changed in ``(begin_version, end_version]`` —
+        Hudi's incremental query (`hoodie.datasource.query.type=incremental`).
+
+        File-pruned: only files ADDED since ``begin`` (candidate post-images)
+        and files REMOVED since ``begin`` (prior images) are read; untouched
+        partitions never scan. A rewritten partition carries its unchanged
+        rows into new files, so the added-file rows are anti-joined
+        (full-row ``exceptAll``) against the removed-file rows to keep only
+        genuine inserts/updates. Deletes are exposed by
+        :meth:`deleted_keys`.
+        """
+        mb = self._read_manifest(begin_version)
+        me = self._read_manifest(end_version)
+        before = {f["file"] for f in mb.files}
+        after = {f["file"] for f in me.files}
+        added = [f for f in me.files if f["file"] not in before]
+        removed = [f for f in mb.files if f["file"] not in after]
+        new_rows = self._df_for_files(me, added)
+        old_rows = self._df_for_files(mb, removed)
+        return new_rows.exceptAll(old_rows)
+
+    def deleted_keys(
+        self, begin_version: int, end_version: int | None = None
+    ) -> DataFrame:
+        """Primary keys removed in ``(begin_version, end_version]`` — the
+        delete half of the incremental changefeed (same file pruning)."""
+        mb = self._read_manifest(begin_version)
+        me = self._read_manifest(end_version)
+        before = {f["file"] for f in mb.files}
+        after = {f["file"] for f in me.files}
+        added = [f for f in me.files if f["file"] not in before]
+        removed = [f for f in mb.files if f["file"] not in after]
+        new_keys = self._df_for_files(me, added).select(me.pk)
+        old_keys = self._df_for_files(mb, removed).select(mb.pk)
+        return old_keys.join(new_keys, mb.pk, "left_anti").distinct()
+
+    def _df_for_files(self, m: _Manifest, files: list[dict]) -> DataFrame:
+        if not files:
+            return self.spark.createDataFrame([], m.schema)
+        paths = [os.path.join(self._data_dir, f["file"]) for f in files]
+        return (
+            self.spark.read.option("basePath", self._data_dir)
+            .schema(self._physical_schema(m))
+            .parquet(*paths)
+            .select(*m.schema.names)
+        )
+
+    # ------------------------------------------------------------ maintenance
+
+    def compact(self, max_files_per_partition: int = 1, timeout: float = 60.0) -> int:
+        """Rewrite partitions holding more than ``max_files_per_partition``
+        live files into one file each (Hudi inline compaction / clustering
+        analog for the small-file problem: frequent small commits accrete
+        files until scans are listing-bound; compaction restores scan-sized
+        files without changing any row).
+
+        Runs under the writer lock as a normal commit — readers on older
+        manifests still see the pre-compaction files (immutable), and the
+        changefeed stays clean because compaction rewrites rows verbatim
+        (read_incremental's exceptAll cancels them out).
+        """
+
+        def mutate(m: _Manifest) -> list[dict]:
+            by_part: dict[str, list[dict]] = {}
+            for f in m.files:
+                by_part.setdefault(f["partition"], []).append(f)
+            crowded = {
+                p for p, fs in by_part.items() if len(fs) > max_files_per_partition
+            }
+            if not crowded:
+                return m.files
+            keep = [f for f in m.files if f["partition"] not in crowded]
+            touch = [f for f in m.files if f["partition"] in crowded]
+            rows = self._df_for_files(m, touch).repartition(
+                len(crowded), F.col(m.partition_col)
+            )
+            return keep + self._write_data(rows, m)
+
+        return self._commit(mutate, timeout)

@@ -185,3 +185,102 @@ def test_lock_timeout_raises(table):
             table._acquire_lock(timeout=0.2)
     finally:
         table._release_lock(fd)
+
+
+# ---------------------------------------------- incremental / compaction / ingest
+
+
+def test_incremental_read_upserts_and_updates(spark, table):
+    v0 = table.version()
+    table.upsert(rows(spark, [("PK1", "P0", "v1"), ("PK2", "P1", "v2")]))
+    v1 = table.version()
+    table.upsert(rows(spark, [("PK1", "P0", "v1b"), ("PK3", "P0", "v3")]))
+    v2 = table.version()
+
+    inc01 = {
+        r["primaryKeyValue"]: r["dataValue"]
+        for r in table.read_incremental(v0, v1).collect()
+    }
+    assert inc01 == {"PK1": "v1", "PK2": "v2"}
+
+    # (v1, v2]: PK1's post-image and the new PK3; PK2's partition untouched
+    inc12 = {
+        r["primaryKeyValue"]: r["dataValue"]
+        for r in table.read_incremental(v1, v2).collect()
+    }
+    assert inc12 == {"PK1": "v1b", "PK3": "v3"}
+
+    # full window = current state as post-images (no deletes yet)
+    inc02 = {
+        r["primaryKeyValue"]: r["dataValue"]
+        for r in table.read_incremental(v0, v2).collect()
+    }
+    assert inc02 == {"PK1": "v1b", "PK2": "v2", "PK3": "v3"}
+
+
+def test_incremental_excludes_carried_rows(spark, table):
+    # PK1 and PK2 share partition P0; updating PK1 rewrites the partition,
+    # carrying PK2's unchanged row into a new file — it must NOT appear as
+    # a change.
+    table.upsert(rows(spark, [("PK1", "P0", "v1"), ("PK2", "P0", "v2")]))
+    v1 = table.version()
+    table.merge(rows(spark, [("PK1", "P0", "v1b")]))
+    changed = table.read_incremental(v1).collect()
+    assert {r["primaryKeyValue"] for r in changed} == {"PK1"}
+
+
+def test_deleted_keys_changefeed(spark, table):
+    table.upsert(rows(spark, [("PK1", "P0", "v1"), ("PK2", "P0", "v2")]))
+    v1 = table.version()
+    table.delete(["PK2"])
+    deleted = [r["primaryKeyValue"] for r in table.deleted_keys(v1).collect()]
+    assert deleted == ["PK2"]
+    # PK1 was carried into the rewritten file unchanged: not a change, not a delete
+    assert table.read_incremental(v1).count() == 0
+
+
+def test_compaction_preserves_content_and_reduces_files(spark, table):
+    for i in range(4):
+        table.upsert(rows(spark, [(f"PK{i}", "P0", f"v{i}")]))
+    before = snap_dict(table)
+    hist = table.history()
+    assert hist[-1]["partitions"]["P0"] >= 2  # small files accreted
+    v = table.compact(max_files_per_partition=1)
+    assert table.version() == v
+    assert snap_dict(table) == before
+    assert table.history()[-1]["partitions"]["P0"] == 1
+    # compaction emits no phantom changes in the changefeed
+    assert table.read_incremental(v - 1, v).count() == 0
+    assert table.deleted_keys(v - 1, v).count() == 0
+
+
+def test_history_timeline(spark, table):
+    table.upsert(rows(spark, [("PK1", "P0", "v1")]))
+    table.upsert(rows(spark, [("PK2", "P1", "v2")]))
+    hist = table.history()
+    assert [h["version"] for h in hist] == [0, 1, 2]
+    assert hist[0]["n_files"] == 0
+    assert hist[2]["n_files"] > hist[1]["n_files"]
+
+
+def test_ingest_streamer_checkpointed(spark, table, tmp_path):
+    from hudi_acid_verification_spark.acid.streamer import IngestStreamer
+
+    drops = tmp_path / "drops"
+    drops.mkdir()
+    rows(spark, [("PK1", "P0", "v1")]).write.parquet(str(drops / "d1"))
+    rows(spark, [("PK2", "P1", "v2")]).write.parquet(str(drops / "d2"))
+
+    s = IngestStreamer(table, str(drops / "*" / "*.parquet"))
+    n = s.run_once(spark)
+    assert n >= 2
+    assert snap_dict(table) == {"PK1": ("P0", "v1"), "PK2": ("P1", "v2")}
+
+    # caught up: no reprocessing
+    assert s.run_once(spark) == 0
+
+    # a new drop (an update) is picked up incrementally
+    rows(spark, [("PK1", "P0", "v1b")]).write.parquet(str(drops / "d3"))
+    assert s.run_once(spark) >= 1
+    assert snap_dict(table)["PK1"] == ("P0", "v1b")
+    assert s.run_once(spark) == 0
