@@ -69,6 +69,7 @@ def _import_all() -> None:
         scans,
         setops,
         similarity,
+        sources,
         subqueries,
         streaming_windows,
         text,

@@ -79,3 +79,57 @@ def acid_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     table.audit_unique()
     return table.snapshot()
+
+
+@query("acid_incremental_read")  # rows-only: checked by dedicated unit tests
+def acid_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental changefeed over the same lifecycle: the rows changed by
+    the merge commit plus the keys removed by the delete commit — the
+    lakehouse incremental-query surface (Hudi
+    `hoodie.datasource.query.type=incremental`), file-pruned via manifest
+    diffing so untouched partitions never scan.
+    """
+    from hudi_acid_verification_spark.acid import AcidTable
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "hudi_acid_verification_spark",
+        f"acid_incremental_read_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+
+    table = AcidTable.create(
+        spark, base, _SCHEMA,
+        pk="primaryKeyValue", partition_col="partitionKeyValue",
+        precombine_col="dataValue",
+    )
+
+    cust = load(spark, sf_dir, "customer").select(
+        F.concat(F.lit("C"), F.col("c_custkey")).alias("primaryKeyValue"),
+        F.col("c_mktsegment").alias("partitionKeyValue"),
+        F.col("c_name").alias("dataValue"),
+    )
+    table.upsert(cust)
+    v1 = table.version()
+
+    updates = cust.filter(F.col("partitionKeyValue") == "AUTOMOBILE").select(
+        "primaryKeyValue",
+        "partitionKeyValue",
+        F.concat(F.col("dataValue"), F.lit(" [updated]")).alias("dataValue"),
+    )
+    table.merge(updates, update_cols=["dataValue"])
+    v2 = table.version()
+
+    household = cust.filter(F.col("partitionKeyValue") == "HOUSEHOLD").select(
+        "primaryKeyValue"
+    )
+    table.delete(household)
+    v3 = table.version()
+
+    changed = table.read_incremental(v1, v2).select(
+        "primaryKeyValue", F.lit("upsert").alias("change_kind")
+    )
+    deleted = table.deleted_keys(v2, v3).select(
+        "primaryKeyValue", F.lit("delete").alias("change_kind")
+    )
+    return changed.unionByName(deleted)

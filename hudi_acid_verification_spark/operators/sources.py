@@ -1,0 +1,65 @@
+"""Source/sink connectors beyond parquet: CSV, JSON(-lines), ORC.
+
+Each operator materializes a fixture table through the format's writer and
+reads it back with an EXPLICIT schema — the correctness claim is lossless
+round-trip, so the DuckDB oracle is simply the original parquet view.
+Doubles survive text formats because Spark serializes them with Java's
+shortest-round-trip representation.
+
+Scale notes: explicit schemas are non-negotiable at 100 TB — schema
+inference is a full extra pass over the data. CSV/JSON scans get column
+pruning but no predicate pushdown or row-group skipping (splittable only
+when uncompressed/bzip2); ORC, like parquet, keeps pushdown + stats-based
+skipping (the plan audit asserts it). Text formats are ingestion-edge
+formats: land them once, convert to a columnar table, query that.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import load, query
+
+_STAGE = os.path.join(tempfile.gettempdir(), "spark_graft_source_stage")
+
+
+def _stage_dir(sf_dir: str, name: str) -> str:
+    # keyed by sf dir so sf0.01 and sf0.1 don't collide
+    return os.path.join(_STAGE, os.path.basename(os.path.normpath(sf_dir)), name)
+
+
+def _roundtrip(
+    spark: SparkSession, sf_dir: str, table: str, fmt: str, **options
+) -> DataFrame:
+    src = load(spark, sf_dir, table)
+    path = _stage_dir(sf_dir, f"{table}_{fmt}")
+    src.write.mode("overwrite").format(fmt).options(**options).save(path)
+    return (
+        spark.read.format(fmt)
+        .options(**options)
+        .schema(src.schema)  # explicit schema: no inference pass
+        .load(path)
+    )
+
+
+@query("source_csv_roundtrip", oracle="SELECT * FROM customer")
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer → CSV (header, quoted) → read with explicit schema."""
+    return _roundtrip(
+        spark, sf_dir, "customer", "csv", header="true", escape='"'
+    )
+
+
+@query("source_json_roundtrip", oracle="SELECT * FROM supplier")
+def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """supplier → JSON lines → read with explicit schema."""
+    return _roundtrip(spark, sf_dir, "supplier", "json")
+
+
+@query("source_orc_roundtrip", oracle="SELECT * FROM documents")
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → ORC → read back (columnar alternative with pushdown)."""
+    return _roundtrip(spark, sf_dir, "documents", "orc")
