@@ -227,3 +227,89 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n_events",
     )
+
+
+@query("stream_stateful_fold")  # rows-only: custom streaming state ≠ SQL
+def stream_stateful_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-user cumulative purchase count/revenue carried in explicit GroupState
+    across micro-batches — the Structured Streaming analog of the reference's
+    per-key expectation fold (ResultSetExpectationProducer.java:22-95), where
+    state survives between log reads.
+
+    Determinism: two lexicographically-ordered file batches with
+    maxFilesPerTrigger=1, update output mode → each user present in both
+    halves emits two rows whose totals are monotone; the final row per user
+    equals the batch groupBy answer (asserted in tests).
+
+    Scale notes: state lives in the state store partitioned by user_id — one
+    shuffle per micro-batch on the grouping key, state size O(#distinct keys),
+    no reprocessing of prior batches. This (or transformWithState) is the
+    pattern for any custom incremental aggregate Spark lacks natively.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select("user_id", "ts", "value")
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        "hudi_acid_verification_spark",
+        f"stream_stateful_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(stage, ignore_errors=True)
+    src = os.path.join(stage, "src")
+    split_ts = e.selectExpr(
+        "timestamp_micros(CAST(percentile(unix_micros(ts), 0.5) AS BIGINT)) AS m"
+    ).collect()[0]["m"]
+    e.filter(F.col("ts") < split_ts).coalesce(1).write.parquet(
+        os.path.join(src, "batch=0")
+    )
+    e.filter(F.col("ts") >= split_ts).coalesce(1).write.parquet(
+        os.path.join(src, "batch=1")
+    )
+
+    def fold(key, pdfs, state: GroupState):
+        (n, total) = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_purchases": [n], "revenue": [total]}
+        )
+
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(src + "/batch=*")
+    )
+    folded = stream.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType="user_id bigint, n_purchases bigint, revenue double",
+        stateStructType="n bigint, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    qname = "stream_stateful_fold_sink"
+    q = (
+        folded.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", os.path.join(stage, "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # final state per user = max cumulative row
+    out = spark.sql(f"SELECT * FROM {qname}")
+    w = Window.partitionBy("user_id").orderBy(F.col("n_purchases").desc())
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -37,3 +37,28 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_stream_stateful_fold_matches_batch(spark):
+    """The final per-user state must equal the batch groupBy answer —
+    incremental fold correctness, the property SQL can't oracle."""
+    from hudi_acid_verification_spark.operators import load
+    from pyspark.sql import functions as F
+
+    got = {
+        r["user_id"]: (r["n_purchases"], round(r["revenue"], 6))
+        for r in ops.QUERIES["stream_stateful_fold"](spark, SF_SMALL).collect()
+    }
+    exp = {
+        r["user_id"]: (r["n"], round(r["total"], 6))
+        for r in (
+            load(spark, SF_SMALL, "events")
+            .filter(F.col("event_type") == "purchase")
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("value").alias("total"),
+            )
+        ).collect()
+    }
+    assert got == exp
