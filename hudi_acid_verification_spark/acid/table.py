@@ -77,7 +77,9 @@ class _Manifest:
     pk: str
     partition_col: str
     precombine_col: str | None
-    files: list[dict]  # {"file": rel_path, "partition": value}
+    files: list[dict]  # {"file", "partition"[, "kind": base|delta, "seq"]}
+    mode: str = "cow"  # "cow" (rewrite on commit) | "mor" (delta + resolve)
+    compact_every: int | None = None  # mor: inline-compact every N commits
 
     def to_json(self) -> str:
         return json.dumps(
@@ -88,6 +90,8 @@ class _Manifest:
                 "partition_col": self.partition_col,
                 "precombine_col": self.precombine_col,
                 "files": self.files,
+                "mode": self.mode,
+                "compact_every": self.compact_every,
                 "created_at": time.time(),
             }
         )
@@ -102,11 +106,19 @@ class _Manifest:
             partition_col=d["partition_col"],
             precombine_col=d.get("precombine_col"),
             files=d["files"],
+            mode=d.get("mode", "cow"),
+            compact_every=d.get("compact_every"),
         )
 
 
 class AcidTable:
-    """Keyed, partitioned, snapshot-isolated copy-on-write parquet table."""
+    """Keyed, partitioned, snapshot-isolated parquet table.
+
+    Two table types mirroring Hudi's (hudi-defaults.conf:3 picks COW in the
+    reference): ``cow`` rewrites affected partitions per commit (fast reads,
+    write amplification); ``mor`` appends delta files per commit and resolves
+    latest-per-key at read time (fast writes, read amplification bounded by
+    ``compact()``)."""
 
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
@@ -128,8 +140,20 @@ class AcidTable:
         partition_col: str,
         precombine_col: str | None = None,
         if_not_exists: bool = False,
+        mode: str = "cow",
+        compact_every: int | None = None,
     ) -> "AcidTable":
-        """CREATE TABLE (TransactionManager.java:76-88 parity)."""
+        """CREATE TABLE (TransactionManager.java:76-88 parity).
+
+        ``mode`` selects the Hudi table-type analog: ``"cow"`` (copy-on-
+        write: commits rewrite affected partitions, reads are plain scans)
+        or ``"mor"`` (merge-on-read: commits append delta files, reads
+        resolve latest-per-key; ``compact()`` folds deltas into base files).
+
+        ``compact_every`` (mor only) inline-compacts after every Nth commit
+        — Hudi's `hoodie.compact.inline.max.delta.commits` analog, bounding
+        read amplification without a separate maintenance process.
+        """
         t = cls(spark, path)
         if os.path.exists(t._latest_ptr):
             if if_not_exists:
@@ -137,10 +161,15 @@ class AcidTable:
             raise FileExistsError(f"AcidTable already exists at {path}")
         if pk not in schema.names or partition_col not in schema.names:
             raise ValueError("pk/partition_col must be schema columns")
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
         os.makedirs(t._manifest_dir, exist_ok=True)
         os.makedirs(t._data_dir, exist_ok=True)
         open(t._lock_path, "a").close()
-        m = _Manifest(0, schema, pk, partition_col, precombine_col, [])
+        m = _Manifest(
+            0, schema, pk, partition_col, precombine_col, [], mode,
+            compact_every,
+        )
         t._write_manifest_and_swap(m)
         return t
 
@@ -174,6 +203,8 @@ class AcidTable:
     def _df_for(self, m: _Manifest) -> DataFrame:
         if not m.files:
             return self.spark.createDataFrame([], m.schema)
+        if m.mode == "mor":
+            return self._resolve(m, m.files)
         paths = [os.path.join(self._data_dir, f["file"]) for f in m.files]
         # basePath recovers the hive partition column from directory names;
         # Catalyst partition-prunes and pushes predicates into these files.
@@ -186,8 +217,62 @@ class AcidTable:
 
     def _physical_schema(self, m: _Manifest) -> T.StructType:
         # Partition column comes from the directory, but listing it in the
-        # read schema keeps its type stable.
+        # read schema keeps its type stable. MOR files additionally carry the
+        # operation marker and commit sequence used by read-time resolution.
+        if m.mode == "mor":
+            return T.StructType(
+                list(m.schema.fields)
+                + [
+                    T.StructField("__op", T.StringType(), False),
+                    T.StructField("__seq", T.LongType(), False),
+                ]
+            )
         return m.schema
+
+    def _resolve(self, m: _Manifest, files: list[dict]) -> DataFrame:
+        """MOR read-time merge: latest commit sequence wins per key,
+        tombstones drop the key — Hudi's snapshot query over base + log
+        files, expressed as one window over the unioned scan.
+
+        Scale notes: the resolve shuffles the scanned rows once on pk (the
+        MOR read amplification); `compact()` folds deltas so the delta:base
+        ratio — and with it this window's input — stays bounded. Partition
+        pruning still applies (delta files live in their hive partition
+        dirs), so point-partition reads only resolve that partition.
+        """
+        if not files:
+            return self.spark.createDataFrame([], m.schema)
+        paths = [os.path.join(self._data_dir, f["file"]) for f in files]
+        df = (
+            self.spark.read.option("basePath", self._data_dir)
+            .schema(self._physical_schema(m))
+            .parquet(*paths)
+        )
+        order = [F.col("__seq").desc()]
+        if m.precombine_col:
+            order.append(F.col(m.precombine_col).desc())
+        w = Window.partitionBy(m.pk).orderBy(*order)
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .filter(F.col("__op") != "delete")
+            .select(*m.schema.names)
+        )
+
+    def _write_delta(
+        self, df: DataFrame, m: _Manifest, op: str, seq: int, kind: str
+    ) -> list[dict]:
+        """Write rows (plus op/seq markers) and return manifest entries
+        tagged with the file kind — a delta append is ONE Spark write job
+        with no read of existing data."""
+        physical = df.withColumn("__op", F.lit(op)).withColumn(
+            "__seq", F.lit(seq).cast("long")
+        )
+        entries = self._write_data(physical, m)
+        for e in entries:
+            e["kind"] = kind
+            e["seq"] = seq
+        return entries
 
     def audit_unique(self, df: DataFrame | None = None) -> None:
         """PK-uniqueness invariant of every read (ResultSet.java:26-34)."""
@@ -286,12 +371,26 @@ class AcidTable:
             m = self._read_manifest()
             new_files = mutate(m)
             nm = _Manifest(
-                m.version + 1, m.schema, m.pk, m.partition_col, m.precombine_col, new_files
+                m.version + 1, m.schema, m.pk, m.partition_col,
+                m.precombine_col, new_files, m.mode, m.compact_every,
             )
             self._write_manifest_and_swap(nm)
             return nm.version
         finally:
             self._release_lock(fd)
+
+    def _commit_dml(self, mutate, timeout: float) -> int:
+        """Commit a DML mutation, then fire inline compaction when the table
+        asks for it (mor + compact_every). Compaction is its own commit; if
+        another writer holds the lock, skip — a later trigger will fold."""
+        v = self._commit(mutate, timeout)
+        m = self._read_manifest()
+        if m.mode == "mor" and m.compact_every and v % m.compact_every == 0:
+            try:
+                self.compact(timeout=timeout)
+            except CommitConflictError:
+                pass
+        return v
 
     # ------------------------------------------------------------------ DML
 
@@ -309,18 +408,27 @@ class AcidTable:
         )
 
     def _partition_scoped_rewrite(
-        self, m: _Manifest, changed: DataFrame, rewrite
+        self, m: _Manifest, changed, rewrite
     ) -> list[dict]:
         """COW scoped by partition: only files whose partition value appears
         in ``changed`` are rewritten; all other live files carry over.
 
+        ``changed`` is either a DataFrame carrying the partition column (one
+        distinct+collect job discovers the affected set) or an iterable of
+        partition values the caller already knows — the fast path for small
+        DML batches built driver-side, where an extra Spark job would
+        dominate the commit latency.
+
         ``rewrite(old_rows_df) -> new_rows_df`` receives the current rows of
         the affected partitions only.
         """
-        affected = {
-            str(r[0])
-            for r in changed.select(m.partition_col).distinct().collect()
-        }
+        if isinstance(changed, DataFrame):
+            affected = {
+                str(r[0])
+                for r in changed.select(m.partition_col).distinct().collect()
+            }
+        else:
+            affected = {str(p) for p in changed}
         keep = [f for f in m.files if f["partition"] not in affected]
         touch = [f for f in m.files if f["partition"] in affected]
         if touch:
@@ -337,17 +445,29 @@ class AcidTable:
         new_entries = self._write_data(new_rows.select(*m.schema.names), m)
         return keep + new_entries
 
-    def upsert(self, df: DataFrame, timeout: float = 60.0) -> int:
+    def upsert(
+        self, df: DataFrame, timeout: float = 60.0,
+        partitions: list[str] | None = None,
+    ) -> int:
         """Atomic multi-row upsert (INSERT path, TransactionWriter.java:121-141):
-        incoming rows replace same-pk rows, new pks are appended."""
+        incoming rows replace same-pk rows, new pks are appended.
+
+        ``partitions`` optionally names the partition values present in
+        ``df`` (known for free when the batch is built driver-side); when
+        given, the partition-discovery job is skipped."""
 
         def mutate(m: _Manifest) -> list[dict]:
             incoming = self._precombine(df.select(*m.schema.names), m)
+            if m.mode == "mor":
+                # append-only delta: no read, no rewrite — the whole point
+                return m.files + self._write_delta(
+                    incoming, m, op="upsert", seq=m.version + 1, kind="delta"
+                )
             incoming.cache()
             try:
                 return self._partition_scoped_rewrite(
                     m,
-                    incoming,
+                    partitions if partitions is not None else incoming,
                     lambda old: old.join(
                         incoming.select(m.pk), m.pk, "left_anti"
                     ).unionByName(incoming),
@@ -355,7 +475,7 @@ class AcidTable:
             finally:
                 incoming.unpersist()
 
-        return self._commit(mutate, timeout)
+        return self._commit_dml(mutate, timeout)
 
     def merge(
         self,
@@ -363,6 +483,7 @@ class AcidTable:
         update_cols: list[str] | None = None,
         timeout: float = 60.0,
         partition_from_key: bool = False,
+        partitions: list[str] | None = None,
     ) -> int:
         """MERGE INTO rewrite (TransactionWriter.java:143-166): WHEN MATCHED
         update only ``update_cols`` (reference updates only dataValue), WHEN
@@ -385,10 +506,31 @@ class AcidTable:
             upd = update_cols if update_cols is not None else [
                 c for c in m.schema.names if c not in (m.pk, m.partition_col)
             ]
+            if m.mode == "mor":
+                # Latest-wins resolution replaces whole rows, so MERGE on MOR
+                # is a delta upsert when the source rows are complete (every
+                # non-key column updated). Partial-column merges would need a
+                # read-time coalesce payload — use a cow table for those.
+                full = {
+                    c for c in m.schema.names if c not in (m.pk, m.partition_col)
+                }
+                if set(upd) != full:
+                    raise NotImplementedError(
+                        "partial-column MERGE requires mode='cow' "
+                        f"(update_cols={upd} != non-key columns {sorted(full)})"
+                    )
+                src = self._precombine(source.select(*m.schema.names), m)
+                return m.files + self._write_delta(
+                    src, m, op="upsert", seq=m.version + 1, kind="delta"
+                )
             src = self._precombine(source.select(*m.schema.names), m)
             src.cache()
             try:
-                if partition_from_key:
+                if partitions is not None:
+                    # caller-supplied partition set (implies partition=f(pk)):
+                    # zero discovery jobs
+                    changed = partitions
+                elif partition_from_key:
                     changed = src.select(m.partition_col)
                 else:
                     live = self._df_for(m)
@@ -419,7 +561,7 @@ class AcidTable:
             finally:
                 src.unpersist()
 
-        return self._commit(mutate, timeout)
+        return self._commit_dml(mutate, timeout)
 
     def delete(self, keys, timeout: float = 60.0, partitions: list[str] | None = None) -> int:
         """DELETE WHERE pk IN (...) with the intended semantics
@@ -428,11 +570,54 @@ class AcidTable:
         ``partitions`` optionally names the partitions containing the keys
         (derivable when partition = f(pk)); when given, the semi-join scan
         that locates affected partitions is skipped.
+
+        ``keys`` may be bare pk values, (pk, partition) pairs, or a
+        DataFrame whose first column is the pk (optionally also carrying the
+        partition column). On a MOR table the delete appends tombstone rows
+        — (pk, partition) pairs are required to place the tombstone in the
+        key's partition; bare keys derive them with one semi-join read (no
+        rewrite either way).
         """
 
+        def tombstone_pairs(m: _Manifest) -> DataFrame:
+            pair_schema = T.StructType(
+                [m.schema[m.pk], m.schema[m.partition_col]]
+            )
+            if isinstance(keys, DataFrame):
+                if m.partition_col in keys.columns:
+                    return keys.select(m.pk, m.partition_col)
+                kdf = keys.select(F.col(keys.columns[0]).alias(m.pk))
+            elif keys and isinstance(keys[0], (tuple, list)):
+                return self.spark.createDataFrame(list(keys), pair_schema)
+            else:
+                kdf = self.spark.createDataFrame(
+                    [(k,) for k in keys], T.StructType([m.schema[m.pk]])
+                )
+            snap = self._df_for(m)
+            return snap.join(F.broadcast(kdf), m.pk, "left_semi").select(
+                m.pk, m.partition_col
+            )
+
         def mutate(m: _Manifest) -> list[dict]:
+            if m.mode == "mor":
+                pairs = tombstone_pairs(m).dropDuplicates([m.pk])
+                tomb = pairs.select(
+                    *[
+                        F.col(c)
+                        if c in (m.pk, m.partition_col)
+                        else F.lit(None).cast(m.schema[c].dataType).alias(c)
+                        for c in m.schema.names
+                    ]
+                )
+                return m.files + self._write_delta(
+                    tomb, m, op="delete", seq=m.version + 1, kind="delta"
+                )
             if isinstance(keys, DataFrame):
                 kdf = keys.select(F.col(keys.columns[0]).alias(m.pk))
+            elif keys and isinstance(keys[0], (tuple, list)):
+                kdf = self.spark.createDataFrame(
+                    [(k[0],) for k in keys], T.StructType([m.schema[m.pk]])
+                )
             else:
                 kdf = self.spark.createDataFrame(
                     [(k,) for k in keys], T.StructType([m.schema[m.pk]])
@@ -440,10 +625,7 @@ class AcidTable:
             kdf.cache()
             try:
                 if partitions is not None:
-                    changed = self.spark.createDataFrame(
-                        [(p,) for p in partitions],
-                        T.StructType([m.schema[m.partition_col]]),
-                    )
+                    changed = partitions
                 else:
                     live = self._df_for(m)
                     changed = live.join(kdf, m.pk, "left_semi").select(m.partition_col)
@@ -455,7 +637,7 @@ class AcidTable:
             finally:
                 kdf.unpersist()
 
-        return self._commit(mutate, timeout)
+        return self._commit_dml(mutate, timeout)
 
     # ------------------------------------------------- incremental / timeline
 
@@ -496,6 +678,21 @@ class AcidTable:
         after = {f["file"] for f in me.files}
         added = [f for f in me.files if f["file"] not in before]
         removed = [f for f in mb.files if f["file"] not in after]
+        if me.mode == "mor":
+            # MOR: changes live only in partitions touched by added/removed
+            # files; resolve both snapshots restricted to those partitions
+            # and diff. (The COW file-level diff below would re-emit every
+            # superseded version a delta file shadows.)
+            parts = {f["partition"] for f in added} | {
+                f["partition"] for f in removed
+            }
+            new_rows = self._resolve(
+                me, [f for f in me.files if f["partition"] in parts]
+            )
+            old_rows = self._resolve(
+                mb, [f for f in mb.files if f["partition"] in parts]
+            )
+            return new_rows.exceptAll(old_rows)
         new_rows = self._df_for_files(me, added)
         old_rows = self._df_for_files(mb, removed)
         return new_rows.exceptAll(old_rows)
@@ -511,6 +708,17 @@ class AcidTable:
         after = {f["file"] for f in me.files}
         added = [f for f in me.files if f["file"] not in before]
         removed = [f for f in mb.files if f["file"] not in after]
+        if me.mode == "mor":
+            parts = {f["partition"] for f in added} | {
+                f["partition"] for f in removed
+            }
+            new_keys = self._resolve(
+                me, [f for f in me.files if f["partition"] in parts]
+            ).select(me.pk)
+            old_keys = self._resolve(
+                mb, [f for f in mb.files if f["partition"] in parts]
+            ).select(mb.pk)
+            return old_keys.join(new_keys, mb.pk, "left_anti").distinct()
         new_keys = self._df_for_files(me, added).select(me.pk)
         old_keys = self._df_for_files(mb, removed).select(mb.pk)
         return old_keys.join(new_keys, mb.pk, "left_anti").distinct()
@@ -546,12 +754,25 @@ class AcidTable:
             for f in m.files:
                 by_part.setdefault(f["partition"], []).append(f)
             crowded = {
-                p for p, fs in by_part.items() if len(fs) > max_files_per_partition
+                p
+                for p, fs in by_part.items()
+                if len(fs) > max_files_per_partition
+                or any(f.get("kind") == "delta" for f in fs)
             }
             if not crowded:
                 return m.files
             keep = [f for f in m.files if f["partition"] not in crowded]
             touch = [f for f in m.files if f["partition"] in crowded]
+            if m.mode == "mor":
+                # fold base + deltas into resolved base files; the new rows
+                # carry the compaction commit's seq so they outrank every
+                # folded delta (all of which this commit removes anyway)
+                rows = self._resolve(m, touch).repartition(
+                    len(crowded), F.col(m.partition_col)
+                )
+                return keep + self._write_delta(
+                    rows, m, op="upsert", seq=m.version + 1, kind="base"
+                )
             rows = self._df_for_files(m, touch).repartition(
                 len(crowded), F.col(m.partition_col)
             )

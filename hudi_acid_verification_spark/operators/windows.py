@@ -128,3 +128,39 @@ def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(25)
     )
+
+
+@query(
+    "window_lag_lead",
+    oracle="""
+    SELECT user_id, event_id, ts_us,
+           ts_us - lag(ts_us) OVER w AS us_since_prev,
+           lead(event_type) OVER w AS next_event_type,
+           ntile(4) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+               AS quartile
+    FROM (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+          FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead/ntile over per-user event timelines — inter-event deltas and
+    next-action lookahead, the sequence-feature shape of behavioral
+    pipelines. One shuffle on user_id serves all three functions (same
+    window spec → one Window physical operator).
+    """
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr("ts_ns DIV 1000").alias("ts_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        (F.col("ts_us") - F.lag("ts_us").over(w)).alias("us_since_prev"),
+        F.lead("event_type").over(w).alias("next_event_type"),
+        F.ntile(4).over(w).alias("quartile"),
+    )

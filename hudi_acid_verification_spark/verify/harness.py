@@ -62,6 +62,8 @@ class HarnessConfig:
     seed: int = 1234
     retry_attempts: int = 100
     lock_timeout_seconds: float = 120.0
+    table_mode: str = "cow"  # "cow" (reference config) | "mor"
+    mor_compact_every: int = 20  # inline-compaction cadence when mode=mor
 
 
 @dataclass
@@ -121,6 +123,10 @@ class TransactionHarness:
             pk="primaryKeyValue",
             partition_col="partitionKeyValue",
             precombine_col="dataValue",
+            mode=cfg.table_mode,
+            compact_every=(
+                cfg.mor_compact_every if cfg.table_mode == "mor" else None
+            ),
         )
 
         writers = [
@@ -162,24 +168,31 @@ class TransactionHarness:
         ]
         df = table.spark.createDataFrame(rows, RECORD_SCHEMA)
         timeout = self.config.lock_timeout_seconds
+        parts = sorted({r[1] for r in rows})
         if txn.manipulation_type is ManipulationType.INSERT:
-            table.upsert(df, timeout=timeout)
+            table.upsert(df, timeout=timeout, partitions=parts)
         elif txn.manipulation_type is ManipulationType.UPDATE:
             # partition = f(pk) in this workload (generator.partition_for),
-            # so the merge can skip the matched-partition discovery scan
+            # so the merge skips every partition-discovery job: the batch is
+            # driver-built and its partition values are known for free
             table.merge(
                 df, update_cols=["dataValue"], timeout=timeout,
-                partition_from_key=True,
+                partitions=parts,
             )
         else:
+            # (pk, partition) pairs serve both modes: cow prunes via
+            # `partitions`, mor places tombstones without a lookup read
             table.delete(
-                [r[0] for r in rows],
+                [(r[0], r[1]) for r in rows],
                 timeout=timeout,
                 partitions=sorted({r[1] for r in rows}),
             )
 
     def _writer_loop(self) -> None:
         session = self.spark.newSession()
+        # size shuffles to the workload: recordsPerTransaction-row batches
+        # over a 4-partition table make 32-way shuffles pure task overhead
+        session.conf.set("spark.sql.shuffle.partitions", "8")
         table = AcidTable(session, self.config.table_path)
         try:
             while not self._stop.is_set():

@@ -2,7 +2,7 @@
 1000 transactions × 3 rows, 2 writers, 2 readers, 100 keys, 4 partitions,
 seed 1234) against AcidTable and print a JSON report.
 
-Usage: python scripts/run_acid_harness.py [total_transactions]
+Usage: python scripts/run_acid_harness.py [total_transactions] [cow|mor]
 """
 
 from __future__ import annotations
@@ -21,9 +21,10 @@ from hudi_acid_verification_spark.verify import HarnessConfig, TransactionHarnes
 
 def main() -> None:
     total = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
+    mode = sys.argv[2] if len(sys.argv) > 2 else "cow"
     spark = get_spark("acid-harness")
     cfg = HarnessConfig(
-        table_path=os.path.join(tempfile.gettempdir(), "acid_harness_tbl"),
+        table_path=os.path.join(tempfile.gettempdir(), f"acid_harness_tbl_{mode}"),
         number_of_writers=2,
         number_of_readers=2,
         total_transactions=total,
@@ -31,11 +32,13 @@ def main() -> None:
         maximum_number_of_records=100,
         maximum_number_of_partitions=4,
         seed=1234,
+        table_mode=mode,
     )
     report = TransactionHarness(spark, cfg).run()
     print(
         json.dumps(
             {
+                "mode": mode,
                 "passed": report.passed,
                 "committed_transactions": report.committed_transactions,
                 "failed_transactions": report.failed_transactions,

@@ -284,3 +284,115 @@ def test_ingest_streamer_checkpointed(spark, table, tmp_path):
     assert s.run_once(spark) >= 1
     assert snap_dict(table)["PK1"] == ("P0", "v1b")
     assert s.run_once(spark) == 0
+
+
+# ------------------------------------------------------------- merge-on-read
+
+
+@pytest.fixture()
+def mor_table(spark, tmp_path):
+    path = str(tmp_path / "mor_tbl")
+    return AcidTable.create(
+        spark, path, SCHEMA, pk="primaryKeyValue",
+        partition_col="partitionKeyValue", precombine_col="dataValue",
+        mode="mor",
+    )
+
+
+def test_mor_upsert_resolves_latest(spark, mor_table):
+    t = mor_table
+    t.upsert(rows(spark, [("PK1", "P0", "v1"), ("PK2", "P1", "v2")]))
+    t.upsert(rows(spark, [("PK1", "P0", "v1b"), ("PK3", "P0", "v3")]))
+    assert snap_dict(t) == {
+        "PK1": ("P0", "v1b"), "PK2": ("P1", "v2"), "PK3": ("P0", "v3"),
+    }
+    t.audit_unique()
+    # both commits were pure appends: every live file is a delta, and commit
+    # 2's manifest strictly extends commit 1's file list
+    m1 = t._read_manifest(1)
+    m2 = t._read_manifest(2)
+    assert all(f.get("kind") == "delta" for f in m2.files)
+    assert {f["file"] for f in m1.files} <= {f["file"] for f in m2.files}
+
+
+def test_mor_delete_tombstones(spark, mor_table):
+    t = mor_table
+    t.upsert(rows(spark, [("PK1", "P0", "v1"), ("PK2", "P0", "v2")]))
+    t.delete([("PK2", "P0")])
+    assert snap_dict(t) == {"PK1": ("P0", "v1")}
+    # bare keys also work (derived via semi-join)
+    t.upsert(rows(spark, [("PK3", "P1", "v3")]))
+    t.delete(["PK1"])
+    assert snap_dict(t) == {"PK3": ("P1", "v3")}
+    # re-insert after tombstone resurrects the key (later seq wins)
+    t.upsert(rows(spark, [("PK2", "P0", "v2new")]))
+    assert snap_dict(t)["PK2"] == ("P0", "v2new")
+
+
+def test_mor_merge_full_row_and_time_travel(spark, mor_table):
+    t = mor_table
+    t.upsert(rows(spark, [("PK1", "P0", "v1")]))
+    v1 = t.version()
+    t.merge(rows(spark, [("PK1", "P0", "v1b"), ("PK2", "P1", "v2")]),
+            update_cols=["dataValue"])
+    assert snap_dict(t) == {"PK1": ("P0", "v1b"), "PK2": ("P1", "v2")}
+    # time travel resolves against the old manifest
+    old = {
+        r["primaryKeyValue"]: r["dataValue"]
+        for r in t.snapshot(version=v1).collect()
+    }
+    assert old == {"PK1": "v1"}
+
+
+def test_mor_compact_folds_deltas(spark, mor_table):
+    t = mor_table
+    for i in range(4):
+        t.upsert(rows(spark, [("PK1", "P0", f"v{i}"), (f"K{i}", "P0", "x")]))
+    t.delete([("K0", "P0")])
+    before = snap_dict(t)
+    v = t.compact()
+    assert snap_dict(t) == before
+    hist = t.history()
+    assert hist[-1]["partitions"]["P0"] == 1  # deltas folded into one base
+    # compaction is change-free in the changefeed
+    assert t.read_incremental(v - 1, v).count() == 0
+    assert t.deleted_keys(v - 1, v).count() == 0
+    # and the folded base keeps winning over nothing stale
+    t.upsert(rows(spark, [("PK1", "P0", "after-compact")]))
+    assert snap_dict(t)["PK1"] == ("P0", "after-compact")
+
+
+def test_mor_incremental_changefeed(spark, mor_table):
+    t = mor_table
+    t.upsert(rows(spark, [("PK1", "P0", "v1"), ("PK2", "P1", "v2")]))
+    v1 = t.version()
+    t.upsert(rows(spark, [("PK1", "P0", "v1b")]))
+    t.delete([("PK2", "P1")])
+    v3 = t.version()
+    changed = {
+        r["primaryKeyValue"]: r["dataValue"]
+        for r in t.read_incremental(v1, v3).collect()
+    }
+    assert changed == {"PK1": "v1b"}
+    assert [r["primaryKeyValue"] for r in t.deleted_keys(v1, v3).collect()] == ["PK2"]
+
+
+def test_mor_precombine_within_batch(spark, mor_table):
+    t = mor_table
+    t.upsert(rows(spark, [("PK1", "P0", "a"), ("PK1", "P0", "z")]))
+    assert snap_dict(t)["PK1"] == ("P0", "z")  # greatest precombine wins
+    t.audit_unique()
+
+
+def test_mor_partial_merge_rejected(spark, tmp_path):
+    wide = T.StructType(
+        list(SCHEMA.fields) + [T.StructField("extra", T.StringType(), True)]
+    )
+    t = AcidTable.create(
+        spark, str(tmp_path / "wide"), wide, pk="primaryKeyValue",
+        partition_col="partitionKeyValue", mode="mor",
+    )
+    src = spark.createDataFrame([("PK1", "P0", "v", "e")], wide)
+    t.upsert(src)
+    with pytest.raises(NotImplementedError):
+        t.merge(src, update_cols=["dataValue"])

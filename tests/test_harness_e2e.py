@@ -39,3 +39,28 @@ def test_concurrent_harness_passes(spark, tmp_path):
     # steady state: inserts dominate early; the table holds whatever the
     # seeded mix produced, bounded by the key space
     assert 0 < report.final_row_count <= 40
+
+
+@pytest.mark.slow
+def test_concurrent_harness_passes_mor(spark, tmp_path):
+    """Same seeded workload on a merge-on-read table: delta-append commits
+    with read-time resolution must give the same ACID guarantees."""
+    cfg = HarnessConfig(
+        table_path=str(tmp_path / "acid_tbl_mor"),
+        number_of_writers=2,
+        number_of_readers=2,
+        total_transactions=30,
+        records_per_transaction=3,
+        maximum_number_of_records=40,
+        maximum_number_of_partitions=4,
+        seed=1234,
+        table_mode="mor",
+    )
+    report = TransactionHarness(spark, cfg).run()
+
+    assert report.committed_transactions == 30
+    assert report.failed_transactions == 0
+    assert report.verification_failures == 0, report.failure_details[:3]
+    assert not report.writer_errors, report.writer_errors[:3]
+    assert not report.reader_errors, report.reader_errors[:3]
+    assert 0 < report.final_row_count <= 40
