@@ -779,3 +779,75 @@ class AcidTable:
             return keep + self._write_data(rows, m)
 
         return self._commit(mutate, timeout)
+
+    def vacuum(self, retain_versions: int = 10, timeout: float = 60.0) -> dict:
+        """Cleaner service (Hudi `hoodie.cleaner.commits.retained` analog):
+        drop manifests older than the newest ``retain_versions`` and delete
+        data files no retained manifest references — including orphans from
+        crashed writers. Bounds storage growth and the time-travel window.
+
+        Runs under the writer lock so no commit can concurrently publish a
+        manifest referencing a file being deleted. Readers of retained
+        versions are unaffected (their files stay); readers pinned to a
+        vacuumed version fail fast on the missing manifest rather than
+        silently reading a mix.
+        """
+        fd = self._acquire_lock(timeout)
+        try:
+            current = self._read_manifest().version
+            cutoff = max(0, current - retain_versions + 1)
+            live: set[str] = set()
+            dropped_manifests = 0
+            for name in sorted(os.listdir(self._manifest_dir)):
+                if not (name.startswith("v") and name.endswith(".json")):
+                    continue
+                with open(os.path.join(self._manifest_dir, name)) as f:
+                    m = _Manifest.from_json(f.read())
+                if m.version < cutoff:
+                    os.remove(os.path.join(self._manifest_dir, name))
+                    dropped_manifests += 1
+                else:
+                    live.update(e["file"] for e in m.files)
+            removed_files = 0
+            for root, _dirs, files in os.walk(self._data_dir):
+                for fn in files:
+                    if not fn.endswith(".parquet"):
+                        continue
+                    rel = os.path.relpath(os.path.join(root, fn), self._data_dir)
+                    if rel not in live:
+                        os.remove(os.path.join(root, fn))
+                        removed_files += 1
+            return {
+                "dropped_manifests": dropped_manifests,
+                "removed_files": removed_files,
+                "retained_from_version": cutoff,
+            }
+        finally:
+            self._release_lock(fd)
+
+    def add_column(self, field: T.StructField, timeout: float = 60.0) -> int:
+        """Additive schema evolution (the Hudi/parquet-safe kind): publish a
+        manifest whose schema carries the new nullable column. Existing data
+        files are untouched — parquet resolves columns by name, so readers
+        see NULL for the new column in pre-evolution files; later commits
+        write it. Non-nullable adds are rejected (old rows can't supply a
+        value); drops/renames are intentionally unsupported (they break
+        old-file resolution and time travel).
+        """
+        if not field.nullable:
+            raise ValueError("added columns must be nullable")
+        fd = self._acquire_lock(timeout)
+        try:
+            m = self._read_manifest()
+            if field.name in m.schema.names:
+                raise ValueError(f"column {field.name!r} already exists")
+            nm = _Manifest(
+                m.version + 1,
+                T.StructType(list(m.schema.fields) + [field]),
+                m.pk, m.partition_col, m.precombine_col, m.files,
+                m.mode, m.compact_every,
+            )
+            self._write_manifest_and_swap(nm)
+            return nm.version
+        finally:
+            self._release_lock(fd)

@@ -396,3 +396,59 @@ def test_mor_partial_merge_rejected(spark, tmp_path):
     t.upsert(src)
     with pytest.raises(NotImplementedError):
         t.merge(src, update_cols=["dataValue"])
+
+
+def test_vacuum_removes_old_versions_and_orphans(spark, table):
+    t = table
+    for i in range(5):
+        t.upsert(rows(spark, [(f"PK{i}", "P0", f"v{i}")]))
+    before = snap_dict(t)
+    # plant an orphan (crashed-writer debris: parquet no manifest references)
+    orphan_dir = os.path.join(t.path, "data", "partitionKeyValue=P0")
+    orphan = os.path.join(orphan_dir, "orphan-debris.parquet")
+    rows(spark, [("ZZZ", "P0", "ghost")]).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(orphan + ".tmp")
+    import glob as _glob
+    os.rename(
+        _glob.glob(os.path.join(orphan + ".tmp", "*.parquet"))[0], orphan
+    )
+
+    stats = t.vacuum(retain_versions=2)
+    assert stats["dropped_manifests"] >= 3
+    assert stats["removed_files"] >= 1  # at least the orphan
+    # current snapshot unharmed, time travel within retention works
+    assert snap_dict(t) == before
+    assert t.snapshot(version=t.version() - 1).count() >= 0
+    # vacuumed versions fail fast
+    with pytest.raises(FileNotFoundError):
+        t.snapshot(version=0)
+
+
+def test_add_column_schema_evolution(spark, table):
+    t = table
+    t.upsert(rows(spark, [("PK1", "P0", "v1")]))
+    t.add_column(T.StructField("note", T.StringType(), True))
+    # pre-evolution rows read NULL for the new column
+    got = {r["primaryKeyValue"]: r["note"] for r in t.snapshot().collect()}
+    assert got == {"PK1": None}
+    # post-evolution writes carry it
+    wide = T.StructType(list(SCHEMA.fields) + [T.StructField("note", T.StringType(), True)])
+    t.upsert(spark.createDataFrame([("PK2", "P1", "v2", "hello")], wide))
+    got = {r["primaryKeyValue"]: r["note"] for r in t.snapshot().collect()}
+    assert got == {"PK1": None, "PK2": "hello"}
+    t.audit_unique()
+    with pytest.raises(ValueError):
+        t.add_column(T.StructField("note", T.StringType(), True))
+    with pytest.raises(ValueError):
+        t.add_column(T.StructField("strict", T.StringType(), False))
+
+
+def test_add_column_on_mor(spark, mor_table):
+    t = mor_table
+    t.upsert(rows(spark, [("PK1", "P0", "v1")]))
+    t.add_column(T.StructField("score", T.DoubleType(), True))
+    wide = T.StructType(list(SCHEMA.fields) + [T.StructField("score", T.DoubleType(), True)])
+    t.upsert(spark.createDataFrame([("PK1", "P0", "v2", 1.5)], wide))
+    got = {r["primaryKeyValue"]: (r["dataValue"], r["score"]) for r in t.snapshot().collect()}
+    assert got == {"PK1": ("v2", 1.5)}
