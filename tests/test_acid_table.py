@@ -452,3 +452,17 @@ def test_add_column_on_mor(spark, mor_table):
     t.upsert(spark.createDataFrame([("PK1", "P0", "v2", 1.5)], wide))
     got = {r["primaryKeyValue"]: (r["dataValue"], r["score"]) for r in t.snapshot().collect()}
     assert got == {"PK1": ("v2", 1.5)}
+
+
+def test_mor_key_moves_partition(spark, mor_table):
+    """A key upserted into a different partition must resolve to the newest
+    row only — and a partition-filtered read must not resurrect the stale
+    row (the filter stays above the pk-window, Catalyst can't push it past
+    a window keyed on a different column)."""
+    t = mor_table
+    t.upsert(rows(spark, [("PK1", "P0", "old-home")]))
+    t.upsert(rows(spark, [("PK1", "P1", "new-home")]))
+    assert snap_dict(t) == {"PK1": ("P1", "new-home")}
+    t.audit_unique()
+    p0 = t.snapshot().filter(F.col("partitionKeyValue") == "P0").collect()
+    assert p0 == []
