@@ -245,3 +245,49 @@ def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pn").alias("n_events"),
         F.sum("psum").alias("sum_value"),
     )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
+           sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (marginals + grand total, no cross product) —
+    the general form CUBE/ROLLUP specialize. Spark plans the same Expand
+    operator with one duplicate of the input per set; keep the set list
+    short at scale or pre-aggregate first.
+    """
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               grouping(l_returnflag) * 2 + grouping(l_linestatus) AS gid,
+               sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty
+        FROM parquet.`{sf_dir}/lineitem.parquet`
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query("agg_approx_distinct")  # rows-only: HLL sketches are engine-specific
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — the 100 TB path for distinct
+    counting: map-side mergeable sketch, O(1) memory per group, no expand.
+    Not DuckDB-oracled (sketch estimates differ per engine); the accuracy
+    invariant vs the exact count is asserted in tests.
+    """
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias(
+                "approx_parts"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )

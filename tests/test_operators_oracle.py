@@ -62,3 +62,26 @@ def test_stream_stateful_fold_matches_batch(spark):
         ).collect()
     }
     assert got == exp
+
+
+def test_approx_distinct_within_error_bound(spark):
+    """HLL estimate must sit within 3× the configured rsd of the exact
+    distinct count (rsd=0.02 → assert ±6%)."""
+    from pyspark.sql import functions as F
+    from hudi_acid_verification_spark.operators import load
+
+    approx = {
+        r["l_returnflag"]: r["approx_parts"]
+        for r in ops.QUERIES["agg_approx_distinct"](spark, SF_SMALL).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in (
+            load(spark, SF_SMALL, "lineitem")
+            .groupBy("l_returnflag")
+            .agg(F.countDistinct("l_partkey").alias("n"))
+        ).collect()
+    }
+    assert set(approx) == set(exact)
+    for k, est in approx.items():
+        assert abs(est - exact[k]) <= 0.06 * exact[k], (k, est, exact[k])
