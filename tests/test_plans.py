@@ -106,3 +106,19 @@ def test_salted_agg_two_phase(spark):
     # two Exchanges: salted pre-agg shuffle + collapse shuffle
     assert plan.count("Exchange") >= 2
     assert "partial_" in plan.lower() or "Partial" in plan
+
+
+def test_orc_scan_keeps_predicate_pushdown(spark):
+    """Columnar alternatives must not lose pushdown: a filter over the ORC
+    round-trip output reaches the ORC scan as a pushed filter."""
+    from pyspark.sql import functions as F
+    from hudi_acid_verification_spark.operators.sources import (
+        source_orc_roundtrip,
+    )
+
+    df = source_orc_roundtrip(spark, SF_SMALL).filter(F.col("n_chars") > 500)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "Scan orc" in plan
+    assert "PushedFilters: [" in plan and "GreaterThan(n_chars,500)" in plan
