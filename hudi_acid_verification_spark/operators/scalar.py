@@ -103,3 +103,32 @@ def array_map_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("id_digits"),
         F.array_join(F.array_sort(parts), "|").alias("parts_sorted"),
     )
+
+
+@query(
+    "scalar_regexp",
+    oracle="""
+    SELECT doc_id,
+           regexp_matches(text, '[0-9]') AS has_digit,
+           regexp_extract(text, '([0-9]+)', 1) AS first_number,
+           length(text) - length(regexp_replace(text, '[aeiou]', '', 'g'))
+               AS n_vowels
+    FROM documents
+    """,
+)
+def scalar_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp surface (rlike / regexp_extract / regexp_replace) — both
+    engines return '' for a no-match extract, and Spark's regexp_replace is
+    global by default (DuckDB needs the 'g' flag). All JVM-side: regexps in
+    built-in functions stay inside codegen, no Python.
+    """
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("text").rlike("[0-9]").alias("has_digit"),
+        F.regexp_extract("text", "([0-9]+)", 1).alias("first_number"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", "[aeiou]", ""))
+        ).alias("n_vowels"),
+    )
