@@ -74,3 +74,24 @@ class IngestStreamer:
         self.table.upsert(df)
         self._save_processed(self._processed() | set(batch))
         return len(batch)
+
+
+def stream_into_table(stream_df, table: AcidTable, checkpoint_dir: str):
+    """Structured-Streaming sink into an AcidTable: every micro-batch is one
+    atomic keyed upsert (DeltaStreamer's continuous mode on the native
+    commit protocol). Returns the started StreamingQuery.
+
+    Exactly-once table state: Spark's checkpoint gives at-least-once batch
+    delivery; replaying a batch re-upserts the same keyed rows — idempotent,
+    so the table converges to the same state. Readers see whole batches or
+    nothing (manifest swap per commit), never partial micro-batches.
+    """
+
+    def sink(batch_df, _batch_id: int) -> None:
+        table.upsert(batch_df)
+
+    return (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

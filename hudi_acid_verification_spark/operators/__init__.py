@@ -60,6 +60,7 @@ def _import_all() -> None:
         aggregations,
         ann,
         asof,
+        bucketed,
         composite,
         dedup,
         joins,

@@ -133,3 +133,61 @@ def acid_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         "primaryKeyValue", F.lit("delete").alias("change_kind")
     )
     return changed.unionByName(deleted)
+
+
+@query("acid_stream_ingest")  # rows-only: streaming sink semantics ≠ SQL
+def acid_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming → AcidTable: purchases stream in as two
+    deterministic micro-batches via foreachBatch keyed upsert; each batch is
+    one atomic commit, so the final snapshot equals the batch union and the
+    version history shows one commit per micro-batch.
+    """
+    from hudi_acid_verification_spark.acid import AcidTable
+    from hudi_acid_verification_spark.acid.streamer import stream_into_table
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "hudi_acid_verification_spark",
+        f"acid_stream_ingest_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+
+    schema = T.StructType(
+        [
+            T.StructField("primaryKeyValue", T.StringType(), False),
+            T.StructField("partitionKeyValue", T.StringType(), False),
+            T.StructField("dataValue", T.StringType(), True),
+        ]
+    )
+    table = AcidTable.create(
+        spark, os.path.join(base, "tbl"), schema,
+        pk="primaryKeyValue", partition_col="partitionKeyValue",
+        precombine_col="dataValue",
+    )
+
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        F.concat(F.lit("E"), F.col("event_id")).alias("primaryKeyValue"),
+        F.concat(F.lit("U"), F.col("user_id") % 8).alias("partitionKeyValue"),
+        F.col("value").cast("string").alias("dataValue"),
+    )
+    src = os.path.join(base, "src")
+    ev.filter(F.col("primaryKeyValue").substr(-1, 1).isin("0", "2", "4", "6", "8")
+              ).coalesce(1).write.parquet(os.path.join(src, "batch=0"))
+    ev.filter(~F.col("primaryKeyValue").substr(-1, 1).isin("0", "2", "4", "6", "8")
+              ).coalesce(1).write.parquet(os.path.join(src, "batch=1"))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(src + "/batch=*")
+    )
+    q = stream_into_table(stream, table, os.path.join(base, "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    table.audit_unique()
+    return table.snapshot()

@@ -85,3 +85,18 @@ def test_approx_distinct_within_error_bound(spark):
     assert set(approx) == set(exact)
     for k, est in approx.items():
         assert abs(est - exact[k]) <= 0.06 * exact[k], (k, est, exact[k])
+
+
+def test_acid_stream_ingest_matches_batch_union(spark):
+    """Every streamed micro-batch lands as one atomic commit; the final
+    snapshot must equal the batch-mode row set."""
+    from pyspark.sql import functions as F
+    from hudi_acid_verification_spark.operators import load
+
+    snap = ops.QUERIES["acid_stream_ingest"](spark, SF_SMALL)
+    n_purchases = (
+        load(spark, SF_SMALL, "events")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert snap.count() == n_purchases

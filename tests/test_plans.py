@@ -122,3 +122,12 @@ def test_orc_scan_keeps_predicate_pushdown(spark):
     )
     assert "Scan orc" in plan
     assert "PushedFilters: [" in plan and "GreaterThan(n_chars,500)" in plan
+
+
+def test_bucketed_join_has_no_join_exchange(spark):
+    """Co-located bucketed join: neither side may shuffle on the join key —
+    the only allowed Exchange is the post-join aggregate's."""
+    plan = plan_of(spark, "join_bucketed_colocated")
+    assert "Exchange hashpartitioning(o_orderkey" not in plan
+    assert "Exchange hashpartitioning(l_orderkey" not in plan
+    assert "SelectedBucketsCount" in plan  # bucket pruning metadata present
