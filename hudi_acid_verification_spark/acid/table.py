@@ -225,6 +225,12 @@ class AcidTable:
                 + [
                     T.StructField("__op", T.StringType(), False),
                     T.StructField("__seq", T.LongType(), False),
+                    # partial-update payloads list the columns they set;
+                    # NULL for full rows (and for files written before the
+                    # column existed — parquet read-by-name fills NULL)
+                    T.StructField(
+                        "__cols", T.ArrayType(T.StringType()), True
+                    ),
                 ]
             )
         return m.schema
@@ -248,6 +254,8 @@ class AcidTable:
             .schema(self._physical_schema(m))
             .parquet(*paths)
         )
+        if any(f.get("op") == "partial" for f in files):
+            return self._resolve_with_partials(m, df)
         order = [F.col("__seq").desc()]
         if m.precombine_col:
             order.append(F.col(m.precombine_col).desc())
@@ -259,19 +267,103 @@ class AcidTable:
             .select(*m.schema.names)
         )
 
+    def _resolve_with_partials(self, m: _Manifest, df: DataFrame) -> DataFrame:
+        """MOR resolution when partial-update payloads are present (Hudi
+        ``PartialUpdateAvroPayload`` analog).
+
+        Per-key semantics, with ``__seq`` strictly increasing per commit:
+
+        1. the newest tombstone (if any) kills everything at or below it;
+        2. the *base* row is the newest full row (``__op='upsert'``) above
+           the tombstone — or, when no full row exists (MERGE's WHEN NOT
+           MATCHED branch arriving as a partial payload), the OLDEST
+           surviving partial row, whose full carried values act as the
+           insert;
+        3. every partial row newer than the base overrides exactly the
+           columns named in its ``__cols`` — per column, the newest setter
+           wins; an explicit NULL set is preserved (the override is
+           detected by struct-nullness, not value-nullness).
+
+        One shuffle: the per-key window and the groupBy hash-partition on
+        the same key, so Catalyst reuses the exchange. Scale: identical
+        read-amplification story to plain MOR resolve; ``compact()`` folds
+        partial payloads into base rows, after which the cheap
+        window-latest path applies again.
+        """
+        kw = Window.partitionBy(m.pk)
+        op, seq = F.col("__op"), F.col("__seq")
+        df = df.withColumn(
+            "__del_seq",
+            F.coalesce(
+                F.max(F.when(op == "delete", seq)).over(kw), F.lit(-1)
+            ),
+        ).filter((op != "delete") & (seq > F.col("__del_seq")))
+        df = (
+            df.withColumn(
+                "__base_seq",
+                F.coalesce(
+                    F.max(F.when(op == "upsert", seq)).over(kw),
+                    F.min(F.when(op == "partial", seq)).over(kw),
+                ),
+            )
+            .withColumn("__is_base", seq == F.col("__base_seq"))
+            .filter(
+                F.col("__is_base")
+                | ((op == "partial") & (seq > F.col("__base_seq")))
+            )
+        )
+        data_cols = [c for c in m.schema.names if c != m.pk]
+        base_struct = ", ".join(f"`{c}`" for c in data_cols)
+        aggs = [
+            F.expr(
+                f"max_by(struct({base_struct}), __seq)"
+                " FILTER (WHERE __is_base)"
+            ).alias("__base")
+        ]
+        for c in data_cols:
+            aggs.append(
+                F.expr(
+                    f"max_by(struct(`{c}` AS v), __seq) FILTER (WHERE"
+                    f" __op = 'partial' AND NOT __is_base"
+                    f" AND array_contains(__cols, '{c}'))"
+                ).alias(f"__ov_{c}")
+            )
+        out = df.groupBy(m.pk).agg(*aggs)
+        final = [F.col(m.pk)]
+        for c in data_cols:
+            ov = F.col(f"__ov_{c}")
+            final.append(
+                F.when(ov.isNotNull(), ov["v"])
+                .otherwise(F.col("__base")[c])
+                .alias(c)
+            )
+        return out.select(*final).select(*m.schema.names)
+
     def _write_delta(
-        self, df: DataFrame, m: _Manifest, op: str, seq: int, kind: str
+        self, df: DataFrame, m: _Manifest, op: str, seq: int, kind: str,
+        cols: list[str] | None = None,
     ) -> list[dict]:
         """Write rows (plus op/seq markers) and return manifest entries
         tagged with the file kind — a delta append is ONE Spark write job
-        with no read of existing data."""
+        with no read of existing data. ``cols`` (op="partial" only) lists
+        the columns this payload sets; the rest are carried for the
+        insert branch but ignored when a live base row exists."""
         physical = df.withColumn("__op", F.lit(op)).withColumn(
             "__seq", F.lit(seq).cast("long")
         )
+        if cols is not None:
+            physical = physical.withColumn(
+                "__cols", F.array(*[F.lit(c) for c in cols])
+            )
+        else:
+            physical = physical.withColumn(
+                "__cols", F.lit(None).cast(T.ArrayType(T.StringType()))
+            )
         entries = self._write_data(physical, m)
         for e in entries:
             e["kind"] = kind
             e["seq"] = seq
+            e["op"] = op
         return entries
 
     def audit_unique(self, df: DataFrame | None = None) -> None:
@@ -507,21 +599,30 @@ class AcidTable:
                 c for c in m.schema.names if c not in (m.pk, m.partition_col)
             ]
             if m.mode == "mor":
-                # Latest-wins resolution replaces whole rows, so MERGE on MOR
-                # is a delta upsert when the source rows are complete (every
-                # non-key column updated). Partial-column merges would need a
-                # read-time coalesce payload — use a cow table for those.
                 full = {
                     c for c in m.schema.names if c not in (m.pk, m.partition_col)
                 }
-                if set(upd) != full:
-                    raise NotImplementedError(
-                        "partial-column MERGE requires mode='cow' "
-                        f"(update_cols={upd} != non-key columns {sorted(full)})"
-                    )
                 src = self._precombine(source.select(*m.schema.names), m)
+                if set(upd) == full:
+                    # complete rows: latest-wins replacement is exact — plain
+                    # delta upsert, no payload marker needed
+                    return m.files + self._write_delta(
+                        src, m, op="upsert", seq=m.version + 1, kind="delta"
+                    )
+                # partial-column payload (Hudi PartialUpdateAvroPayload
+                # analog): append the full source row tagged with the
+                # update-column list; read-time resolution overrides only
+                # those columns on matched keys and uses the whole carried
+                # row for the WHEN NOT MATCHED insert branch. Still a pure
+                # append — one write job, no read of existing data.
+                if m.pk in upd or m.partition_col in upd:
+                    raise ValueError(
+                        "update_cols may not include the primary key or "
+                        "partition column"
+                    )
                 return m.files + self._write_delta(
-                    src, m, op="upsert", seq=m.version + 1, kind="delta"
+                    src, m, op="partial", seq=m.version + 1, kind="delta",
+                    cols=sorted(upd),
                 )
             src = self._precombine(source.select(*m.schema.names), m)
             src.cache()

@@ -384,18 +384,104 @@ def test_mor_precombine_within_batch(spark, mor_table):
     t.audit_unique()
 
 
-def test_mor_partial_merge_rejected(spark, tmp_path):
-    wide = T.StructType(
-        list(SCHEMA.fields) + [T.StructField("extra", T.StringType(), True)]
-    )
-    t = AcidTable.create(
-        spark, str(tmp_path / "wide"), wide, pk="primaryKeyValue",
+WIDE = T.StructType(
+    list(SCHEMA.fields) + [T.StructField("extra", T.StringType(), True)]
+)
+
+
+@pytest.fixture()
+def wide_mor(spark, tmp_path):
+    return AcidTable.create(
+        spark, str(tmp_path / "wide"), WIDE, pk="primaryKeyValue",
         partition_col="partitionKeyValue", mode="mor",
     )
-    src = spark.createDataFrame([("PK1", "P0", "v", "e")], wide)
-    t.upsert(src)
-    with pytest.raises(NotImplementedError):
-        t.merge(src, update_cols=["dataValue"])
+
+
+def wide_snap(t):
+    return {
+        r["primaryKeyValue"]: (
+            r["partitionKeyValue"], r["dataValue"], r["extra"]
+        )
+        for r in t.snapshot().collect()
+    }
+
+
+def test_mor_partial_merge_updates_only_named_columns(spark, wide_mor):
+    t = wide_mor
+    t.upsert(spark.createDataFrame(
+        [("PK1", "P0", "v1", "e1"), ("PK2", "P1", "v2", "e2")], WIDE))
+    # matched: only dataValue changes, extra keeps target value even though
+    # the source carries a different one; unmatched: full source row inserts
+    t.merge(spark.createDataFrame(
+        [("PK1", "P0", "v1b", "IGNORED"), ("PK3", "P0", "v3", "e3")], WIDE),
+        update_cols=["dataValue"])
+    assert wide_snap(t) == {
+        "PK1": ("P0", "v1b", "e1"),
+        "PK2": ("P1", "v2", "e2"),
+        "PK3": ("P0", "v3", "e3"),
+    }
+    t.audit_unique()
+    # the commit was a pure append (no rewrite)
+    m = t._read_manifest()
+    assert any(f.get("op") == "partial" for f in m.files)
+
+
+def test_mor_partial_merges_stack_per_column(spark, wide_mor):
+    t = wide_mor
+    t.upsert(spark.createDataFrame([("PK1", "P0", "v1", "e1")], WIDE))
+    t.merge(spark.createDataFrame([("PK1", "P0", "v2", "zz")], WIDE),
+            update_cols=["dataValue"])
+    t.merge(spark.createDataFrame([("PK1", "P0", "zz", "e2")], WIDE),
+            update_cols=["extra"])
+    # each partial touched its own column; both survive
+    assert wide_snap(t)["PK1"] == ("P0", "v2", "e2")
+    # explicit NULL set is an override, not a fallthrough
+    t.merge(spark.createDataFrame([("PK1", "P0", None, "zz")], WIDE),
+            update_cols=["dataValue"])
+    assert wide_snap(t)["PK1"] == ("P0", None, "e2")
+
+
+def test_mor_partial_after_delete_and_full_upsert_resets(spark, wide_mor):
+    t = wide_mor
+    t.upsert(spark.createDataFrame([("PK1", "P0", "v1", "e1")], WIDE))
+    t.delete([("PK1", "P0")])
+    # partial merge on a dead key = WHEN NOT MATCHED: full carried row inserts
+    t.merge(spark.createDataFrame([("PK1", "P0", "v2", "e2")], WIDE),
+            update_cols=["dataValue"])
+    assert wide_snap(t)["PK1"] == ("P0", "v2", "e2")
+    # a later full upsert resets every column (partials below it are dead)
+    t.merge(spark.createDataFrame([("PK1", "P0", "z1", "zz")], WIDE),
+            update_cols=["extra"])
+    t.upsert(spark.createDataFrame([("PK1", "P0", "v3", "e3")], WIDE))
+    assert wide_snap(t)["PK1"] == ("P0", "v3", "e3")
+
+
+def test_mor_partial_compaction_folds_and_preserves(spark, wide_mor):
+    t = wide_mor
+    t.upsert(spark.createDataFrame(
+        [("PK1", "P0", "v1", "e1"), ("PK2", "P0", "v2", "e2")], WIDE))
+    t.merge(spark.createDataFrame([("PK1", "P0", "v1b", "zz")], WIDE),
+            update_cols=["dataValue"])
+    t.merge(spark.createDataFrame([("PK2", "P0", "zz", "e2b")], WIDE),
+            update_cols=["extra"])
+    before = wide_snap(t)
+    v = t.compact()
+    assert wide_snap(t) == before
+    m = t._read_manifest()
+    assert not any(f.get("op") == "partial" for f in m.files)
+    assert t.read_incremental(v - 1, v).count() == 0
+    # post-compaction partials still apply on the folded base
+    t.merge(spark.createDataFrame([("PK1", "P0", "zz", "e9")], WIDE),
+            update_cols=["extra"])
+    assert wide_snap(t)["PK1"] == ("P0", "v1b", "e9")
+
+
+def test_mor_partial_rejects_key_or_partition_update(spark, wide_mor):
+    t = wide_mor
+    t.upsert(spark.createDataFrame([("PK1", "P0", "v1", "e1")], WIDE))
+    with pytest.raises(ValueError):
+        t.merge(spark.createDataFrame([("PK1", "P1", "v", "e")], WIDE),
+                update_cols=["partitionKeyValue"])
 
 
 def test_vacuum_removes_old_versions_and_orphans(spark, table):
