@@ -173,29 +173,24 @@ def _ivf_oracle() -> str:
     """
 
 
-@query("similarity_ivf", oracle=_ivf_oracle())
-def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: assign → probe nprobe cells → exact rescore → top-k.
-
-    Assignment and probing are one corpus scan against a BROADCAST centroid
-    table; only the per-query candidate shortlist is rescored.
-    """
+def _load_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", _quant(F.col("embedding")).alias("qv")
     )
-    emb = emb.withColumn(
+    return emb.withColumn(
         "nrm", F.sqrt(_dot_q(F.col("qv"), F.col("qv")).cast("double"))
     )
-    cents = emb.filter(F.col("vec_id") % _CENT_MOD == 0).select(
-        F.col("vec_id").alias("cent_id"),
-        F.col("qv").alias("cq"),
-        F.col("nrm").alias("cn"),
-    )
 
+
+def _rank_cells(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """Rank every vector's cells by cosine against a BROADCAST centroid
+    table (cent_id, cq, cn). Ranking by dot/|c| is scale-invariant, so it
+    works identically for raw centroid vectors and for cluster sums/means.
+    """
     cos_vc = _dot_q(F.col("qv"), F.col("cq")).cast("double") / (
         F.col("nrm") * F.col("cn")
     )
-    ranked = (
+    return (
         emb.join(F.broadcast(cents))
         .select("vec_id", "qv", "nrm", "cent_id", cos_vc.alias("cos"))
         .withColumn(
@@ -207,6 +202,11 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def _probe_rescore(ranked: DataFrame) -> DataFrame:
+    """IVF query path: probe ``_NPROBE`` cells per query, exact-rescore the
+    cell members, keep the top-k — shared by the static and trained index."""
     assign = ranked.filter(F.col("rn") == 1).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("qv").alias("nq_vec"),
@@ -241,3 +241,151 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _TOP_K)
         .select("query_id", "neighbor_id", "cosine", "rnk")
     )
+
+
+@query("similarity_ivf", oracle=_ivf_oracle())
+def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: assign → probe nprobe cells → exact rescore → top-k.
+
+    Assignment and probing are one corpus scan against a BROADCAST centroid
+    table; only the per-query candidate shortlist is rescored.
+    """
+    emb = _load_quantized(spark, sf_dir)
+    cents = emb.filter(F.col("vec_id") % _CENT_MOD == 0).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("qv").alias("cq"),
+        F.col("nrm").alias("cn"),
+    )
+    return _probe_rescore(_rank_cells(emb, cents))
+
+
+def _ivf_trained_oracle() -> str:
+    """One Lloyd round, unrolled: assign to seed centroids → per-cluster
+    re-quantized mean → final assignment/probing against the trained cells.
+
+    Exactness across engines: dots are int64 sums; the centroid mean is
+    floor(sum/cnt + 0.5) where sum < 2^53 (exact in double) and the divide
+    is one correctly-rounded IEEE op — both engines produce bit-identical
+    centroid elements, hence identical rankings.
+    """
+    rank = (
+        "row_number() OVER (PARTITION BY d.vec_id ORDER BY"
+        " CAST(d.dot AS DOUBLE) / cn.nrm DESC, d.cent_id)"
+    )
+    return f"""
+    WITH {_ORACLE_ELEMS},
+    cent0 AS (
+        SELECT vec_id AS cent_id, i, x FROM elems
+        WHERE vec_id % {_CENT_MOD} = 0
+    ),
+    a0 AS (
+        SELECT vec_id, cent_id FROM (
+            SELECT d.vec_id, d.cent_id, {rank} AS rn
+            FROM (
+                SELECT e.vec_id, c.cent_id, sum(e.x * c.x) AS dot
+                FROM elems e JOIN cent0 c ON c.i = e.i GROUP BY 1, 2
+            ) d
+            JOIN (
+                SELECT cent_id, sqrt(CAST(sum(x * x) AS DOUBLE)) AS nrm
+                FROM cent0 GROUP BY 1
+            ) cn ON cn.cent_id = d.cent_id
+        ) WHERE rn = 1
+    ),
+    cent1 AS (
+        SELECT a.cent_id, e.i,
+               CAST(floor(CAST(sum(e.x) AS DOUBLE) / count(*) + 0.5)
+                    AS BIGINT) AS x
+        FROM a0 a JOIN elems e ON e.vec_id = a.vec_id
+        GROUP BY 1, 2
+    ),
+    r1 AS (
+        SELECT d.vec_id, d.cent_id, {rank} AS rn
+        FROM (
+            SELECT e.vec_id, c.cent_id, sum(e.x * c.x) AS dot
+            FROM elems e JOIN cent1 c ON c.i = e.i GROUP BY 1, 2
+        ) d
+        JOIN (
+            SELECT cent_id, sqrt(CAST(sum(x * x) AS DOUBLE)) AS nrm
+            FROM cent1 GROUP BY 1
+        ) cn ON cn.cent_id = d.cent_id
+    ),
+    assign AS (SELECT vec_id, cent_id FROM r1 WHERE rn = 1),
+    probes AS (
+        SELECT vec_id AS query_id, cent_id FROM r1
+        WHERE rn <= {_NPROBE} AND vec_id < {_N_QUERIES}
+    ),
+    cands AS (
+        SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+        FROM probes p
+        JOIN assign a ON a.cent_id = p.cent_id AND a.vec_id != p.query_id
+    ),
+    rescored AS (
+        SELECT c.query_id, c.neighbor_id, sum(q.x * v.x) AS dot
+        FROM cands c
+        JOIN elems q ON q.vec_id = c.query_id
+        JOIN elems v ON v.vec_id = c.neighbor_id AND v.i = q.i
+        GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, cosine, rnk FROM (
+        SELECT r.query_id, r.neighbor_id,
+               CAST(r.dot AS DOUBLE) / (nq.nrm * nn.nrm) AS cosine,
+               row_number() OVER (
+                   PARTITION BY r.query_id
+                   ORDER BY CAST(r.dot AS DOUBLE) / (nq.nrm * nn.nrm) DESC,
+                            r.neighbor_id
+               ) AS rnk
+        FROM rescored r
+        JOIN norms nq ON nq.vec_id = r.query_id
+        JOIN norms nn ON nn.vec_id = r.neighbor_id
+    ) WHERE rnk <= {_TOP_K}
+    """
+
+
+@query("similarity_ivf_trained", oracle=_ivf_trained_oracle())
+def similarity_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with k-means-trained cells (Lloyd's algorithm, one update round):
+    seed centroids → assign → per-cluster mean → re-assign → probe/rescore.
+
+    Spark shape per Lloyd round (the classic distributed k-means loop):
+    one corpus scan × broadcast centroids for assignment, one
+    posexplode + groupBy for the elementwise cluster sums (64·K rows
+    collected to the driver — centroids are driver state, like MLlib's),
+    then the next broadcast. Empty clusters drop out, identically in both
+    engines. The final query path is the same probe/rescore as
+    ``similarity_ivf`` — training changes only the cell quality.
+
+    The re-quantized mean (floor(sum/cnt + 0.5), exact double ops) keeps
+    every later dot product within int64 regardless of cluster size.
+    """
+    emb = _load_quantized(spark, sf_dir)
+    cents = emb.filter(F.col("vec_id") % _CENT_MOD == 0).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("qv").alias("cq"),
+        F.col("nrm").alias("cn"),
+    )
+    assign = _rank_cells(emb, cents).filter(F.col("rn") == 1)
+    sums = (
+        assign.select("cent_id", F.posexplode("qv").alias("pos", "x"))
+        .groupBy("cent_id", "pos")
+        .agg(
+            F.floor(
+                F.sum("x").cast("double") / F.count(F.lit(1)) + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("x")
+        )
+        .collect()
+    )
+    by_cent: dict[int, dict[int, int]] = {}
+    for r in sums:
+        by_cent.setdefault(r["cent_id"], {})[r["pos"]] = r["x"]
+    trained = spark.createDataFrame(
+        [
+            (cid, [elems[p] for p in sorted(elems)])
+            for cid, elems in sorted(by_cent.items())
+        ],
+        "cent_id bigint, cq array<bigint>",
+    ).withColumn(
+        "cn", F.sqrt(_dot_q(F.col("cq"), F.col("cq")).cast("double"))
+    )
+    return _probe_rescore(_rank_cells(emb, trained))
