@@ -291,3 +291,73 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
+
+
+@query(
+    "agg_stats_moments",
+    oracle="""
+    WITH q AS (
+        SELECT l_returnflag,
+               CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qq,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS qp
+        FROM lineitem
+    ),
+    s AS (
+        SELECT l_returnflag,
+               count(*) AS n,
+               CAST(sum(qq) AS DOUBLE) AS sx,
+               CAST(sum(qq * qq) AS DOUBLE) AS sxx,
+               CAST(sum(qp) AS DOUBLE) AS sy,
+               CAST(sum(qp * qp) AS DOUBLE) AS syy,
+               CAST(sum(qq * qp) AS DOUBLE) AS sxy
+        FROM q GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           sqrt((n * sxx - sx * sx) / (n * (n - 1.0))) / 100.0 AS qty_stddev,
+           (n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS qty_price_corr
+    FROM s
+    """,
+)
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample stddev and Pearson correlation from exact moment sums.
+
+    Spark's stddev_samp/corr accumulate doubles in partition order —
+    nondeterministic across partitionings and engines. Instead values are
+    quantized to int64 cents (floor(x·100 + 0.5), exact for the fixtures'
+    2-decimal values), the five moments are summed exactly (DECIMAL(38,0)
+    here, HUGEINT promotion in DuckDB — both order-independent), and cast
+    once to double (correctly rounded from the same integer in both
+    engines). The closed-form expressions are written identically on both
+    sides so every IEEE op matches; stddev divides by 100 to undo the
+    quantization scale (corr is scale-invariant). Same single-shuffle plan
+    as a plain groupBy — the statistical surface costs nothing extra at
+    scale.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    qq = F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("bigint")
+    qp = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+    wide = "decimal(38,0)"
+    s = li.select("l_returnflag", qq.alias("qq"), qp.alias("qp")).groupBy(
+        "l_returnflag"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("qq").cast(wide)).cast("double").alias("sx"),
+        F.sum((F.col("qq") * F.col("qq")).cast(wide)).cast("double").alias("sxx"),
+        F.sum(F.col("qp").cast(wide)).cast("double").alias("sy"),
+        F.sum((F.col("qp") * F.col("qp")).cast(wide)).cast("double").alias("syy"),
+        F.sum((F.col("qq") * F.col("qp")).cast(wide)).cast("double").alias("sxy"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
+    return s.select(
+        "l_returnflag",
+        "n",
+        (
+            F.sqrt((n * sxx - sx * sx) / (n * (n - F.lit(1.0)))) / F.lit(100.0)
+        ).alias("qty_stddev"),
+        (
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+        ).alias("qty_price_corr"),
+    )

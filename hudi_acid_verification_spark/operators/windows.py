@@ -164,3 +164,40 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("event_type").over(w).alias("next_event_type"),
         F.ntile(4).over(w).alias("quartile"),
     )
+
+
+@query(
+    "window_ntile_distribution",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           ntile(4) OVER w AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cum_dist
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    WINDOW w AS (
+        PARTITION BY o_orderpriority
+        ORDER BY o_totalprice, o_orderkey
+    )
+    """,
+)
+def window_ntile_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: ntile quartiles plus percent_rank /
+    cume_dist over total price within each priority class.
+
+    Determinism: the window orders by (o_totalprice, o_orderkey) — a unique
+    key — so the row ordering ntile depends on is identical across engines;
+    percent_rank/cume_dist are rank arithmetic on small integers, exact in
+    double.
+    """
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cum_dist"),
+    )
