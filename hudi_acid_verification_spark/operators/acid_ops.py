@@ -27,6 +27,12 @@ _SCHEMA = T.StructType(
     ]
 )
 
+# The TPC-H market segments: partition = c_mktsegment is a pure function of
+# the source row, so every DML below passes its partition set explicitly —
+# the commit skips the partition-discovery job, which dominates latency for
+# driver-known batches (AcidTable._partition_scoped_rewrite fast path).
+_SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
 
 @query("acid_snapshot_read")  # rows-only: checked by the harness, not DuckDB
 def acid_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -55,8 +61,8 @@ def acid_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("C"), F.col("c_custkey")).alias("primaryKeyValue"),
         F.col("c_mktsegment").alias("partitionKeyValue"),
         F.col("c_name").alias("dataValue"),
-    )
-    table.upsert(cust)
+    ).cache()
+    table.upsert(cust, partitions=_SEGMENTS)
 
     # merge: update payload for AUTOMOBILE customers, insert synthetic keys
     updates = cust.filter(F.col("partitionKeyValue") == "AUTOMOBILE").select(
@@ -69,13 +75,17 @@ def acid_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("SYNTHETIC").alias("partitionKeyValue"),
         F.lit("inserted-by-merge").alias("dataValue"),
     )
-    table.merge(updates.unionByName(inserts), update_cols=["dataValue"])
+    table.merge(
+        updates.unionByName(inserts), update_cols=["dataValue"],
+        partitions=["AUTOMOBILE", "SYNTHETIC"],
+    )
 
     # delete every HOUSEHOLD customer (intended DELETE semantics, D2 fixed)
     household = cust.filter(F.col("partitionKeyValue") == "HOUSEHOLD").select(
         "primaryKeyValue"
     )
-    table.delete(household)
+    table.delete(household, partitions=["HOUSEHOLD"])
+    cust.unpersist()
 
     table.audit_unique()
     return table.snapshot()
@@ -108,8 +118,8 @@ def acid_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("C"), F.col("c_custkey")).alias("primaryKeyValue"),
         F.col("c_mktsegment").alias("partitionKeyValue"),
         F.col("c_name").alias("dataValue"),
-    )
-    table.upsert(cust)
+    ).cache()
+    table.upsert(cust, partitions=_SEGMENTS)
     v1 = table.version()
 
     updates = cust.filter(F.col("partitionKeyValue") == "AUTOMOBILE").select(
@@ -117,14 +127,15 @@ def acid_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         "partitionKeyValue",
         F.concat(F.col("dataValue"), F.lit(" [updated]")).alias("dataValue"),
     )
-    table.merge(updates, update_cols=["dataValue"])
+    table.merge(updates, update_cols=["dataValue"], partitions=["AUTOMOBILE"])
     v2 = table.version()
 
     household = cust.filter(F.col("partitionKeyValue") == "HOUSEHOLD").select(
         "primaryKeyValue"
     )
-    table.delete(household)
+    table.delete(household, partitions=["HOUSEHOLD"])
     v3 = table.version()
+    cust.unpersist()
 
     changed = table.read_incremental(v1, v2).select(
         "primaryKeyValue", F.lit("upsert").alias("change_kind")
@@ -171,12 +182,13 @@ def acid_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("E"), F.col("event_id")).alias("primaryKeyValue"),
         F.concat(F.lit("U"), F.col("user_id") % 8).alias("partitionKeyValue"),
         F.col("value").cast("string").alias("dataValue"),
-    )
+    ).cache()
     src = os.path.join(base, "src")
     ev.filter(F.col("primaryKeyValue").substr(-1, 1).isin("0", "2", "4", "6", "8")
               ).coalesce(1).write.parquet(os.path.join(src, "batch=0"))
     ev.filter(~F.col("primaryKeyValue").substr(-1, 1).isin("0", "2", "4", "6", "8")
               ).coalesce(1).write.parquet(os.path.join(src, "batch=1"))
+    ev.unpersist()
 
     stream = (
         spark.readStream.schema(ev.schema)

@@ -182,25 +182,63 @@ def _load_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _rank_cells(emb: DataFrame, cents: DataFrame) -> DataFrame:
-    """Rank every vector's cells by cosine against a BROADCAST centroid
-    table (cent_id, cq, cn). Ranking by dot/|c| is scale-invariant, so it
-    works identically for raw centroid vectors and for cluster sums/means.
+def _rank_cells(
+    emb: DataFrame, cent_rows: list, max_rn: int = _NPROBE
+) -> DataFrame:
+    """Per vector, the ``max_rn`` nearest cells by cosine (ties broken by
+    ascending cent_id), as rows (vec_id, qv, nrm, cent_id, rn).
+
+    Physical strategy — block matmul, not a pair join: centroids are tiny
+    driver state, broadcast as one int64 matrix; each ``mapInPandas``
+    batch scores its rows against all cells with a single exact-int64
+    numpy matmul (~25× over per-pair JVM lambdas, similarity.py lesson).
+    Ranking matches the JVM/DuckDB formulation bit-for-bit: dots and
+    norms derive from the same integers, cosine is the same two IEEE ops,
+    and a STABLE argsort over a cent_id-ascending matrix reproduces the
+    (cos DESC, cent_id ASC) tie-break. Ranking by dot/|c| is
+    scale-invariant, so raw centroid vectors and cluster means rank
+    identically.
     """
-    cos_vc = _dot_q(F.col("qv"), F.col("cq")).cast("double") / (
-        F.col("nrm") * F.col("cn")
-    )
-    return (
-        emb.join(F.broadcast(cents))
-        .select("vec_id", "qv", "nrm", "cent_id", cos_vc.alias("cos"))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(
-                    F.col("cos").desc(), F.col("cent_id")
-                )
-            ),
-        )
+    import numpy as np
+    import pandas as pd
+
+    cent_rows = sorted(cent_rows, key=lambda r: r[0])
+    c_ids = np.asarray([r[0] for r in cent_rows], dtype=np.int64)
+    c_mat = np.asarray([list(r[1]) for r in cent_rows], dtype=np.int64)
+    c_nrm = np.sqrt((c_mat * c_mat).sum(axis=1).astype(np.float64))
+    bc = emb.sparkSession.sparkContext.broadcast((c_ids, c_mat, c_nrm))
+    keep = min(max_rn, len(cent_rows))
+
+    def rank(batches):
+        ids_c, mat_c, nrm_c = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            q = np.stack(
+                [np.asarray(v, dtype=np.int64) for v in pdf["qv"].values]
+            )
+            nrm = pdf["nrm"].values.astype(np.float64)
+            cos = (q @ mat_c.T).astype(np.float64) / (
+                nrm[:, None] * nrm_c[None, :]
+            )
+            # stable sort on -cos ⇒ equal cosines keep cent_id order
+            top = np.argsort(-cos, axis=1, kind="stable")[:, :keep]
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].values, keep),
+                    "qv": [
+                        v for v in pdf["qv"].values for _ in range(keep)
+                    ],
+                    "nrm": np.repeat(nrm, keep),
+                    "cent_id": ids_c[top].reshape(n * keep),
+                    "rn": np.tile(np.arange(1, keep + 1), n),
+                }
+            )
+
+    return emb.mapInPandas(
+        rank,
+        "vec_id bigint, qv array<bigint>, nrm double, cent_id bigint, rn int",
     )
 
 
@@ -251,12 +289,13 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     table; only the per-query candidate shortlist is rescored.
     """
     emb = _load_quantized(spark, sf_dir)
-    cents = emb.filter(F.col("vec_id") % _CENT_MOD == 0).select(
-        F.col("vec_id").alias("cent_id"),
-        F.col("qv").alias("cq"),
-        F.col("nrm").alias("cn"),
-    )
-    return _probe_rescore(_rank_cells(emb, cents))
+    cent_rows = [
+        (r["vec_id"], r["qv"])
+        for r in emb.filter(F.col("vec_id") % _CENT_MOD == 0)
+        .select("vec_id", "qv")
+        .collect()
+    ]
+    return _probe_rescore(_rank_cells(emb, cent_rows))
 
 
 def _ivf_trained_oracle() -> str:
@@ -358,12 +397,13 @@ def similarity_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     every later dot product within int64 regardless of cluster size.
     """
     emb = _load_quantized(spark, sf_dir)
-    cents = emb.filter(F.col("vec_id") % _CENT_MOD == 0).select(
-        F.col("vec_id").alias("cent_id"),
-        F.col("qv").alias("cq"),
-        F.col("nrm").alias("cn"),
-    )
-    assign = _rank_cells(emb, cents).filter(F.col("rn") == 1)
+    cent_rows = [
+        (r["vec_id"], r["qv"])
+        for r in emb.filter(F.col("vec_id") % _CENT_MOD == 0)
+        .select("vec_id", "qv")
+        .collect()
+    ]
+    assign = _rank_cells(emb, cent_rows, max_rn=1)
     sums = (
         assign.select("cent_id", F.posexplode("qv").alias("pos", "x"))
         .groupBy("cent_id", "pos")
@@ -379,13 +419,8 @@ def similarity_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     by_cent: dict[int, dict[int, int]] = {}
     for r in sums:
         by_cent.setdefault(r["cent_id"], {})[r["pos"]] = r["x"]
-    trained = spark.createDataFrame(
-        [
-            (cid, [elems[p] for p in sorted(elems)])
-            for cid, elems in sorted(by_cent.items())
-        ],
-        "cent_id bigint, cq array<bigint>",
-    ).withColumn(
-        "cn", F.sqrt(_dot_q(F.col("cq"), F.col("cq")).cast("double"))
-    )
+    trained = [
+        (cid, [elems[p] for p in sorted(elems)])
+        for cid, elems in sorted(by_cent.items())
+    ]
     return _probe_rescore(_rank_cells(emb, trained))
