@@ -203,3 +203,57 @@ def acid_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
     table.audit_unique()
     return table.snapshot()
+
+
+@query("acid_mor_lifecycle")  # rows-only: checked by unit tests + harness
+def acid_mor_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read lifecycle: upsert (delta append) → partial-column
+    MERGE payload → tombstone delete → inline compaction → audited
+    snapshot. Every DML is a pure append; the read resolves base + deltas
+    (latest-per-key, per-column newest-setter for partial payloads) and
+    compaction folds the deltas back into scan-sized base files.
+    """
+    from hudi_acid_verification_spark.acid import AcidTable
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "hudi_acid_verification_spark",
+        f"acid_mor_lifecycle_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+
+    wide = T.StructType(
+        list(_SCHEMA.fields)
+        + [T.StructField("extraValue", T.StringType(), True)]
+    )
+    table = AcidTable.create(
+        spark, base, wide,
+        pk="primaryKeyValue", partition_col="partitionKeyValue",
+        precombine_col="dataValue", mode="mor",
+    )
+
+    cust = load(spark, sf_dir, "customer").select(
+        F.concat(F.lit("C"), F.col("c_custkey")).alias("primaryKeyValue"),
+        F.col("c_mktsegment").alias("partitionKeyValue"),
+        F.col("c_name").alias("dataValue"),
+        F.col("c_nationkey").cast("string").alias("extraValue"),
+    ).cache()
+    table.upsert(cust)
+
+    # partial payload: only dataValue changes for AUTOMOBILE customers;
+    # extraValue must survive from the base rows
+    updates = cust.filter(F.col("partitionKeyValue") == "AUTOMOBILE").select(
+        "primaryKeyValue",
+        "partitionKeyValue",
+        F.concat(F.col("dataValue"), F.lit(" [updated]")).alias("dataValue"),
+        F.lit("MUST-NOT-WIN").alias("extraValue"),
+    )
+    table.merge(updates, update_cols=["dataValue"])
+
+    household = cust.filter(F.col("partitionKeyValue") == "HOUSEHOLD")
+    table.delete(household.select("primaryKeyValue", "partitionKeyValue"))
+    cust.unpersist()
+
+    table.compact()
+    table.audit_unique()
+    return table.snapshot()
