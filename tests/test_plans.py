@@ -131,3 +131,24 @@ def test_bucketed_join_has_no_join_exchange(spark):
     assert "Exchange hashpartitioning(o_orderkey" not in plan
     assert "Exchange hashpartitioning(l_orderkey" not in plan
     assert "SelectedBucketsCount" in plan  # bucket pruning metadata present
+
+
+def test_q18_semi_join_broadcasts_qualifying_orders(spark):
+    """The HAVING-subquery decorrelation must broadcast the tiny
+    qualifying-order set into a semi join, not shuffle the fact table
+    against it."""
+    plan = plan_of(spark, "q18_large_orders")
+    assert "LeftSemi" in plan, "IN-subquery must plan as a semi join"
+    assert "BroadcastExchange" in plan, "qualifying orders must broadcast"
+    assert "TakeOrderedAndProject" in plan, "top-100 must not global-sort"
+
+
+def test_stats_moments_single_aggregate_exchange(spark):
+    """The moment sums must compute in one partial+final aggregate pair —
+    the statistical surface may not add shuffles over a plain groupBy."""
+    plan = plan_of(spark, "agg_stats_moments")
+    # formatted plans print each node in the tree and again in the details
+    assert plan.count("+- Exchange") == 1, "expected exactly one shuffle"
+    assert "partial_" in plan.lower() or "Partial" in plan, (
+        "moment sums must pre-aggregate map-side"
+    )
