@@ -62,6 +62,7 @@ def _import_all() -> None:
         asof,
         bucketed,
         composite,
+        composite2,
         dedup,
         joins,
         multimodal,
