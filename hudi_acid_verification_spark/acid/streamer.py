@@ -57,12 +57,27 @@ class IngestStreamer:
         """Source files not yet checkpointed, oldest path first."""
         return sorted(set(glob.glob(self.source_glob)) - self._processed())
 
-    def run_once(self, spark: SparkSession, max_files: int | None = None) -> int:
-        """Ingest up to ``max_files`` pending files as ONE atomic upsert.
+    def run_once(
+        self,
+        spark: SparkSession,
+        max_files: int | None = None,
+        op: str = "upsert",
+        update_cols: list[str] | None = None,
+    ) -> int:
+        """Ingest up to ``max_files`` pending files as ONE atomic commit.
+
+        ``op`` selects the DML applied to each batch:
+        - ``"upsert"`` (default): whole-row keyed upsert.
+        - ``"merge"``: MERGE semantics — with ``update_cols``, arriving rows
+          override ONLY those columns on matched keys (partial-column
+          payloads, Hudi PartialUpdateAvroPayload analog) and insert in full
+          for new keys. On a MOR table this stays a pure delta append.
 
         Returns the number of files ingested (0 = caught up). Call in a loop
         (or from a scheduler) for continuous ingestion.
         """
+        if op not in ("upsert", "merge"):
+            raise ValueError(f"unknown ingest op: {op!r}")
         batch = self.pending()
         if max_files is not None:
             batch = batch[:max_files]
@@ -71,7 +86,10 @@ class IngestStreamer:
         df = spark.read.schema(
             self.table._read_manifest().schema
         ).parquet(*batch)
-        self.table.upsert(df)
+        if op == "merge":
+            self.table.merge(df, update_cols=update_cols)
+        else:
+            self.table.upsert(df)
         self._save_processed(self._processed() | set(batch))
         return len(batch)
 
@@ -89,6 +107,35 @@ def stream_into_table(stream_df, table: AcidTable, checkpoint_dir: str):
 
     def sink(batch_df, _batch_id: int) -> None:
         table.upsert(batch_df)
+
+    return (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def merge_stream_into_table(
+    stream_df,
+    table: AcidTable,
+    checkpoint_dir: str,
+    update_cols: list[str] | None = None,
+):
+    """Structured-Streaming MERGE sink: every micro-batch merges into the
+    AcidTable — with ``update_cols``, each arriving row overrides only those
+    columns on matched keys (partial-column payload) and inserts in full for
+    new keys. Returns the started StreamingQuery.
+
+    On a MOR table each micro-batch is ONE delta append (no read, no
+    rewrite) — the lowest-latency continuous-upsert shape, with the cost
+    moved to read-time resolution and periodic compaction. Replayed batches
+    re-append the same payloads; resolution is newest-setter-wins per
+    column, so the table converges to the same state (at-least-once
+    delivery, effectively-once result — the DeltaStreamer contract).
+    """
+
+    def sink(batch_df, _batch_id: int) -> None:
+        table.merge(batch_df, update_cols=update_cols)
 
     return (
         stream_df.writeStream.foreachBatch(sink)

@@ -205,6 +205,81 @@ def acid_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.snapshot()
 
 
+@query("acid_stream_merge_mor")  # rows-only: streaming sink semantics ≠ SQL
+def acid_stream_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming partial-column MERGE into a MOR table: a base
+    load carries (dataValue, extraValue); a stream of updates then merges
+    ONLY dataValue in two micro-batches via foreachBatch. Each micro-batch
+    is one pure delta append (no read, no rewrite); the final audited
+    snapshot must show the streamed dataValue with the base extraValue
+    intact — the continuous version of Hudi's PartialUpdateAvroPayload.
+    """
+    from hudi_acid_verification_spark.acid import AcidTable
+    from hudi_acid_verification_spark.acid.streamer import (
+        merge_stream_into_table,
+    )
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "hudi_acid_verification_spark",
+        f"acid_stream_merge_mor_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+
+    wide = T.StructType(
+        list(_SCHEMA.fields)
+        + [T.StructField("extraValue", T.StringType(), True)]
+    )
+    table = AcidTable.create(
+        spark, os.path.join(base, "tbl"), wide,
+        pk="primaryKeyValue", partition_col="partitionKeyValue",
+        precombine_col="dataValue", mode="mor",
+    )
+
+    cust = load(spark, sf_dir, "customer").select(
+        F.concat(F.lit("C"), F.col("c_custkey")).alias("primaryKeyValue"),
+        F.col("c_mktsegment").alias("partitionKeyValue"),
+        F.col("c_name").alias("dataValue"),
+        F.col("c_nationkey").cast("string").alias("extraValue"),
+    ).cache()
+    table.upsert(cust)
+
+    # streamed partial updates: new dataValue for even customer keys (pk
+    # digits), extraValue deliberately poisoned — it must NOT reach the table
+    updates = cust.filter(
+        (F.substring("primaryKeyValue", 2, 100).cast("bigint") % 2) == 0
+    ).select(
+        "primaryKeyValue",
+        "partitionKeyValue",
+        F.concat(F.col("dataValue"), F.lit(" [streamed]")).alias("dataValue"),
+        F.lit("MUST-NOT-WIN").alias("extraValue"),
+    )
+    src = os.path.join(base, "src")
+    updates.filter(
+        (F.substring("primaryKeyValue", 2, 100).cast("bigint") % 4) == 0
+    ).coalesce(1).write.parquet(os.path.join(src, "batch=0"))
+    updates.filter(
+        (F.substring("primaryKeyValue", 2, 100).cast("bigint") % 4) != 0
+    ).coalesce(1).write.parquet(os.path.join(src, "batch=1"))
+    cust.unpersist()
+
+    stream = (
+        spark.readStream.schema(wide)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(src + "/batch=*")
+    )
+    q = merge_stream_into_table(
+        stream, table, os.path.join(base, "ckpt"), update_cols=["dataValue"]
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    table.audit_unique()
+    return table.snapshot()
+
+
 @query("acid_mor_lifecycle")  # rows-only: checked by unit tests + harness
 def acid_mor_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merge-on-read lifecycle: upsert (delta append) → partial-column

@@ -229,6 +229,98 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "stream_stream_join",
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           c.user_id, epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+    FROM events c
+    JOIN events p ON p.user_id = c.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Genuine Structured Streaming stream-stream INNER join: click→purchase
+    attribution per user within a 30-minute band, both sides watermarked.
+
+    Why this is DuckDB-oracle-able when the watermark demo isn't: an inner
+    stream-stream join only LOSES rows if one side's state is evicted before
+    its partner arrives. Micro-batches arrive in time order (two
+    lexicographic file batches split at the median ts), the watermark delay
+    (2 h) exceeds the join band (30 min), and the engine's global watermark
+    is the MIN across both inputs — so every cross-batch partner is still in
+    state when its match arrives and the append-mode result equals the batch
+    band join exactly (the SQL oracle). Late-arrival loss is the
+    *watermark demo's* subject, not this operator's.
+
+    Scale notes: both sides shuffle on user_id (the equi key); state is
+    bounded by the band + watermark (Spark evicts click state older than
+    watermark − 30 min), so state size is O(events in the last 2.5 h per
+    user), independent of stream length — the property that makes the join
+    runnable on an unbounded stream.
+    """
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        "hudi_acid_verification_spark",
+        f"stream_join_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(stage, ignore_errors=True)
+    src = os.path.join(stage, "src")
+    split_ts = e.selectExpr(
+        "timestamp_micros(CAST(percentile(unix_micros(ts), 0.5) AS BIGINT)) AS m"
+    ).collect()[0]["m"]
+    e.filter(F.col("ts") < split_ts).coalesce(1).write.parquet(
+        os.path.join(src, "batch=0")
+    )
+    e.filter(F.col("ts") >= split_ts).coalesce(1).write.parquet(
+        os.path.join(src, "batch=1")
+    )
+
+    def read_side(kind: str, alias: str) -> DataFrame:
+        s = (
+            spark.readStream.schema(e.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(src + "/batch=*")
+            .filter(F.col("event_type") == kind)
+        )
+        return s.select(
+            *[F.col(c).alias(f"{alias}_{c}") for c in s.columns]
+        ).withWatermark(f"{alias}_ts", "2 hours")
+
+    clicks = read_side("click", "c")
+    purchases = read_side("purchase", "p")
+    joined = clicks.join(
+        purchases,
+        (F.col("p_user_id") == F.col("c_user_id"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "inner",
+    ).select(
+        F.col("c_event_id").alias("click_id"),
+        F.col("p_event_id").alias("purchase_id"),
+        F.col("c_user_id").alias("user_id"),
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("lag_us"),
+    )
+    qname = "stream_stream_join_sink"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", os.path.join(stage, "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {qname}")
+
+
 @query("stream_stateful_fold")  # rows-only: custom streaming state ≠ SQL
 def stream_stateful_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator via ``applyInPandasWithState``:

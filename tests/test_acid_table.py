@@ -552,3 +552,78 @@ def test_mor_key_moves_partition(spark, mor_table):
     t.audit_unique()
     p0 = t.snapshot().filter(F.col("partitionKeyValue") == "P0").collect()
     assert p0 == []
+
+
+def test_ingest_streamer_partial_merge(spark, wide_mor, tmp_path):
+    """IngestStreamer op='merge' with update_cols: arriving files override
+    only the named columns on matched keys (pure delta append on MOR)."""
+    from hudi_acid_verification_spark.acid.streamer import IngestStreamer
+
+    t = wide_mor
+    t.upsert(spark.createDataFrame(
+        [("PK1", "P0", "v1", "e1"), ("PK2", "P1", "v2", "e2")], WIDE))
+
+    drops = tmp_path / "mdrops"
+    drops.mkdir()
+    spark.createDataFrame(
+        [("PK1", "P0", "v1b", "IGNORED"), ("PK3", "P0", "v3", "e3")], WIDE
+    ).write.parquet(str(drops / "d1"))
+
+    s = IngestStreamer(t, str(drops / "*" / "*.parquet"))
+    assert s.run_once(spark, op="merge", update_cols=["dataValue"]) >= 1
+    assert wide_snap(t) == {
+        "PK1": ("P0", "v1b", "e1"),   # only dataValue streamed in
+        "PK2": ("P1", "v2", "e2"),
+        "PK3": ("P0", "v3", "e3"),    # new key inserts the full row
+    }
+    assert s.run_once(spark, op="merge", update_cols=["dataValue"]) == 0
+    with pytest.raises(ValueError):
+        s.run_once(spark, op="replace")
+    t.audit_unique()
+
+
+def test_merge_stream_into_mor(spark, wide_mor, tmp_path):
+    """foreachBatch partial-column MERGE sink: each micro-batch is one delta
+    append; non-updated columns survive from the base rows."""
+    from hudi_acid_verification_spark.acid.streamer import (
+        merge_stream_into_table,
+    )
+
+    t = wide_mor
+    t.upsert(spark.createDataFrame(
+        [("PK1", "P0", "v1", "e1"), ("PK2", "P1", "v2", "e2")], WIDE))
+    v_base = t.version()
+
+    src = tmp_path / "stream_src"
+    spark.createDataFrame(
+        [("PK1", "P0", "v1b", "MUST-NOT-WIN")], WIDE
+    ).coalesce(1).write.parquet(str(src / "batch=0"))
+    spark.createDataFrame(
+        [("PK2", "P1", "v2b", "MUST-NOT-WIN"), ("PK3", "P2", "v3", "e3")],
+        WIDE,
+    ).coalesce(1).write.parquet(str(src / "batch=1"))
+
+    stream = (
+        spark.readStream.schema(WIDE)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(str(src) + "/batch=*")
+    )
+    q = merge_stream_into_table(
+        stream, t, str(tmp_path / "ckpt"), update_cols=["dataValue"]
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert wide_snap(t) == {
+        "PK1": ("P0", "v1b", "e1"),
+        "PK2": ("P1", "v2b", "e2"),
+        "PK3": ("P2", "v3", "e3"),
+    }
+    # one commit per micro-batch, all pure partial-delta appends
+    assert t.version() == v_base + 2
+    m = t._read_manifest()
+    assert sum(1 for f in m.files if f.get("op") == "partial") >= 2
+    t.audit_unique()
