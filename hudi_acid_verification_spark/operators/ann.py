@@ -404,6 +404,106 @@ def similarity_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "qv")
         .collect()
     ]
+    trained = _lloyd_round(emb, cent_rows)
+    return _probe_rescore(_rank_cells(emb, trained))
+
+
+_KMEANS_ROUNDS = 3
+
+
+def _kmeans_multi_oracle(rounds: int = _KMEANS_ROUNDS) -> str:
+    """R Lloyd rounds, unrolled as R (assign, re-centroid) CTE pairs.
+
+    Each round is textually the same block as the single-round oracle
+    (ann.py:_ivf_trained_oracle): rn=1 assignment against cent{k} by
+    scale-invariant dot/|c| ranking, then cent{k+1} = per-cluster
+    re-quantized mean floor(sum/cnt + 0.5). All sums stay int64-exact
+    (|x| ≤ 1e7·dim·scale < 2^53), so every round's centroids are
+    bit-identical across engines and the unroll stays exact at any R.
+    """
+    rank = (
+        "row_number() OVER (PARTITION BY d.vec_id ORDER BY"
+        " CAST(d.dot AS DOUBLE) / cn.nrm DESC, d.cent_id)"
+    )
+
+    def assign_block(k: int) -> str:
+        return f"""
+    a{k} AS (
+        SELECT vec_id, cent_id FROM (
+            SELECT d.vec_id, d.cent_id, {rank} AS rn
+            FROM (
+                SELECT e.vec_id, c.cent_id, sum(e.x * c.x) AS dot
+                FROM elems e JOIN cent{k} c ON c.i = e.i GROUP BY 1, 2
+            ) d
+            JOIN (
+                SELECT cent_id, sqrt(CAST(sum(x * x) AS DOUBLE)) AS nrm
+                FROM cent{k} GROUP BY 1
+            ) cn ON cn.cent_id = d.cent_id
+        ) WHERE rn = 1
+    ),
+    cent{k + 1} AS (
+        SELECT a.cent_id, e.i,
+               CAST(floor(CAST(sum(e.x) AS DOUBLE) / count(*) + 0.5)
+                    AS BIGINT) AS x
+        FROM a{k} a JOIN elems e ON e.vec_id = a.vec_id
+        GROUP BY 1, 2
+    )"""
+
+    rounds_sql = ",".join(assign_block(k) for k in range(rounds))
+    return f"""
+    WITH {_ORACLE_ELEMS},
+    cent0 AS (
+        SELECT vec_id AS cent_id, i, x FROM elems
+        WHERE vec_id % {_CENT_MOD} = 0
+    ),{rounds_sql},
+    rf AS (
+        SELECT d.vec_id, d.cent_id, {rank} AS rn
+        FROM (
+            SELECT e.vec_id, c.cent_id, sum(e.x * c.x) AS dot
+            FROM elems e JOIN cent{rounds} c ON c.i = e.i GROUP BY 1, 2
+        ) d
+        JOIN (
+            SELECT cent_id, sqrt(CAST(sum(x * x) AS DOUBLE)) AS nrm
+            FROM cent{rounds} GROUP BY 1
+        ) cn ON cn.cent_id = d.cent_id
+    ),
+    assign AS (SELECT vec_id, cent_id FROM rf WHERE rn = 1),
+    probes AS (
+        SELECT vec_id AS query_id, cent_id FROM rf
+        WHERE rn <= {_NPROBE} AND vec_id < {_N_QUERIES}
+    ),
+    cands AS (
+        SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+        FROM probes p
+        JOIN assign a ON a.cent_id = p.cent_id AND a.vec_id != p.query_id
+    ),
+    rescored AS (
+        SELECT c.query_id, c.neighbor_id, sum(q.x * v.x) AS dot
+        FROM cands c
+        JOIN elems q ON q.vec_id = c.query_id
+        JOIN elems v ON v.vec_id = c.neighbor_id AND v.i = q.i
+        GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, cosine, rnk FROM (
+        SELECT r.query_id, r.neighbor_id,
+               CAST(r.dot AS DOUBLE) / (nq.nrm * nn.nrm) AS cosine,
+               row_number() OVER (
+                   PARTITION BY r.query_id
+                   ORDER BY CAST(r.dot AS DOUBLE) / (nq.nrm * nn.nrm) DESC,
+                            r.neighbor_id
+               ) AS rnk
+        FROM rescored r
+        JOIN norms nq ON nq.vec_id = r.query_id
+        JOIN norms nn ON nn.vec_id = r.neighbor_id
+    ) WHERE rnk <= {_TOP_K}
+    """
+
+
+def _lloyd_round(emb: DataFrame, cent_rows: list) -> list:
+    """One distributed Lloyd update: rn=1 assignment against the given
+    centroids, then per-cluster re-quantized means (floor(sum/cnt + 0.5),
+    exact double ops) collected as the next round's driver-side centroids.
+    Empty clusters drop out — identically in the SQL unroll."""
     assign = _rank_cells(emb, cent_rows, max_rn=1)
     sums = (
         assign.select("cent_id", F.posexplode("qv").alias("pos", "x"))
@@ -420,11 +520,34 @@ def similarity_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     by_cent: dict[int, dict[int, int]] = {}
     for r in sums:
         by_cent.setdefault(r["cent_id"], {})[r["pos"]] = r["x"]
-    trained = [
+    return [
         (cid, [elems[p] for p in sorted(elems)])
         for cid, elems in sorted(by_cent.items())
     ]
-    return _probe_rescore(_rank_cells(emb, trained))
+
+
+@query("similarity_kmeans_multi", oracle=_kmeans_multi_oracle())
+def similarity_kmeans_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with fully-trained cells: THREE Lloyd rounds (assign → mean →
+    re-assign, iterated), then the shared probe/rescore query path.
+
+    This is the real distributed k-means loop (MLlib's shape): per round,
+    one corpus scan against broadcast centroids (mapInPandas int64 matmul)
+    plus one posexplode/groupBy for the elementwise cluster sums — centroids
+    are tiny driver state between rounds. Convergence improves cell quality
+    (and hence ANN recall) with zero change to the query path; the oracle
+    unrolls the identical rounds as SQL CTEs, exact at any round count.
+    """
+    emb = _load_quantized(spark, sf_dir)
+    cent = [
+        (r["vec_id"], r["qv"])
+        for r in emb.filter(F.col("vec_id") % _CENT_MOD == 0)
+        .select("vec_id", "qv")
+        .collect()
+    ]
+    for _ in range(_KMEANS_ROUNDS):
+        cent = _lloyd_round(emb, cent)
+    return _probe_rescore(_rank_cells(emb, cent))
 
 
 def _emb_lsh_oracle() -> str:

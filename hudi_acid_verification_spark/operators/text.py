@@ -17,7 +17,7 @@ Cross-engine determinism notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import load, query
@@ -246,4 +246,65 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tok.groupBy("doc_id").agg(
         (F.sum(F.col("pos") * F.col("h32")) % F.lit(1000000007)).alias("fingerprint"),
         F.count(F.lit(1)).alias("n_tokens"),
+    )
+
+
+_TFIDF_TOP_K = 3
+
+
+@query(
+    "text_tfidf_topterms",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf
+        FROM toks WHERE term <> '' GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n FROM documents)
+    SELECT doc_id, term, tf, df, tfidf, rnk FROM (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+               CAST(tf.tf * n.n AS DOUBLE) / df.df AS tfidf,
+               row_number() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY CAST(tf.tf * n.n AS DOUBLE) / df.df DESC, tf.term
+               ) AS rnk
+        FROM tf, n
+        JOIN df ON df.term = tf.term
+    ) WHERE rnk <= {_TFIDF_TOP_K}
+    """,
+)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting by TF-IDF: the top-3 most characteristic
+    terms per document. Uses the LINEAR idf variant tfidf = tf · N / df
+    (monotone in the classic tf·log(N/df) for fixed tf) so the score is
+    exact-integer arithmetic plus ONE IEEE divide — bit-identical across
+    engines, where ln() would not be.
+
+    Scale notes: tf is one shuffle on (doc_id, term); df aggregates tf
+    (vocabulary-sized result) and BROADCASTS back for the idf join, as does
+    the single-row corpus count; the top-k window shuffles on doc_id. At
+    100 TB the df/vocabulary table is the only global state and it is tiny
+    relative to the corpus — the classic two-pass scheme.
+    """
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n"))
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    score = (F.col("tf") * F.col("n")).cast("double") / F.col("df")
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        tf.crossJoin(F.broadcast(n_docs))
+        .join(F.broadcast(df), "term")
+        .select("doc_id", "term", "tf", "df", score.alias("tfidf"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TFIDF_TOP_K)
     )

@@ -201,3 +201,63 @@ def window_ntile_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cum_dist"),
     )
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER wr AS band_sum,
+           count(*) OVER wr AS n_in_band,
+           first_value(o_orderkey) OVER wu AS cheapest_key,
+           nth_value(o_orderkey, 2) OVER wu AS second_cheapest_key
+    FROM orders
+    WINDOW wr AS (
+        PARTITION BY o_custkey ORDER BY o_totalprice
+        RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW
+    ),
+    wu AS (
+        PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based (RANGE) window frames plus positional value functions:
+    per customer, the sum/count of orders priced within 1000 below the
+    current order (RANGE frame — peers enter by VALUE distance, not row
+    position), alongside first_value / nth_value over a unique ordering.
+
+    Determinism with ties: RANGE frames include all peers of the boundary
+    value regardless of their physical order, so band_sum/n_in_band are
+    well-defined even when prices tie; the positional functions instead
+    order by the unique (price, orderkey) pair. The frame boundary
+    comparison (price - 1000 <= peer) is one IEEE subtract + compare —
+    identical in both engines.
+
+    Scale notes: one shuffle on o_custkey shared by both window specs
+    (same partitioning); RANGE evaluation is a sliding two-pointer over
+    each sorted partition — O(rows), no per-row rescan.
+    """
+    o = load(spark, sf_dir, "orders")
+    return o.selectExpr(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        """sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+               PARTITION BY o_custkey ORDER BY o_totalprice
+               RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW
+           ) AS band_sum""",
+        """count(*) OVER (
+               PARTITION BY o_custkey ORDER BY o_totalprice
+               RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW
+           ) AS n_in_band""",
+        """first_value(o_orderkey) OVER (
+               PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS cheapest_key""",
+        """nth_value(o_orderkey, 2) OVER (
+               PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS second_cheapest_key""",
+    )
