@@ -196,11 +196,14 @@ def acid_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "*.parquet")
         .parquet(src + "/batch=*")
     )
-    q = stream_into_table(stream, table, os.path.join(base, "ckpt"))
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    from .streaming_windows import few_partitions
+
+    with few_partitions(spark):
+        q = stream_into_table(stream, table, os.path.join(base, "ckpt"))
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     table.audit_unique()
     return table.snapshot()
 
@@ -269,13 +272,17 @@ def acid_stream_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "*.parquet")
         .parquet(src + "/batch=*")
     )
-    q = merge_stream_into_table(
-        stream, table, os.path.join(base, "ckpt"), update_cols=["dataValue"]
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    from .streaming_windows import few_partitions
+
+    with few_partitions(spark):
+        q = merge_stream_into_table(
+            stream, table, os.path.join(base, "ckpt"),
+            update_cols=["dataValue"],
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     table.audit_unique()
     return table.snapshot()
 

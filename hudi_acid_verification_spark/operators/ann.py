@@ -673,3 +673,141 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cosine").alias("max_cosine"),
         )
     )
+
+
+def _components_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_ORACLE_ELEMS},
+    dots AS (
+        SELECT a.vec_id AS lo, b.vec_id AS hi, sum(a.x * b.x) AS dot
+        FROM elems a
+        JOIN elems b ON b.i = a.i AND b.vec_id > a.vec_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT d.lo, d.hi
+        FROM dots d
+        JOIN norms na ON na.vec_id = d.lo
+        JOIN norms nb ON nb.vec_id = d.hi
+        WHERE CAST(d.dot AS DOUBLE) / (na.nrm * nb.nrm) >= {_DUP_TAU}
+    ),
+    edges AS (
+        SELECT lo AS src, hi AS dst FROM pairs
+        UNION ALL
+        SELECT hi AS src, lo AS dst FROM pairs
+    ),
+    reach(node, lab) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (
+        SELECT node AS vec_id, min(lab) AS component_id
+        FROM reach GROUP BY node
+    )
+    SELECT vec_id, component_id,
+           count(*) OVER (PARTITION BY component_id) AS cluster_size
+    FROM comp
+    """
+
+
+@query("dedup_components", oracle=_components_oracle())
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERING: connected components over the cosine
+    dup-pair graph — the step after pairwise dedup that every production
+    pipeline needs (A≈B and B≈C must collapse to ONE cluster even when
+    A≉C directly; per-pair canonicalization alone can't see that).
+
+    Spark shape: the pair scan is the dedup_embedding_cosine block matmul
+    emitting raw (lo, hi) edges; components then converge by iterative
+    min-label propagation — per round, one edges⋈labels shuffle + a
+    min-aggregate, repeated until a driver-side changed-count hits zero
+    (rounds = graph diameter; dup clusters are shallow). Each round's
+    labels are cached and the previous round unpersisted, so lineage stays
+    flat. At 100 TB the same loop runs with the large-star/small-star
+    rewrite (Kiveris et al., "Connected Components in MapReduce") for
+    O(log n) rounds and periodic checkpoints; the per-round plan —
+    shuffle-on-src, min-combine — is unchanged. The DuckDB oracle is a
+    recursive CTE computing min reachable id per node: exact, any depth.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .similarity import _SCALE
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    corpus_rows = emb.collect()
+    ids = np.asarray([r["vec_id"] for r in corpus_rows], dtype=np.int64)
+    mat = np.floor(
+        np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in corpus_rows])
+        * float(_SCALE)
+        + 0.5
+    ).astype(np.int64)
+    nrm = np.sqrt((mat * mat).sum(axis=1).astype(np.float64))
+    bc = spark.sparkContext.broadcast((ids, mat, nrm))
+
+    def emit_pairs(batches):
+        ids_all, mat_all, nrm_all = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            q = np.floor(
+                np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"].values])
+                * float(_SCALE)
+                + 0.5
+            ).astype(np.int64)
+            qn = np.sqrt((q * q).sum(axis=1).astype(np.float64))
+            qi = pdf["vec_id"].values.astype(np.int64)
+            cos = (q @ mat_all.T).astype(np.float64) / (
+                qn[:, None] * nrm_all[None, :]
+            )
+            mask = (ids_all[None, :] > qi[:, None]) & (cos >= _DUP_TAU)
+            r, c = np.nonzero(mask)
+            if len(r):
+                yield pd.DataFrame({"lo": qi[r], "hi": ids_all[c]})
+
+    pairs = emb.mapInPandas(emit_pairs, "lo bigint, hi bigint")
+    # localCheckpoint (not cache): iterative self-referencing plans double
+    # in size per round — checkpointing truncates the lineage so round N's
+    # plan is O(1), the standard Spark idiom for iterative graph algorithms
+    edges = pairs.select(
+        F.col("lo").alias("src"), F.col("hi").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("hi").alias("src"), F.col("lo").alias("dst"))
+    ).localCheckpoint()
+
+    labels = emb.select(
+        "vec_id", F.col("vec_id").alias("component_id")
+    ).localCheckpoint()
+    # labels only ever DECREASE (min-propagation), so the label sum is a
+    # monotone convergence witness: unchanged sum ⇔ fixpoint. One aggregate
+    # per round instead of a labels⋈labels diff join.
+    prev_sum = labels.agg(F.sum("component_id").alias("s")).collect()[0]["s"]
+    while True:
+        prop = (
+            edges.join(labels, edges.src == labels.vec_id)
+            .groupBy(F.col("dst").alias("p_vec"))
+            .agg(F.min("component_id").alias("p_label"))
+        )
+        labels = (
+            labels.join(prop, labels.vec_id == prop.p_vec, "left")
+            .select(
+                "vec_id",
+                F.least(
+                    F.col("component_id"),
+                    F.coalesce(F.col("p_label"), F.col("component_id")),
+                ).alias("component_id"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("component_id").alias("s")).collect()[0]["s"]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    w = Window.partitionBy("component_id")
+    return labels.select(
+        "vec_id",
+        "component_id",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+    )

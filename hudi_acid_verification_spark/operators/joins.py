@@ -151,3 +151,55 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("merge_action"),
         )
     )
+
+
+_SKEW_SALT = 8
+
+
+@query(
+    "join_skew_salted",
+    oracle="""
+    SELECT o.o_orderpriority,
+           sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+               * CAST(1.0 - l.l_discount AS DECIMAL(18,4))) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated equi-join: the fact side carries a deterministic salt
+    (l_linenumber mod 8) and the build side is replicated once per salt, so
+    a hot join key's rows spread across 8 shuffle partitions instead of one
+    straggler — the manual form of AQE's skew-join split, usable when the
+    skew is known ahead of time (or AQE is off). Salting changes WHERE rows
+    meet, never WHICH rows meet: the result equals the plain join (the
+    oracle) because every (key, salt) fact row finds exactly its one
+    replicated build row.
+
+    Scale notes: cost = 8× replication of the small build side vs. an
+    unbounded straggler on the hot key; pick the salt width from the skew
+    ratio. The deterministic salt (a column function, not rand()) keeps
+    the operator replayable and oracle-checkable.
+    """
+    li = load(spark, sf_dir, "lineitem").withColumn(
+        "salt", F.pmod(F.col("l_linenumber"), F.lit(_SKEW_SALT))
+    )
+    salts = spark.range(_SKEW_SALT).select(
+        F.col("id").cast("int").alias("salt")
+    )
+    o_rep = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    ).crossJoin(F.broadcast(salts))
+    return (
+        li.join(o_rep, (li.l_orderkey == o_rep.o_orderkey) & (li.salt == o_rep.salt))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,4)")
+                * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,4)")
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

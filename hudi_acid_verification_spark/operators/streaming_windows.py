@@ -26,6 +26,7 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -34,6 +35,26 @@ from . import load, query
 
 _FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
 _FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+@contextmanager
+def few_partitions(spark: SparkSession, n: int = 8):
+    """Run a streaming query with a small state-store partition count.
+
+    A Structured Streaming query pins its STATE partitioning to
+    spark.sql.shuffle.partitions at start time, and every micro-batch pays
+    per-partition state-store open/commit I/O — at fixture scale, hundreds
+    of near-empty state partitions dominate wall time (AQE can't help:
+    it's disabled for stateful workloads). At production scale this knob
+    goes UP with key cardinality; the point is that it is a per-query
+    choice, not a global one.
+    """
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 @query(
@@ -210,17 +231,18 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qname = "stream_watermark_late_sink"
     ckpt = os.path.join(stage, "ckpt")
-    q = (
-        agg.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(qname)
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with few_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     out = spark.sql(f"SELECT * FROM {qname}")
     return out.select(
         F.date_format(F.col("window.start"), _FMT_SPARK).alias("window_start"),
@@ -307,17 +329,18 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("lag_us"),
     )
     qname = "stream_stream_join_sink"
-    q = (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(qname)
-        .option("checkpointLocation", os.path.join(stage, "ckpt"))
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with few_partitions(spark):
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", os.path.join(stage, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.sql(f"SELECT * FROM {qname}")
 
 
@@ -386,17 +409,18 @@ def stream_stateful_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     qname = "stream_stateful_fold_sink"
-    q = (
-        folded.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(qname)
-        .option("checkpointLocation", os.path.join(stage, "ckpt"))
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with few_partitions(spark):
+        q = (
+            folded.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", os.path.join(stage, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     # final state per user = max cumulative row
     out = spark.sql(f"SELECT * FROM {qname}")
     w = Window.partitionBy("user_id").orderBy(F.col("n_purchases").desc())
