@@ -361,3 +361,43 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
         ).alias("qty_price_corr"),
     )
+
+
+@query(
+    "agg_arg_extremes",
+    oracle="""
+    SELECT c_mktsegment,
+           arg_max(c_name, CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+                           * 10000000 + c_custkey) AS richest_name,
+           arg_min(c_name, CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+                           * 10000000 + c_custkey) AS poorest_name,
+           count(*) AS n_customers
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def agg_arg_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arg_max / arg_min (max_by / min_by) aggregates: the customer name at
+    the balance extremes of each market segment — the "value at the
+    extremum" aggregate that otherwise needs a window + filter pass.
+
+    Determinism with ties: the ordering key packs (balance cents, custkey)
+    into one int64 — balances that tie resolve by the unique key, so both
+    engines pick the same row (bare max_by on a tied key is
+    engine-arbitrary). One shuffle, no window.
+    """
+    key = (
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("bigint")
+        * F.lit(10000000)
+        + F.col("c_custkey")
+    )
+    return (
+        load(spark, sf_dir, "customer")
+        .withColumn("__key", key)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.max_by("c_name", F.col("__key")).alias("richest_name"),
+            F.min_by("c_name", F.col("__key")).alias("poorest_name"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+    )

@@ -15,7 +15,7 @@ else AQE picks sort-merge.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import load, query
@@ -79,4 +79,44 @@ def in_list_delete_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return lineitem.join(F.broadcast(keys), "l_orderkey", "left_anti").select(
         "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+_SAMPLE_PER_STRATUM = 25
+
+
+@query(
+    "sample_stratified_hash",
+    oracle=f"""
+    SELECT c_mktsegment, c_custkey, c_name FROM (
+        SELECT c_mktsegment, c_custkey, c_name,
+               row_number() OVER (
+                   PARTITION BY c_mktsegment
+                   ORDER BY md5(CAST(c_custkey AS VARCHAR)), c_custkey
+               ) AS rn
+        FROM customer
+    ) WHERE rn <= {_SAMPLE_PER_STRATUM}
+    """,
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: exactly N rows per stratum
+    (market segment), chosen by ordering each stratum on the MD5 of its
+    key — a content-derived pseudo-random order that is reproducible
+    across engines, runs, and partitionings, unlike rand()-based
+    TABLESAMPLE. This is how a 100 TB pipeline takes auditable dev
+    subsamples: the same sample falls out on every run, and adding rows
+    to OTHER strata never perturbs a stratum's sample.
+
+    Scale notes: one shuffle on the stratum key; the per-stratum top-N by
+    hash order needs only a bounded heap per partition (rank + filter —
+    Spark's WindowGroupLimit pushes the limit into the sort at scale).
+    """
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.md5(F.col("c_custkey").cast("string")), "c_custkey"
+    )
+    return (
+        load(spark, sf_dir, "customer")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _SAMPLE_PER_STRATUM)
+        .select("c_mktsegment", "c_custkey", "c_name")
     )

@@ -152,3 +152,72 @@ def test_stats_moments_single_aggregate_exchange(spark):
     assert "partial_" in plan.lower() or "Partial" in plan, (
         "moment sums must pre-aggregate map-side"
     )
+
+
+def test_q7_nation_dims_broadcast(spark):
+    """Both nation dimensions must broadcast; the only shuffles are the
+    fact-fact orderkey join and the final tiny aggregate."""
+    plan = plan_of(spark, "q7_nation_volume")
+    assert plan.count("BroadcastExchange") >= 2, "nation dims must broadcast"
+    assert "PushedFilters: [" in plan  # ship-date range reaches the scan
+
+
+def test_q19_disjunction_still_prunes(spark):
+    """The OR-of-ANDs must not defeat scan pruning: Catalyst extracts the
+    common brand disjunction and pushes it into the part scan."""
+    plan = plan_of(spark, "q19_disjunctive_pred")
+    assert "EqualTo(p_brand,Brand#12)" in plan, (
+        "brand disjunction not pushed to the part scan"
+    )
+    # the per-branch quantity hull must also reach the lineitem scan
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in plan
+
+
+def test_q21_semi_and_anti_share_shape(spark):
+    plan = plan_of(spark, "q21_sole_returner")
+    assert "LeftSemi" in plan, "EXISTS must plan as semi join"
+    assert "LeftAnti" in plan, "NOT EXISTS must plan as anti join"
+    assert "TakeOrderedAndProject" in plan, "top-20 must not global-sort"
+
+
+def test_q22_scalar_avg_broadcasts(spark):
+    plan = plan_of(spark, "q22_idle_customers")
+    assert "BroadcastExchange" in plan, "scalar average must broadcast"
+    assert "LeftAnti" in plan, "NOT EXISTS(orders) must plan as anti join"
+
+
+def test_tfidf_df_join_broadcasts(spark):
+    """The document-frequency (vocabulary) table and corpus count must
+    broadcast back onto tf — no shuffle of tf on term."""
+    plan = plan_of(spark, "text_tfidf_topterms")
+    assert plan.count("BroadcastExchange") >= 2
+
+
+def test_skew_salted_join_replicates_build_side(spark):
+    """The salted join must keep the replicated build side broadcast and
+    join on (key, salt) — verifying the salt actually reaches the join."""
+    plan = plan_of(spark, "join_skew_salted")
+    assert "salt" in plan, "salt column missing from the join"
+    assert "partial_" in plan.lower() or "Partial" in plan
+
+
+def test_sample_stratified_uses_group_limit(spark):
+    """The per-stratum top-N must push the limit into the window sort
+    (WindowGroupLimit), never materialize full sorted strata."""
+    plan = plan_of(spark, "sample_stratified_hash")
+    assert "WindowGroupLimit" in plan, "rank filter not pushed into window"
+
+
+def test_levenshtein_is_blocked_join_not_cross(spark):
+    """Fuzzy dedup must join on the block key — a cartesian/broadcast
+    nested loop would be O(N²) at scale."""
+    plan = plan_of(spark, "dedup_fuzzy_levenshtein")
+    assert "Cartesian" not in plan, "blocking degenerated to a cross join"
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_q15_max_scalar_broadcasts(spark):
+    plan = plan_of(spark, "q15_top_supplier")
+    assert "BroadcastExchange" in plan, "global max must broadcast"
