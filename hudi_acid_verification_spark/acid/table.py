@@ -759,43 +759,52 @@ class AcidTable:
             )
         return out
 
+    def _diff_rows(
+        self, mb: _Manifest, me: _Manifest
+    ) -> tuple[DataFrame, DataFrame]:
+        """(old_rows, new_rows) for the version window ``(mb, me]`` — the
+        shared file-pruned core of the incremental/CDC surface.
+
+        Only files ADDED since ``mb`` (candidate post-images) and files
+        REMOVED since ``mb`` (prior images) are read; untouched partitions
+        never scan. Under MOR the same file diff selects the touched
+        partitions, and both snapshots are resolved restricted to them (a
+        raw file-level diff would re-emit every superseded version a delta
+        file shadows).
+        """
+        before = {f["file"] for f in mb.files}
+        after = {f["file"] for f in me.files}
+        added = [f for f in me.files if f["file"] not in before]
+        removed = [f for f in mb.files if f["file"] not in after]
+        if me.mode == "mor":
+            parts = {f["partition"] for f in added} | {
+                f["partition"] for f in removed
+            }
+            return (
+                self._resolve(
+                    mb, [f for f in mb.files if f["partition"] in parts]
+                ),
+                self._resolve(
+                    me, [f for f in me.files if f["partition"] in parts]
+                ),
+            )
+        return self._df_for_files(mb, removed), self._df_for_files(me, added)
+
     def read_incremental(
         self, begin_version: int, end_version: int | None = None
     ) -> DataFrame:
         """Post-image rows changed in ``(begin_version, end_version]`` —
         Hudi's incremental query (`hoodie.datasource.query.type=incremental`).
 
-        File-pruned: only files ADDED since ``begin`` (candidate post-images)
-        and files REMOVED since ``begin`` (prior images) are read; untouched
-        partitions never scan. A rewritten partition carries its unchanged
-        rows into new files, so the added-file rows are anti-joined
-        (full-row ``exceptAll``) against the removed-file rows to keep only
-        genuine inserts/updates. Deletes are exposed by
-        :meth:`deleted_keys`.
+        A rewritten partition carries its unchanged rows into new files, so
+        the added-file rows are anti-joined (full-row ``exceptAll``) against
+        the removed-file rows to keep only genuine inserts/updates. Deletes
+        are exposed by :meth:`deleted_keys`; full before/after images by
+        :meth:`changes`.
         """
         mb = self._read_manifest(begin_version)
         me = self._read_manifest(end_version)
-        before = {f["file"] for f in mb.files}
-        after = {f["file"] for f in me.files}
-        added = [f for f in me.files if f["file"] not in before]
-        removed = [f for f in mb.files if f["file"] not in after]
-        if me.mode == "mor":
-            # MOR: changes live only in partitions touched by added/removed
-            # files; resolve both snapshots restricted to those partitions
-            # and diff. (The COW file-level diff below would re-emit every
-            # superseded version a delta file shadows.)
-            parts = {f["partition"] for f in added} | {
-                f["partition"] for f in removed
-            }
-            new_rows = self._resolve(
-                me, [f for f in me.files if f["partition"] in parts]
-            )
-            old_rows = self._resolve(
-                mb, [f for f in mb.files if f["partition"] in parts]
-            )
-            return new_rows.exceptAll(old_rows)
-        new_rows = self._df_for_files(me, added)
-        old_rows = self._df_for_files(mb, removed)
+        old_rows, new_rows = self._diff_rows(mb, me)
         return new_rows.exceptAll(old_rows)
 
     def deleted_keys(
@@ -805,24 +814,84 @@ class AcidTable:
         delete half of the incremental changefeed (same file pruning)."""
         mb = self._read_manifest(begin_version)
         me = self._read_manifest(end_version)
-        before = {f["file"] for f in mb.files}
-        after = {f["file"] for f in me.files}
-        added = [f for f in me.files if f["file"] not in before]
-        removed = [f for f in mb.files if f["file"] not in after]
-        if me.mode == "mor":
-            parts = {f["partition"] for f in added} | {
-                f["partition"] for f in removed
-            }
-            new_keys = self._resolve(
-                me, [f for f in me.files if f["partition"] in parts]
-            ).select(me.pk)
-            old_keys = self._resolve(
-                mb, [f for f in mb.files if f["partition"] in parts]
-            ).select(mb.pk)
-            return old_keys.join(new_keys, mb.pk, "left_anti").distinct()
-        new_keys = self._df_for_files(me, added).select(me.pk)
-        old_keys = self._df_for_files(mb, removed).select(mb.pk)
+        old_rows, new_rows = self._diff_rows(mb, me)
+        new_keys = new_rows.select(me.pk)
+        old_keys = old_rows.select(mb.pk)
         return old_keys.join(new_keys, mb.pk, "left_anti").distinct()
+
+    def changes(
+        self, begin_version: int, end_version: int | None = None
+    ) -> DataFrame:
+        """Row-level CDC over ``(begin_version, end_version]``: one row per
+        changed key with ``_change_op`` ∈ {insert, update, delete} and full
+        ``before`` / ``after`` images as structs — Hudi 0.14's CDC query
+        shape (`hoodie.datasource.query.incremental.format=cdc`, which the
+        reference's Hudi version exposes but the harness never calls).
+
+        Derivation: keyed full-outer join of the file-pruned prior images
+        against the post-images; a key only in the new side is an insert,
+        only in the old side a delete, in both with any differing column an
+        update. Carried rows (rewritten partitions re-emit unchanged rows)
+        cancel via null-safe struct equality. Columns added by schema
+        evolution inside the window read as NULL in the before image.
+
+        Scale notes: one shuffle on pk over only the touched partitions'
+        rows (same pruning as :meth:`read_incremental`); snapshot PK
+        uniqueness bounds each side at one row per key, so the join never
+        multiplies.
+        """
+        mb = self._read_manifest(begin_version)
+        me = self._read_manifest(end_version)
+        old_rows, new_rows = self._diff_rows(mb, me)
+        data_cols = [c for c in me.schema.names if c != me.pk]
+
+        def image(df: DataFrame, alias: str):
+            cols = [
+                F.col(c)
+                if c in df.columns
+                else F.lit(None).cast(me.schema[c].dataType).alias(c)
+                for c in data_cols
+            ]
+            return F.struct(*cols).alias(alias)
+
+        o = old_rows.select(F.col(mb.pk).alias("__pk_b"), image(old_rows, "before"))
+        n = new_rows.select(F.col(me.pk).alias("__pk_a"), image(new_rows, "after"))
+        j = o.join(n, o["__pk_b"] == n["__pk_a"], "full_outer")
+        return j.filter(~F.col("before").eqNullSafe(F.col("after"))).select(
+            F.coalesce("__pk_b", "__pk_a").alias(me.pk),
+            F.when(F.col("__pk_b").isNull(), F.lit("insert"))
+            .when(F.col("__pk_a").isNull(), F.lit("delete"))
+            .otherwise(F.lit("update"))
+            .alias("_change_op"),
+            "before",
+            "after",
+        )
+
+    def restore(self, version: int, timeout: float = 60.0) -> int:
+        """Roll the table back to ``version`` as a NEW commit (Hudi
+        savepoint + restore analog): publishes the next manifest carrying
+        the target version's schema and file list verbatim.
+
+        Because data files are immutable and the restore is itself a
+        commit, history is preserved — time travel to the undone versions
+        still works until :meth:`vacuum` reclaims them, and the changefeed
+        across the restore shows the inverse of the undone changes (what a
+        downstream incremental consumer needs to heal). Fails fast if the
+        target manifest was already vacuumed.
+        """
+        fd = self._acquire_lock(timeout)
+        try:
+            cur = self._read_manifest()
+            target = self._read_manifest(version)
+            nm = _Manifest(
+                cur.version + 1, target.schema, target.pk,
+                target.partition_col, target.precombine_col, target.files,
+                target.mode, target.compact_every,
+            )
+            self._write_manifest_and_swap(nm)
+            return nm.version
+        finally:
+            self._release_lock(fd)
 
     def _df_for_files(self, m: _Manifest, files: list[dict]) -> DataFrame:
         if not files:

@@ -339,3 +339,75 @@ def acid_mor_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     table.compact()
     table.audit_unique()
     return table.snapshot()
+
+
+@query("acid_cdc_restore")  # rows-only: images checked by unit tests
+def acid_cdc_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level CDC + savepoint-restore surface (Hudi 0.14
+    `hoodie.datasource.query.incremental.format=cdc` and savepoint/rollback
+    analogs — capabilities of the Hudi runtime the reference delegates to,
+    never called by its harness).
+
+    Lifecycle on the nation fixture: upsert all 25 nations → merge (rename
+    region-0 nations, insert one synthetic) → delete region-1 nations →
+    restore to the first version. Returns the flattened changefeed of both
+    the forward window (update/insert/delete ops with before/after images)
+    and the restore window (the exact inverse — what an incremental
+    consumer replays to heal). Deterministic: same fixture in → same feed.
+    """
+    from hudi_acid_verification_spark.acid import AcidTable
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "hudi_acid_verification_spark",
+        f"acid_cdc_restore_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+
+    table = AcidTable.create(
+        spark, base, _SCHEMA,
+        pk="primaryKeyValue", partition_col="partitionKeyValue",
+        precombine_col="dataValue",
+    )
+
+    regions = [f"R{i}" for i in range(5)]
+    nat = load(spark, sf_dir, "nation").select(
+        F.concat(F.lit("N"), F.col("n_nationkey")).alias("primaryKeyValue"),
+        F.concat(F.lit("R"), F.col("n_regionkey")).alias("partitionKeyValue"),
+        F.col("n_name").alias("dataValue"),
+    ).cache()
+    table.upsert(nat, partitions=regions)
+    v1 = table.version()
+
+    renames = nat.filter(F.col("partitionKeyValue") == "R0").select(
+        "primaryKeyValue", "partitionKeyValue",
+        F.concat(F.col("dataValue"), F.lit(" [renamed]")).alias("dataValue"),
+    )
+    synthetic = spark.createDataFrame(
+        [("NX", "SYN", "synthetic")], _SCHEMA
+    )
+    table.merge(
+        renames.unionByName(synthetic), update_cols=["dataValue"],
+        partitions=["R0", "SYN"],
+    )
+    table.delete(
+        nat.filter(F.col("partitionKeyValue") == "R1").select("primaryKeyValue"),
+        partitions=["R1"],
+    )
+    v3 = table.version()
+    v4 = table.restore(v1)
+    nat.unpersist()
+    table.audit_unique()
+
+    def flat(df: DataFrame, window: str) -> DataFrame:
+        return df.select(
+            F.lit(window).alias("window"),
+            "_change_op",
+            "primaryKeyValue",
+            F.col("before.dataValue").alias("before_data"),
+            F.col("after.dataValue").alias("after_data"),
+        )
+
+    return flat(table.changes(v1, v3), "forward").unionByName(
+        flat(table.changes(v3, v4), "restore")
+    )

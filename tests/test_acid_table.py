@@ -627,3 +627,86 @@ def test_merge_stream_into_mor(spark, wide_mor, tmp_path):
     m = t._read_manifest()
     assert sum(1 for f in m.files if f.get("op") == "partial") >= 2
     t.audit_unique()
+
+
+def _cdc_dict(df):
+    return {
+        r["primaryKeyValue"]: (
+            r["_change_op"],
+            None if r["before"] is None else tuple(r["before"]),
+            None if r["after"] is None else tuple(r["after"]),
+        )
+        for r in df.collect()
+    }
+
+
+@pytest.mark.parametrize("fixture", ["table", "mor_table"])
+def test_changes_cdc_ops_and_images(spark, fixture, request):
+    """CDC query parity (Hudi incremental.format=cdc): op + before/after
+    images per changed key; carried rows cancel."""
+    t = request.getfixturevalue(fixture)
+    t.upsert(rows(spark, [("PK1", "P0", "v1"), ("PK2", "P0", "v2")]))
+    v1 = t.version()
+    t.upsert(rows(spark, [("PK1", "P0", "v9"), ("PK3", "P0", "v3")]))
+    v2 = t.version()
+    t.delete(["PK2"])
+    v3 = t.version()
+
+    # update + insert window: PK2 is a carried row and must not appear
+    assert _cdc_dict(t.changes(v1, v2)) == {
+        "PK1": ("update", ("P0", "v1"), ("P0", "v9")),
+        "PK3": ("insert", None, ("P0", "v3")),
+    }
+    # delete window carries the full before image
+    assert _cdc_dict(t.changes(v2, v3)) == {
+        "PK2": ("delete", ("P0", "v2"), None),
+    }
+    # from table creation everything alive is an insert, deleted keys absent
+    assert _cdc_dict(t.changes(0)) == {
+        "PK1": ("insert", None, ("P0", "v9")),
+        "PK3": ("insert", None, ("P0", "v3")),
+    }
+
+
+def test_changes_sees_schema_evolution_as_null_before(spark, table):
+    t = table
+    t.upsert(rows(spark, [("PK1", "P0", "v1")]))
+    v1 = t.version()
+    t.add_column(T.StructField("extra", T.StringType(), True))
+    wide = T.StructType(list(SCHEMA.fields) + [T.StructField("extra", T.StringType(), True)])
+    t.upsert(spark.createDataFrame([("PK1", "P0", "v2", "e1")], wide))
+    assert _cdc_dict(t.changes(v1)) == {
+        "PK1": ("update", ("P0", "v1", None), ("P0", "v2", "e1")),
+    }
+
+
+@pytest.mark.parametrize("fixture", ["table", "mor_table"])
+def test_restore_rolls_back_and_keeps_history(spark, fixture, request):
+    t = request.getfixturevalue(fixture)
+    t.upsert(rows(spark, [("PK1", "P0", "v1"), ("PK2", "P1", "v2")]))
+    v1 = t.version()
+    t.upsert(rows(spark, [("PK1", "P0", "v9"), ("PK3", "P0", "v3")]))
+    t.delete(["PK2"])
+    v3 = t.version()
+
+    v4 = t.restore(v1)
+    assert v4 == v3 + 1
+    assert snap_dict(t) == {"PK1": ("P0", "v1"), "PK2": ("P1", "v2")}
+    # undone versions still time-travel until vacuumed
+    assert {r["primaryKeyValue"] for r in t.snapshot(v3).collect()} == {"PK1", "PK3"}
+    # the changefeed across the restore is the inverse of the undone window
+    assert _cdc_dict(t.changes(v3, v4)) == {
+        "PK1": ("update", ("P0", "v9"), ("P0", "v1")),
+        "PK2": ("insert", None, ("P1", "v2")),
+        "PK3": ("delete", ("P0", "v3"), None),
+    }
+    t.audit_unique()
+
+
+def test_restore_fails_on_vacuumed_version(spark, table):
+    t = table
+    for i in range(5):
+        t.upsert(rows(spark, [("PK1", "P0", f"v{i}")]))
+    t.vacuum(retain_versions=2)
+    with pytest.raises(FileNotFoundError):
+        t.restore(1)
