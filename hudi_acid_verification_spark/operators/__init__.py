@@ -66,6 +66,7 @@ def _import_all() -> None:
         dedup,
         joins,
         multimodal,
+        pipelines,
         pivoting,
         scalar,
         scans,

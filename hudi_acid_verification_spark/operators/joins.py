@@ -203,3 +203,62 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH c AS (
+        SELECT CASE WHEN c_custkey % 10 = 0 THEN NULL
+                    ELSE c_nationkey END AS nk,
+               count(*) AS cust_cnt
+        FROM customer GROUP BY 1
+    ),
+    s AS (
+        SELECT CASE WHEN s_suppkey % 7 = 0 THEN NULL
+                    ELSE s_nationkey END AS nk,
+               count(*) AS supp_cnt
+        FROM supplier GROUP BY 1
+    )
+    SELECT c.nk AS nk, c.cust_cnt AS cust_cnt, s.supp_cnt AS supp_cnt
+    FROM c JOIN s ON c.nk IS NOT DISTINCT FROM s.nk
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys match
+    each other instead of vanishing — the semantics MERGE-style pipelines
+    need when the join key is legitimately nullable (here: an anonymized
+    nation key, NULLed for every 10th customer / 7th supplier).
+
+    Both sides pre-aggregate to per-key counts BEFORE the join: null-safe
+    joining raw rows would cross-product the NULL groups (the classic
+    blow-up); reducing each side first keeps the NULL bucket at one row per
+    side. Spark plans `<=>` as a normal hash join key (EqualNullSafe), so
+    broadcast/shuffle strategies all still apply — it does NOT degrade to a
+    nested-loop join.
+
+    Scale notes: two partial-agg shuffles on the nullable key, then a
+    broadcast join of tiny per-key frames. The NULL bucket is the skew key
+    by construction; aggregating first is the mitigation.
+    """
+    cust = (
+        load(spark, sf_dir, "customer")
+        .groupBy(
+            F.when(F.col("c_custkey") % 10 == 0, F.lit(None))
+            .otherwise(F.col("c_nationkey"))
+            .alias("nk")
+        )
+        .agg(F.count(F.lit(1)).alias("cust_cnt"))
+    )
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .groupBy(
+            F.when(F.col("s_suppkey") % 7 == 0, F.lit(None))
+            .otherwise(F.col("s_nationkey"))
+            .alias("nk")
+        )
+        .agg(F.count(F.lit(1)).alias("supp_cnt"))
+    )
+    return cust.join(supp, cust["nk"].eqNullSafe(supp["nk"])).select(
+        cust["nk"].alias("nk"), "cust_cnt", "supp_cnt"
+    )

@@ -1,0 +1,151 @@
+"""Multi-stage pipeline composites — the shapes a training-data /
+product-analytics pipeline chains from the primitive operators.
+
+The reference has no analytics surface (SURVEY.md §2A note); these rows are
+north-star extensions exercising how the primitives COMPOSE: sequential
+funnel analysis over the event stream, and an end-to-end corpus-cleaning
+pass (filter → token-gate → exact-dedup → per-source accounting) over the
+documents table. Each stage stays a declarative DataFrame op, so Catalyst
+fuses the pipeline into a handful of stages instead of materializing
+intermediates.
+
+Cross-engine determinism: timestamps compare as integer microseconds
+(ts_ns DIV 1000 ↔ epoch_us, the module-wide convention from
+streaming_windows.py); counts/sums are int64.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import load, query
+
+
+@query(
+    "event_funnel",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, min(epoch_us(ts)) AS t_view
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(epoch_us(e.ts)) AS t_click
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t_view
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(epoch_us(e.ts)) AS t_purchase
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t_click
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT count(DISTINCT user_id) FROM events) AS n_users,
+           (SELECT count(*) FROM v) AS n_view,
+           (SELECT count(*) FROM c) AS n_view_click,
+           (SELECT count(*) FROM p) AS n_full_funnel
+    """,
+)
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel: users who viewed, then clicked AFTER their
+    first view, then purchased AFTER that first qualifying click — the
+    classic product-analytics funnel, expressed as three cascaded
+    min-timestamp aggregations instead of a per-user sort.
+
+    Each stage is groupBy(user).min(ts) then an equi-join to gate the next
+    event type by strict timestamp order — no window over the full event
+    stream, no per-user collect. The stage frames shrink monotonically
+    (funnel property), and each join broadcasts the smaller stage frame.
+
+    Scale notes: three shuffles on user_id (the natural key), each over an
+    already-reduced frame; at 100 TB the first groupBy does the heavy
+    partial-agg map-side and everything downstream is per-user-cardinality.
+    The single-row stage counts at the end are crossJoins of 1-row aggs —
+    no data movement.
+    """
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("ts_ns DIV 1000").alias("ts_us")
+    )
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts_us") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts_us") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t_purchase"))
+    )
+    return (
+        e.agg(F.countDistinct("user_id").alias("n_users"))
+        .crossJoin(v.agg(F.count(F.lit(1)).alias("n_view")))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_view_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_full_funnel")))
+    )
+
+
+@query(
+    "pipeline_corpus_clean",
+    oracle="""
+    WITH gated AS (
+        SELECT doc_id, text, source,
+               len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+        WHERE lang IN ('en', 'de', 'fr')
+          AND n_chars BETWEEN 50 AND 400
+          AND len(string_split(text, ' ')) >= 20
+    ),
+    surv AS (
+        SELECT * FROM (
+            SELECT doc_id, source, n_tokens,
+                   row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+            FROM gated
+        ) WHERE rn = 1
+    )
+    SELECT source,
+           count(*) AS docs_kept,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens_total
+    FROM surv GROUP BY source
+    """,
+)
+def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus-cleaning pass: language gate → length gate →
+    token-count gate → exact dedup (min-doc_id survivor per identical
+    text) → per-source accounting. The standard first mile of an LLM data
+    pipeline, as ONE declarative plan.
+
+    Catalyst collapses the three gates into a single scan filter (language
+    and n_chars reach the parquet scan as pushed predicates; the token
+    gate runs in the same stage), so "stage 1..3" never materialize. The
+    only shuffles are the dedup window (hash on full text — at 100 TB this
+    key becomes md5(text) to bound shuffle width, same survivor) and the
+    tiny per-source aggregate.
+    """
+    gated = (
+        load(spark, sf_dir, "documents")
+        .filter(
+            F.col("lang").isin("en", "de", "fr")
+            & F.col("n_chars").between(50, 400)
+        )
+        .withColumn("n_tokens", F.size(F.split(F.col("text"), " ")))
+        .filter(F.col("n_tokens") >= 20)
+    )
+    w = Window.partitionBy("text").orderBy("doc_id")
+    surv = (
+        gated.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return surv.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs_kept"),
+        F.sum("n_tokens").cast("bigint").alias("tokens_total"),
+    )

@@ -132,3 +132,52 @@ def scalar_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.length(F.regexp_replace("text", "[aeiou]", ""))
         ).alias("n_vowels"),
     )
+
+
+@query(
+    "hof_vector_stats",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           CAST(list_sum(list_transform(embedding,
+               x -> abs(CAST(floor(CAST(x AS DOUBLE) * 10000000 + 0.5)
+                             AS BIGINT)))) AS BIGINT) AS l1_q,
+           len(list_filter(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 10000000 + 0.5)
+                         AS BIGINT) > 0)) AS n_pos,
+           CAST(list_sum(list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 10000000 + 0.5) AS BIGINT)
+                    * CAST(floor(CAST(x AS DOUBLE) * 10000000 + 0.5)
+                           AS BIGINT))) AS BIGINT) AS dot_self_q
+    FROM embeddings
+    """,
+)
+def hof_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (transform / filter / aggregate) over
+    the embedding column: per-vector dimension, quantized L1 norm, positive-
+    dimension count, and quantized self-dot — all inside whole-stage codegen
+    lambdas, zero Python, zero explode (no row-count blow-up).
+
+    Cross-engine exactness: elements quantize to int64 at scale 1e7 (the
+    similarity module's convention — floor(x·1e7 + 0.5) is exact-widening
+    double math both engines evaluate identically), so every sum is integer.
+
+    Scale notes: purely per-row map work — no shuffle at all; at 100 TB this
+    is the shape feature extraction should take (HOF lambdas over the array
+    column, not explode → groupBy, which would shuffle dim× the rows).
+    """
+    q = "CAST(floor(CAST(x AS DOUBLE) * 10000000 + 0.5) AS BIGINT)"
+    e = load(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.expr(
+            f"aggregate(transform(embedding, x -> abs({q})),"
+            " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        ).alias("l1_q"),
+        F.expr(f"size(filter(embedding, x -> {q} > 0))").alias("n_pos"),
+        F.expr(
+            f"aggregate(transform(embedding, x -> {q} * {q}),"
+            " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        ).alias("dot_self_q"),
+    )

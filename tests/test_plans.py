@@ -221,3 +221,33 @@ def test_levenshtein_is_blocked_join_not_cross(spark):
 def test_q15_max_scalar_broadcasts(spark):
     plan = plan_of(spark, "q15_top_supplier")
     assert "BroadcastExchange" in plan, "global max must broadcast"
+
+
+def test_event_funnel_stage_filters_push_down(spark):
+    """Each funnel stage's event-type gate must reach its parquet scan."""
+    plan = plan_of(spark, "event_funnel")
+    assert "EqualTo(event_type,view)" in plan
+    assert "EqualTo(event_type,purchase)" in plan
+    assert "partial_" in plan.lower() or "Partial" in plan
+
+
+def test_corpus_clean_gates_fuse_into_scan(spark):
+    """Language + length gates push to the scan; the dedup rank filter
+    becomes a WindowGroupLimit, never a full per-text sort."""
+    plan = plan_of(spark, "pipeline_corpus_clean")
+    assert "In(lang, [de,en,fr])" in plan
+    assert "GreaterThanOrEqual(n_chars,50)" in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_hof_vector_stats_is_shuffle_free(spark):
+    """Pure per-row HOF map work: zero exchanges in the plan."""
+    plan = plan_of(spark, "hof_vector_stats")
+    assert "+- Exchange" not in plan and "Exchange" not in plan.split("\n", 1)[0]
+
+
+def test_null_safe_join_is_hash_not_nested_loop(spark):
+    """EqualNullSafe must plan as a hash join, not nested-loop/cartesian."""
+    plan = plan_of(spark, "join_null_safe")
+    assert "Cartesian" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
