@@ -176,27 +176,32 @@ def acid_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         precombine_col="dataValue",
     )
 
-    ev = load(spark, sf_dir, "events").filter(
-        F.col("event_type") == "purchase"
-    ).select(
-        F.concat(F.lit("E"), F.col("event_id")).alias("primaryKeyValue"),
-        F.concat(F.lit("U"), F.col("user_id") % 8).alias("partitionKeyValue"),
-        F.col("value").cast("string").alias("dataValue"),
-    ).cache()
-    src = os.path.join(base, "src")
-    ev.filter(F.col("primaryKeyValue").substr(-1, 1).isin("0", "2", "4", "6", "8")
-              ).coalesce(1).write.parquet(os.path.join(src, "batch=0"))
-    ev.filter(~F.col("primaryKeyValue").substr(-1, 1).isin("0", "2", "4", "6", "8")
-              ).coalesce(1).write.parquet(os.path.join(src, "batch=1"))
-    ev.unpersist()
+    def build(stage_base: str) -> None:
+        ev = load(spark, sf_dir, "events").filter(
+            F.col("event_type") == "purchase"
+        ).select(
+            F.concat(F.lit("E"), F.col("event_id")).alias("primaryKeyValue"),
+            F.concat(F.lit("U"), F.col("user_id") % 8).alias("partitionKeyValue"),
+            F.col("value").cast("string").alias("dataValue"),
+        ).cache()
+        src_dir = os.path.join(stage_base, "src")
+        ev.filter(F.col("primaryKeyValue").substr(-1, 1).isin("0", "2", "4", "6", "8")
+                  ).coalesce(1).write.parquet(os.path.join(src_dir, "batch=0"))
+        ev.filter(~F.col("primaryKeyValue").substr(-1, 1).isin("0", "2", "4", "6", "8")
+                  ).coalesce(1).write.parquet(os.path.join(src_dir, "batch=1"))
+        ev.unpersist()
 
+    from .streaming_windows import few_partitions, staged_once
+
+    src = os.path.join(
+        staged_once(sf_dir, "acid_stream_ingest_src", build), "src"
+    )
     stream = (
-        spark.readStream.schema(ev.schema)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .option("pathGlobFilter", "*.parquet")
         .parquet(src + "/batch=*")
     )
-    from .streaming_windows import few_partitions
 
     with few_partitions(spark):
         q = stream_into_table(stream, table, os.path.join(base, "ckpt"))
@@ -249,30 +254,35 @@ def acid_stream_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # streamed partial updates: new dataValue for even customer keys (pk
     # digits), extraValue deliberately poisoned — it must NOT reach the table
-    updates = cust.filter(
-        (F.substring("primaryKeyValue", 2, 100).cast("bigint") % 2) == 0
-    ).select(
-        "primaryKeyValue",
-        "partitionKeyValue",
-        F.concat(F.col("dataValue"), F.lit(" [streamed]")).alias("dataValue"),
-        F.lit("MUST-NOT-WIN").alias("extraValue"),
-    )
-    src = os.path.join(base, "src")
-    updates.filter(
-        (F.substring("primaryKeyValue", 2, 100).cast("bigint") % 4) == 0
-    ).coalesce(1).write.parquet(os.path.join(src, "batch=0"))
-    updates.filter(
-        (F.substring("primaryKeyValue", 2, 100).cast("bigint") % 4) != 0
-    ).coalesce(1).write.parquet(os.path.join(src, "batch=1"))
-    cust.unpersist()
+    def build(stage_base: str) -> None:
+        updates = cust.filter(
+            (F.substring("primaryKeyValue", 2, 100).cast("bigint") % 2) == 0
+        ).select(
+            "primaryKeyValue",
+            "partitionKeyValue",
+            F.concat(F.col("dataValue"), F.lit(" [streamed]")).alias("dataValue"),
+            F.lit("MUST-NOT-WIN").alias("extraValue"),
+        )
+        src_dir = os.path.join(stage_base, "src")
+        updates.filter(
+            (F.substring("primaryKeyValue", 2, 100).cast("bigint") % 4) == 0
+        ).coalesce(1).write.parquet(os.path.join(src_dir, "batch=0"))
+        updates.filter(
+            (F.substring("primaryKeyValue", 2, 100).cast("bigint") % 4) != 0
+        ).coalesce(1).write.parquet(os.path.join(src_dir, "batch=1"))
 
+    from .streaming_windows import few_partitions, staged_once
+
+    src = os.path.join(
+        staged_once(sf_dir, "acid_stream_merge_mor_src", build), "src"
+    )
+    cust.unpersist()
     stream = (
         spark.readStream.schema(wide)
         .option("maxFilesPerTrigger", 1)
         .option("pathGlobFilter", "*.parquet")
         .parquet(src + "/batch=*")
     )
-    from .streaming_windows import few_partitions
 
     with few_partitions(spark):
         q = merge_stream_into_table(

@@ -57,6 +57,38 @@ def few_partitions(spark: SparkSession, n: int = 8):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+def staged_once(sf_dir: str, name: str, build) -> str:
+    """Deterministic file-source staging built once per (name, sf) and
+    reused by later calls — the staged content is a pure function of the
+    read-only fixture, so re-deriving it (split-point collect + parquet
+    writes) on every invocation only re-pays Spark jobs for identical
+    bytes. A marker file commits the build; a half-built dir (no marker,
+    e.g. a crashed writer) is wiped and rebuilt.
+
+    Streaming CHECKPOINTS must NOT live in the staged dir: a reused
+    checkpoint replays the query as already-complete and the sink sees no
+    batches. Callers keep checkpoints in a fresh per-call dir.
+    """
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "hudi_acid_verification_spark",
+        f"{name}_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    marker = os.path.join(base, "_STAGED_OK")
+    if not os.path.exists(marker):
+        shutil.rmtree(base, ignore_errors=True)
+        build(base)
+        open(marker, "w").close()
+    return base
+
+
+def fresh_ckpt(stage: str) -> str:
+    """A per-call checkpoint dir next to (never inside) the staged source."""
+    ckpt = stage + "_ckpt"
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return ckpt
+
+
 @query(
     "stream_tumbling",
     oracle=f"""
@@ -201,22 +233,21 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batch is a fresh snapshot, mirroring AcidTable's manifest reads.)
     """
     e = load(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
-    stage = os.path.join(
-        tempfile.gettempdir(),
-        "hudi_acid_verification_spark",
-        f"stream_late_{os.path.basename(sf_dir.rstrip('/'))}",
-    )
-    shutil.rmtree(stage, ignore_errors=True)
+
+    def build(base: str) -> None:
+        src_dir = os.path.join(base, "src")
+        split_ts = e.selectExpr(
+            "timestamp_micros(CAST(percentile(unix_micros(ts), 0.5) AS BIGINT)) AS m"
+        ).collect()[0]["m"]
+        e.filter(F.col("ts") >= split_ts).coalesce(1).write.parquet(
+            os.path.join(src_dir, "batch=0")
+        )
+        e.filter(F.col("ts") < split_ts).coalesce(1).write.parquet(
+            os.path.join(src_dir, "batch=1")
+        )
+
+    stage = staged_once(sf_dir, "stream_late", build)
     src = os.path.join(stage, "src")
-    split_ts = e.selectExpr(
-        "timestamp_micros(CAST(percentile(unix_micros(ts), 0.5) AS BIGINT)) AS m"
-    ).collect()[0]["m"]
-    e.filter(F.col("ts") >= split_ts).coalesce(1).write.parquet(
-        os.path.join(src, "batch=0")
-    )
-    e.filter(F.col("ts") < split_ts).coalesce(1).write.parquet(
-        os.path.join(src, "batch=1")
-    )
 
     stream = (
         spark.readStream.schema(e.schema)
@@ -230,7 +261,7 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
     qname = "stream_watermark_late_sink"
-    ckpt = os.path.join(stage, "ckpt")
+    ckpt = fresh_ckpt(stage)
     with few_partitions(spark):
         q = (
             agg.writeStream.outputMode("append")
@@ -285,22 +316,21 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "ts"
     )
-    stage = os.path.join(
-        tempfile.gettempdir(),
-        "hudi_acid_verification_spark",
-        f"stream_join_{os.path.basename(sf_dir.rstrip('/'))}",
-    )
-    shutil.rmtree(stage, ignore_errors=True)
+
+    def build(base: str) -> None:
+        src_dir = os.path.join(base, "src")
+        split_ts = e.selectExpr(
+            "timestamp_micros(CAST(percentile(unix_micros(ts), 0.5) AS BIGINT)) AS m"
+        ).collect()[0]["m"]
+        e.filter(F.col("ts") < split_ts).coalesce(1).write.parquet(
+            os.path.join(src_dir, "batch=0")
+        )
+        e.filter(F.col("ts") >= split_ts).coalesce(1).write.parquet(
+            os.path.join(src_dir, "batch=1")
+        )
+
+    stage = staged_once(sf_dir, "stream_join", build)
     src = os.path.join(stage, "src")
-    split_ts = e.selectExpr(
-        "timestamp_micros(CAST(percentile(unix_micros(ts), 0.5) AS BIGINT)) AS m"
-    ).collect()[0]["m"]
-    e.filter(F.col("ts") < split_ts).coalesce(1).write.parquet(
-        os.path.join(src, "batch=0")
-    )
-    e.filter(F.col("ts") >= split_ts).coalesce(1).write.parquet(
-        os.path.join(src, "batch=1")
-    )
 
     def read_side(kind: str, alias: str) -> DataFrame:
         s = (
@@ -334,7 +364,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             joined.writeStream.outputMode("append")
             .format("memory")
             .queryName(qname)
-            .option("checkpointLocation", os.path.join(stage, "ckpt"))
+            .option("checkpointLocation", fresh_ckpt(stage))
             .start()
         )
         try:
@@ -368,22 +398,21 @@ def stream_stateful_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events").filter(
         F.col("event_type") == "purchase"
     ).select("user_id", "ts", "value")
-    stage = os.path.join(
-        tempfile.gettempdir(),
-        "hudi_acid_verification_spark",
-        f"stream_stateful_{os.path.basename(sf_dir.rstrip('/'))}",
-    )
-    shutil.rmtree(stage, ignore_errors=True)
+
+    def build(base: str) -> None:
+        src_dir = os.path.join(base, "src")
+        split_ts = e.selectExpr(
+            "timestamp_micros(CAST(percentile(unix_micros(ts), 0.5) AS BIGINT)) AS m"
+        ).collect()[0]["m"]
+        e.filter(F.col("ts") < split_ts).coalesce(1).write.parquet(
+            os.path.join(src_dir, "batch=0")
+        )
+        e.filter(F.col("ts") >= split_ts).coalesce(1).write.parquet(
+            os.path.join(src_dir, "batch=1")
+        )
+
+    stage = staged_once(sf_dir, "stream_stateful", build)
     src = os.path.join(stage, "src")
-    split_ts = e.selectExpr(
-        "timestamp_micros(CAST(percentile(unix_micros(ts), 0.5) AS BIGINT)) AS m"
-    ).collect()[0]["m"]
-    e.filter(F.col("ts") < split_ts).coalesce(1).write.parquet(
-        os.path.join(src, "batch=0")
-    )
-    e.filter(F.col("ts") >= split_ts).coalesce(1).write.parquet(
-        os.path.join(src, "batch=1")
-    )
 
     def fold(key, pdfs, state: GroupState):
         (n, total) = state.get if state.exists else (0, 0.0)
@@ -414,7 +443,7 @@ def stream_stateful_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
             folded.writeStream.outputMode("update")
             .format("memory")
             .queryName(qname)
-            .option("checkpointLocation", os.path.join(stage, "ckpt"))
+            .option("checkpointLocation", fresh_ckpt(stage))
             .start()
         )
         try:
