@@ -97,3 +97,107 @@ def udf_state_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return e.groupBy("user_id").applyInPandas(fold, schema=out_schema)
+
+
+@query(
+    "udtf_token_spans",
+    oracle="""
+    SELECT doc_id,
+           unnest(generate_series(1, len(string_split(text, ' ')))) AS pos,
+           unnest(string_split(text, ' ')) AS token,
+           unnest(list_transform(string_split(text, ' '), t -> len(t)))
+               AS tok_len
+    FROM documents
+    WHERE doc_id % 20 = 0
+    """,
+)
+def udtf_token_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function) surface: one input row → N output rows
+    via a LATERAL join — the user-extensible generator the reference's
+    stack delegates to Spark (§2A lists UDTF as absent from the reference
+    itself). Tokenizes each sampled document into (position, token, length)
+    rows; being pure and deterministic, the expansion is DuckDB-oracled
+    exactly (zipped unnest), unlike the rows-only UDF demos.
+
+    Arrow-batched (``useArrow=True``): rows cross the JVM↔Python boundary
+    in columnar batches, not one pickled row at a time. Still the slow
+    path versus the built-in ``posexplode(split(...))`` that expresses this
+    exact query JVM-side — a UDTF earns its cost only when the expansion
+    logic can't be written as SQL/HOF expressions (parsers, decoders,
+    tokenizers with real vocabularies).
+
+    Scale notes: a UDTF is per-row map work — no shuffle, parallel across
+    partitions; output cardinality (~tokens per doc) multiplies the frame,
+    so the doc_id sample gate runs BEFORE the lateral join (pushed to the
+    scan) rather than after the blow-up.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, token string, tok_len int", useArrow=True)
+    class TokenSpans:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, tok in enumerate(text.split(" ")):
+                yield i + 1, tok, len(tok)
+
+    spark.udtf.register("token_spans", TokenSpans)
+    load(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0).select(
+        "doc_id", "text"
+    ).createOrReplaceTempView("udtf_docs_v")
+    return spark.sql(
+        "SELECT d.doc_id, s.pos, s.token, s.tok_len "
+        "FROM udtf_docs_v d, LATERAL token_spans(d.text) s"
+    )
+
+
+@query(
+    "udaf_pandas_grouped",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS balance_cents,
+           count(*) AS n_customers
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def udaf_pandas_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF (the UDAF surface): a custom Arrow-
+    batched aggregate — integer-cent balance sum — plugged directly into
+    ``groupBy().agg(...)`` beside built-ins. §2A lists UDAF as absent from
+    the reference; this is the Spark-native form (no JVM Aggregator class
+    needed from Python).
+
+    Exactness: the UDF quantizes to int64 cents INSIDE the aggregate
+    (floor(x·100 + 0.5) — IEEE-identical in numpy and both engines), so the
+    sum is order-independent integer math and oracles exactly despite
+    crossing the Python boundary.
+
+    Scale notes: grouped-agg pandas UDFs receive each group's column as one
+    Arrow series — no partial aggregation map-side, so the full group
+    shuffles (the documented trade vs built-in aggregates, which combine).
+    Keep groups bounded (here: 5 segments × ~N/5 rows); for unbounded
+    groups, pre-reduce with a built-in partial first.
+    """
+    import numpy as np
+
+    @F.pandas_udf("long")
+    def cents_sum(bal: pd.Series) -> int:
+        return int(np.floor(bal.to_numpy(dtype=np.float64) * 100 + 0.5).sum())
+
+    @F.pandas_udf("long")
+    def n_rows(bal: pd.Series) -> int:
+        # Spark refuses to mix grouped-agg pandas UDFs with built-in
+        # aggregates in one agg() (INVALID_PANDAS_UDF_PLACEMENT), so the
+        # count is a pandas aggregate too.
+        return len(bal)
+
+    return (
+        load(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            cents_sum("c_acctbal").alias("balance_cents"),
+            n_rows("c_acctbal").alias("n_customers"),
+        )
+    )

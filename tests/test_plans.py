@@ -251,3 +251,16 @@ def test_null_safe_join_is_hash_not_nested_loop(spark):
     plan = plan_of(spark, "join_null_safe")
     assert "Cartesian" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_udtf_runs_arrow_batched(spark):
+    """The Python UDTF must cross the boundary via Arrow batches and keep
+    the sample gate pushed to the scan (before the row blow-up)."""
+    plan = plan_of(spark, "udtf_token_spans")
+    assert "ArrowEvalPythonUDTF" in plan
+    assert "PushedFilters: [" in plan
+
+
+def test_udaf_pandas_is_arrow_aggregate(spark):
+    plan = plan_of(spark, "udaf_pandas_grouped")
+    assert "ArrowAggregatePython" in plan
