@@ -63,6 +63,7 @@ def _import_all() -> None:
         bucketed,
         composite,
         composite2,
+        composite3,
         dedup,
         joins,
         multimodal,

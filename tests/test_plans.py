@@ -264,3 +264,42 @@ def test_udtf_runs_arrow_batched(spark):
 def test_udaf_pandas_is_arrow_aggregate(spark):
     plan = plan_of(spark, "udaf_pandas_grouped")
     assert "ArrowAggregatePython" in plan
+
+
+def test_q6_all_predicates_reach_scan(spark):
+    plan = plan_of(spark, "q6_forecast_revenue")
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "GreaterThanOrEqual(l_discount,0.05)" in plan
+    assert "LessThan(l_quantity,24" in plan
+    assert "partial_" in plan.lower() or "Partial" in plan
+
+
+def test_q8_dimensions_all_broadcast(spark):
+    """Seven-way join: every dimension must broadcast; the only fact-sized
+    shuffle is lineitem⋈orders."""
+    plan = plan_of(spark, "q8_market_share")
+    assert plan.count("BroadcastExchange") >= 5
+
+
+def test_q13_outer_join_keeps_zero_order_customers(spark):
+    plan = plan_of(spark, "q13_custdist")
+    assert "LeftOuter" in plan
+    # the priority filter must prune the orders scan, not run post-join
+    assert "Not(EqualTo(o_orderpriority,1-URGENT))" in plan
+
+
+def test_q16_not_in_plans_as_anti_join(spark):
+    plan = plan_of(spark, "q16_supplier_cnt")
+    assert "LeftAnti" in plan
+    assert "In(p_size, [1,16,25,36,4,49,9])" in plan or "In(p_size" in plan
+
+
+def test_q2_topk_no_full_sort(spark):
+    plan = plan_of(spark, "q2_min_cost_supplier")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q20_date_gate_prunes_fact_scan(spark):
+    plan = plan_of(spark, "q20_excess_suppliers")
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert plan.count("BroadcastExchange") >= 3
