@@ -448,12 +448,83 @@ class AcidTable:
                 if not fn.endswith(".parquet"):
                     continue
                 final = f"{commit_id}-{fn}"
-                os.rename(os.path.join(root, fn), os.path.join(dest_dir, final))
-                entries.append({"file": os.path.join(seg, final), "partition": part})
+                dest = os.path.join(dest_dir, final)
+                os.rename(os.path.join(root, fn), dest)
+                entry = {"file": os.path.join(seg, final), "partition": part}
+                entry.update(self._pk_stats(dest, m.pk))
+                entries.append(entry)
         import shutil
 
         shutil.rmtree(staging, ignore_errors=True)
         return entries
+
+    @staticmethod
+    def _pk_stats(path: str, pk: str) -> dict:
+        """Per-file primary-key min/max from the parquet footer — the
+        manifest's column-stats index (Hudi metadata-table `column_stats`
+        analog). Read once at commit time from metadata the writer already
+        produced (no data scan); :meth:`lookup` prunes with it.
+        """
+        try:
+            import pyarrow.parquet as pq
+
+            md = pq.ParquetFile(path).metadata
+            idx = next(
+                (i for i in range(md.num_columns)
+                 if md.schema.column(i).name == pk),
+                None,
+            )
+            if idx is None:
+                return {}
+            def norm(v):
+                return v.decode("utf-8", "replace") if isinstance(v, bytes) else v
+
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    return {}
+                lo = norm(st.min) if lo is None else min(lo, norm(st.min))
+                hi = norm(st.max) if hi is None else max(hi, norm(st.max))
+            if lo is None:
+                return {}
+            return {"pk_min": lo, "pk_max": hi}
+        except Exception:
+            return {}  # stats are an optimization; never fail a commit
+
+    def lookup(self, keys) -> DataFrame:
+        """Point lookup by primary key(s), file-pruned via the manifest's
+        pk min/max stats: only files whose key range can contain a probe
+        key are read — on a large table a point read touches O(1) files
+        instead of scanning the snapshot (the read path Hudi serves with
+        its bloom/column-stats indexes).
+
+        MOR: every candidate file (base, delta, tombstone — all carry the
+        pk) joins the read-time resolution restricted to candidates;
+        stats are conservative, so resolution over the candidate set gives
+        exactly the live rows. Files from manifests written before the
+        stats existed have no range and are conservatively kept.
+        """
+        if isinstance(keys, (str, int)):
+            keys = [keys]
+        keys = list(keys)
+        m = self._read_manifest()
+
+        def may_contain(f: dict) -> bool:
+            lo, hi = f.get("pk_min"), f.get("pk_max")
+            if lo is None or hi is None:
+                return True
+            try:
+                return any(lo <= k <= hi for k in keys)
+            except TypeError:
+                return True  # incomparable stats: keep conservatively
+
+        cand = [f for f in m.files if may_contain(f)]
+        if m.mode == "mor":
+            df = self._resolve(m, cand)
+        else:
+            df = self._df_for_files(m, cand)
+        return df.filter(F.col(m.pk).isin(keys))
 
     def _commit(self, mutate, timeout: float = 60.0) -> int:
         """Run ``mutate(manifest) -> new_files`` under the writer lock and

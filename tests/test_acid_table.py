@@ -710,3 +710,45 @@ def test_restore_fails_on_vacuumed_version(spark, table):
     t.vacuum(retain_versions=2)
     with pytest.raises(FileNotFoundError):
         t.restore(1)
+
+
+def test_manifest_records_pk_stats(spark, table):
+    table.upsert(rows(spark, [("PK1", "P0", "v1"), ("PK5", "P0", "v5"),
+                              ("PK9", "P1", "v9")]))
+    m = table._read_manifest()
+    assert m.files, "commit produced no files"
+    for f in m.files:
+        assert f["pk_min"] <= f["pk_max"]
+    p0 = [f for f in m.files if f["partition"] == "P0"]
+    covered = {k for f in p0 for k in ("PK1", "PK5")
+               if f["pk_min"] <= k <= f["pk_max"]}
+    assert covered == {"PK1", "PK5"}
+
+
+@pytest.mark.parametrize("fixture", ["table", "mor_table"])
+def test_lookup_point_read_prunes_and_resolves(spark, fixture, request):
+    """Point lookup must return exactly the live row while reading only
+    files whose pk range can contain the probe (column-stats pruning)."""
+    t = request.getfixturevalue(fixture)
+    t.upsert(rows(spark, [(f"A{i}", "P0", f"a{i}") for i in range(3)]))
+    t.upsert(rows(spark, [(f"Z{i}", "P1", f"z{i}") for i in range(3)]))
+    t.upsert(rows(spark, [("A1", "P0", "a1-new")]))
+    t.delete(["A2"])
+
+    got = {r["primaryKeyValue"]: r["dataValue"] for r in t.lookup("A1").collect()}
+    assert got == {"A1": "a1-new"}
+    assert t.lookup("A2").count() == 0
+    got = {r["primaryKeyValue"] for r in t.lookup(["A0", "Z2"]).collect()}
+    assert got == {"A0", "Z2"}
+
+    # pruning: a Z-range probe must not consider the A-range files
+    m = t._read_manifest()
+    a_files = [f for f in m.files
+               if f.get("pk_max", "").startswith("A") and f.get("pk_min")]
+    assert a_files, "expected A-range files with stats"
+    probe = "Z0"
+    kept = [f for f in m.files
+            if f.get("pk_min") is None
+            or f["pk_min"] <= probe <= f["pk_max"]]
+    assert all(f not in kept for f in a_files)
+    assert len(kept) < len(m.files)
