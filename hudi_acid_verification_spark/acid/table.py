@@ -1021,6 +1021,47 @@ class AcidTable:
 
         return self._commit(mutate, timeout)
 
+    def cluster(
+        self, files_per_partition: int = 4, timeout: float = 60.0
+    ) -> int:
+        """Sort-clustering (Hudi clustering with sort columns analog):
+        rewrite every partition's live rows ORDERED BY primary key into
+        ~``files_per_partition`` files of contiguous key ranges.
+
+        Why: commits append files whose key ranges overlap arbitrarily, so
+        the manifest's pk min/max stats degrade toward whole-partition
+        ranges and :meth:`lookup` stops pruning. Range-layout restores
+        tight per-file ranges — a point probe then touches ~1 file per
+        partition — and sorted parquet also serves range scans and
+        merge-friendly compactions. Same commit mechanics as
+        :meth:`compact` (readers on old manifests unaffected; changefeed
+        clean because rows are rewritten verbatim).
+
+        Scale notes: one ``repartitionByRange`` shuffle over the table
+        (range boundaries from a sample job) then a sorted write — the
+        layout job Hudi schedules as async clustering; run it per hot
+        partition set in production rather than table-wide.
+        """
+
+        def mutate(m: _Manifest) -> list[dict]:
+            if not m.files:
+                return m.files
+            n_parts = len({f["partition"] for f in m.files})
+            total = max(1, n_parts * files_per_partition)
+            rows = self._resolve(m, m.files) if m.mode == "mor" else (
+                self._df_for_files(m, m.files)
+            )
+            out = rows.repartitionByRange(
+                total, F.col(m.partition_col), F.col(m.pk)
+            ).sortWithinPartitions(m.partition_col, m.pk)
+            if m.mode == "mor":
+                return self._write_delta(
+                    out, m, op="upsert", seq=m.version + 1, kind="base"
+                )
+            return self._write_data(out, m)
+
+        return self._commit(mutate, timeout)
+
     def vacuum(self, retain_versions: int = 10, timeout: float = 60.0) -> dict:
         """Cleaner service (Hudi `hoodie.cleaner.commits.retained` analog):
         drop manifests older than the newest ``retain_versions`` and delete

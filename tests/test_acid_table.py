@@ -752,3 +752,41 @@ def test_lookup_point_read_prunes_and_resolves(spark, fixture, request):
             or f["pk_min"] <= probe <= f["pk_max"]]
     assert all(f not in kept for f in a_files)
     assert len(kept) < len(m.files)
+
+
+@pytest.mark.parametrize("fixture", ["table", "mor_table"])
+def test_cluster_tightens_stats_and_preserves_rows(spark, fixture, request):
+    """Sort-clustering must preserve content, bound files per partition,
+    and restore lookup pruning (tight per-file pk ranges)."""
+    t = request.getfixturevalue(fixture)
+    import random
+    rng = random.Random(7)
+    keys = [f"K{i:03d}" for i in range(40)]
+    rng.shuffle(keys)
+    # 4 interleaved commits → many files with overlapping key ranges
+    for chunk in (keys[:10], keys[10:20], keys[20:30], keys[30:]):
+        t.upsert(rows(spark, [(k, f"P{int(k[1:]) % 2}", f"v-{k}") for k in chunk]))
+    before = snap_dict(t)
+    n_files_before = len(t._read_manifest().files)
+
+    t.cluster(files_per_partition=2)
+
+    assert snap_dict(t) == before
+    m = t._read_manifest()
+    per_part: dict[str, list] = {}
+    for f in m.files:
+        per_part.setdefault(f["partition"], []).append(f)
+    for part, fs in per_part.items():
+        assert len(fs) <= 3, f"{part} has {len(fs)} files after clustering"
+        # ranges within a partition must not overlap (contiguous layout)
+        spans = sorted((f["pk_min"], f["pk_max"]) for f in fs)
+        for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+            assert hi1 <= lo2, f"overlapping ranges in {part}: {spans}"
+    assert len(m.files) <= n_files_before
+    # a point probe now keeps at most one file per partition
+    probe = "K013"
+    kept = [f for f in m.files if f["pk_min"] <= probe <= f["pk_max"]]
+    assert len(kept) <= 2
+    got = {r["primaryKeyValue"]: r["dataValue"] for r in t.lookup(probe).collect()}
+    assert got == {probe: "v-K013"}
+    t.audit_unique()
