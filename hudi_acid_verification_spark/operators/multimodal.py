@@ -141,3 +141,52 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return frames.mapInPandas(sample, schema=out_schema)
+
+
+@query(
+    "multimodal_metadata_agg",
+    oracle="""
+    WITH feats AS (
+        SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+                    WHEN doc_id % 3 = 1 THEN 'audio'
+                    ELSE 'video' END AS media_type,
+               strlen(text) AS n_bytes,
+               list_sum(list_transform(string_split(text, ''),
+                                       c -> ord(c))) % 2147483647 AS checksum,
+               (strlen(text) % 640) + 1 AS width,
+               (strlen(text) % 480) + 1 AS height
+        FROM documents
+    )
+    SELECT media_type,
+           count(*) AS n_items,
+           CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(sum(checksum) AS BIGINT) AS checksum_sum,
+           min(width) AS min_width,
+           max(height) AS max_height
+    FROM feats GROUP BY media_type
+    """,
+)
+def multimodal_metadata_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-media-type rollup of the DECODED features — the query that makes
+    the mapInPandas decode plumbing exactly verifiable: payloads are
+    UTF-8-encoded fixture text, so every byte statistic the fake decoder
+    emits is re-derivable in pure SQL (per-character code sums), and the
+    whole binary → Arrow batch → numpy → aggregate path gets a DuckDB
+    oracle instead of a rows-only count.
+
+    All aggregated measures are integers (byte counts, mod-2^31-1 checksums,
+    min/max dims) — no float accumulation, so parity is exact regardless of
+    partitioning.
+
+    Scale notes: decode is per-row map work (no shuffle); the rollup
+    shuffles 3 groups. For real media the same shape holds — decode emits
+    compact features, aggregation never touches payload bytes again.
+    """
+    feats = multimodal_decode_features(spark, sf_dir)
+    return feats.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+        F.sum("checksum").cast("bigint").alias("checksum_sum"),
+        F.min("width").alias("min_width"),
+        F.max("height").alias("max_height"),
+    )
