@@ -421,3 +421,94 @@ def acid_cdc_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flat(table.changes(v1, v3), "forward").unionByName(
         flat(table.changes(v3, v4), "restore")
     )
+
+
+@query("acid_incremental_agg_maintenance")  # rows-only: invariant unit-tested
+def acid_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance from the CDC feed: a per-segment
+    aggregate (customer count + balance cents) is maintained across two DML
+    commits using ONLY `changes()` — subtract each before-image's
+    contribution, add each after-image's — never rescanning the table. This
+    is the consumer pattern the changefeed exists for: at 100 TB the
+    maintained view costs O(changed rows) per refresh instead of a full
+    recompute.
+
+    The maintained result must equal the direct aggregate of the final
+    snapshot (asserted in tests/test_acid_table.py); updates contribute to
+    both sides, so partition moves and value changes net out exactly —
+    integer cents keep the arithmetic associative and order-free.
+    """
+    from hudi_acid_verification_spark.acid import AcidTable
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "hudi_acid_verification_spark",
+        f"acid_ivm_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+
+    table = AcidTable.create(
+        spark, base, _SCHEMA,
+        pk="primaryKeyValue", partition_col="partitionKeyValue",
+        precombine_col="dataValue",
+    )
+    cust = load(spark, sf_dir, "customer").select(
+        F.concat(F.lit("C"), F.col("c_custkey")).alias("primaryKeyValue"),
+        F.col("c_mktsegment").alias("partitionKeyValue"),
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+        .cast("bigint").cast("string").alias("dataValue"),
+    ).cache()
+    table.upsert(cust, partitions=_SEGMENTS)
+    v1 = table.version()
+
+    base_agg = (
+        table.snapshot()
+        .groupBy(F.col("partitionKeyValue").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("dataValue").cast("bigint")).alias("balance_cents"),
+        )
+    ).cache()
+    base_agg.count()  # pin the pre-DML aggregate
+
+    # commit 2: +100 cents for every AUTOMOBILE customer (partial merge)
+    bumps = cust.filter(F.col("partitionKeyValue") == "AUTOMOBILE").select(
+        "primaryKeyValue", "partitionKeyValue",
+        (F.col("dataValue").cast("bigint") + 100).cast("string").alias("dataValue"),
+    )
+    table.merge(bumps, update_cols=["dataValue"], partitions=["AUTOMOBILE"])
+    # commit 3: drop every HOUSEHOLD customer
+    table.delete(
+        cust.filter(F.col("partitionKeyValue") == "HOUSEHOLD")
+        .select("primaryKeyValue"),
+        partitions=["HOUSEHOLD"],
+    )
+    v3 = table.version()
+    cust.unpersist()
+
+    delta = table.changes(v1, v3)
+    neg = delta.filter(F.col("before").isNotNull()).select(
+        F.col("before.partitionKeyValue").alias("segment"),
+        F.lit(-1).cast("bigint").alias("dn"),
+        (-F.col("before.dataValue").cast("bigint")).alias("dcents"),
+    )
+    pos = delta.filter(F.col("after").isNotNull()).select(
+        F.col("after.partitionKeyValue").alias("segment"),
+        F.lit(1).cast("bigint").alias("dn"),
+        F.col("after.dataValue").cast("bigint").alias("dcents"),
+    )
+    adj = neg.unionByName(pos).groupBy("segment").agg(
+        F.sum("dn").alias("dn"), F.sum("dcents").alias("dcents")
+    )
+    maintained = (
+        base_agg.join(adj, "segment", "full_outer")
+        .select(
+            "segment",
+            (F.coalesce("n_customers", F.lit(0)) + F.coalesce("dn", F.lit(0)))
+            .alias("n_customers"),
+            (F.coalesce("balance_cents", F.lit(0)) + F.coalesce("dcents", F.lit(0)))
+            .alias("balance_cents"),
+        )
+        .filter(F.col("n_customers") > 0)
+    )
+    return maintained

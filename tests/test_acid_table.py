@@ -790,3 +790,35 @@ def test_cluster_tightens_stats_and_preserves_rows(spark, fixture, request):
     got = {r["primaryKeyValue"]: r["dataValue"] for r in t.lookup(probe).collect()}
     assert got == {probe: "v-K013"}
     t.audit_unique()
+
+
+def test_incremental_agg_maintenance_matches_recompute(spark):
+    """The CDC-maintained aggregate must equal a direct recompute of the
+    final snapshot (the IVM invariant)."""
+    from hudi_acid_verification_spark import operators as ops
+
+    sf = "/root/testdata/sf0.001"
+    maintained = {
+        r["segment"]: (r["n_customers"], r["balance_cents"])
+        for r in ops.QUERIES["acid_incremental_agg_maintenance"](spark, sf).collect()
+    }
+    # direct recompute from the table the query left behind
+    import os, tempfile
+    from hudi_acid_verification_spark.acid import AcidTable
+
+    path = os.path.join(
+        tempfile.gettempdir(), "hudi_acid_verification_spark", "acid_ivm_sf0.001"
+    )
+    t = AcidTable(spark, path)
+    direct = {
+        r["segment"]: (r["n"], r["cents"])
+        for r in t.snapshot()
+        .groupBy(F.col("partitionKeyValue").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("dataValue").cast("bigint")).alias("cents"),
+        )
+        .collect()
+    }
+    assert maintained == direct
+    assert "HOUSEHOLD" not in maintained
