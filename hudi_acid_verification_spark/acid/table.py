@@ -526,21 +526,35 @@ class AcidTable:
             df = self._df_for_files(m, cand)
         return df.filter(F.col(m.pk).isin(keys))
 
-    def _commit(self, mutate, timeout: float = 60.0) -> int:
-        """Run ``mutate(manifest) -> new_files`` under the writer lock and
-        atomically publish the next manifest version."""
+    def _commit_with(self, make, timeout: float = 60.0) -> int:
+        """The one commit path: under the writer lock, derive the next
+        manifest from the current one via ``make(current) -> _Manifest``
+        and atomically publish it. Every commit — DML, compaction,
+        clustering, restore, schema evolution — goes through here, so
+        protocol changes (hooks, conflict checks, new manifest fields)
+        apply everywhere at once."""
         fd = self._acquire_lock(timeout)
         try:
-            m = self._read_manifest()
-            new_files = mutate(m)
-            nm = _Manifest(
-                m.version + 1, m.schema, m.pk, m.partition_col,
-                m.precombine_col, new_files, m.mode, m.compact_every,
-            )
+            cur = self._read_manifest()
+            nm = make(cur)
+            assert nm.version == cur.version + 1
             self._write_manifest_and_swap(nm)
             return nm.version
         finally:
             self._release_lock(fd)
+
+    def _commit(self, mutate, timeout: float = 60.0) -> int:
+        """Run ``mutate(manifest) -> new_files`` under the writer lock and
+        atomically publish the next manifest version (metadata carried
+        over unchanged)."""
+
+        def make(m: _Manifest) -> _Manifest:
+            return _Manifest(
+                m.version + 1, m.schema, m.pk, m.partition_col,
+                m.precombine_col, mutate(m), m.mode, m.compact_every,
+            )
+
+        return self._commit_with(make, timeout)
 
     def _commit_dml(self, mutate, timeout: float) -> int:
         """Commit a DML mutation, then fire inline compaction when the table
@@ -950,19 +964,15 @@ class AcidTable:
         downstream incremental consumer needs to heal). Fails fast if the
         target manifest was already vacuumed.
         """
-        fd = self._acquire_lock(timeout)
-        try:
-            cur = self._read_manifest()
+        def make(cur: _Manifest) -> _Manifest:
             target = self._read_manifest(version)
-            nm = _Manifest(
+            return _Manifest(
                 cur.version + 1, target.schema, target.pk,
                 target.partition_col, target.precombine_col, target.files,
                 target.mode, target.compact_every,
             )
-            self._write_manifest_and_swap(nm)
-            return nm.version
-        finally:
-            self._release_lock(fd)
+
+        return self._commit_with(make, timeout)
 
     def _df_for_files(self, m: _Manifest, files: list[dict]) -> DataFrame:
         if not files:
@@ -1118,18 +1128,15 @@ class AcidTable:
         """
         if not field.nullable:
             raise ValueError("added columns must be nullable")
-        fd = self._acquire_lock(timeout)
-        try:
-            m = self._read_manifest()
+
+        def make(m: _Manifest) -> _Manifest:
             if field.name in m.schema.names:
                 raise ValueError(f"column {field.name!r} already exists")
-            nm = _Manifest(
+            return _Manifest(
                 m.version + 1,
                 T.StructType(list(m.schema.fields) + [field]),
                 m.pk, m.partition_col, m.precombine_col, m.files,
                 m.mode, m.compact_every,
             )
-            self._write_manifest_and_swap(nm)
-            return nm.version
-        finally:
-            self._release_lock(fd)
+
+        return self._commit_with(make, timeout)

@@ -461,6 +461,9 @@ def acid_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFr
     table.upsert(cust, partitions=_SEGMENTS)
     v1 = table.version()
 
+    # snapshot() resolved the v1 manifest above; its file list is immutable,
+    # so this aggregate stays the PRE-DML state even when executed after the
+    # commits below — no cache needed to pin it.
     base_agg = (
         table.snapshot()
         .groupBy(F.col("partitionKeyValue").alias("segment"))
@@ -468,8 +471,7 @@ def acid_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFr
             F.count(F.lit(1)).alias("n_customers"),
             F.sum(F.col("dataValue").cast("bigint")).alias("balance_cents"),
         )
-    ).cache()
-    base_agg.count()  # pin the pre-DML aggregate
+    )
 
     # commit 2: +100 cents for every AUTOMOBILE customer (partial merge)
     bumps = cust.filter(F.col("partitionKeyValue") == "AUTOMOBILE").select(

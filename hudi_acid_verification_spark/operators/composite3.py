@@ -31,7 +31,7 @@ in both engines); years are integer extracts.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import load, query
@@ -284,14 +284,15 @@ def q11_important_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The share threshold is integer-scaled (1000·v > total) on exact
     decimal sums — no float multiply, so the boundary rows are identical
-    in both engines. The scalar total broadcasts back over the grouped
-    frame (one row, no shuffle); the grouped frame is computed once and
-    reused for both sides (cached ⇒ the two consumers don't recompute the
-    join).
+    in both engines. The global total is a window over the ALREADY
+    AGGREGATED frame (an empty partitionBy — fine here because the frame
+    is aggregate-sized, ~#parts rows), so the fact is scanned exactly
+    once and nothing needs caching.
 
     Scale notes: supplier/nation broadcast into the fact scan; one shuffle
     on partkey. The self-threshold pattern needs no second scan of the
-    fact — only of the (much smaller) per-part aggregate.
+    fact — only the (much smaller) per-part aggregate funnels through the
+    single-partition window.
     """
     li = load(spark, sf_dir, "lineitem")
     s = load(spark, sf_dir, "supplier")
@@ -303,10 +304,10 @@ def q11_important_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(F.col("l_extendedprice").cast(_DEC2)).alias("part_value")
         )
-    ).cache()
-    total = v.agg(F.sum("part_value").alias("__total"))
+    )
+    total = F.sum("part_value").over(Window.partitionBy())
     return (
-        v.crossJoin(F.broadcast(total))
+        v.withColumn("__total", total)
         .filter(F.col("part_value") * 1000 > F.col("__total"))
         .select("partkey", "part_value")
     )

@@ -66,14 +66,20 @@ def _fake_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 @query("multimodal_decode_features")  # rows-only: pandas-UDF path, no SQL oracle
-def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def multimodal_decode_features(
+    spark: SparkSession, sf_dir: str, ascii_only: bool = False
+) -> DataFrame:
     """binary payload + metadata → per-item features via mapInPandas.
 
     Payloads are synthesized from document text (CAST to BINARY) with a typed
     metadata struct, mimicking an ingested media table; the decode UDF runs
     per Arrow batch. Deterministic: same fixture in → same features out.
+    ``ascii_only`` restricts to ASCII documents (used by the oracled rollup,
+    where byte-sum/code-point-sum equivalence requires it).
     """
     d = load(spark, sf_dir, "documents")
+    if ascii_only:
+        d = d.filter(~F.col("text").rlike("[^\\x00-\\x7F]"))
     media = d.select(
         "doc_id",
         F.encode(F.col("text"), "UTF-8").alias("payload"),
@@ -156,6 +162,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                (strlen(text) % 640) + 1 AS width,
                (strlen(text) % 480) + 1 AS height
         FROM documents
+        WHERE NOT regexp_matches(text, '[^\\x00-\\x7F]')
     )
     SELECT media_type,
            count(*) AS n_items,
@@ -169,20 +176,26 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_metadata_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-media-type rollup of the DECODED features — the query that makes
     the mapInPandas decode plumbing exactly verifiable: payloads are
-    UTF-8-encoded fixture text, so every byte statistic the fake decoder
-    emits is re-derivable in pure SQL (per-character code sums), and the
-    whole binary → Arrow batch → numpy → aggregate path gets a DuckDB
-    oracle instead of a rows-only count.
+    UTF-8-encoded fixture text, so the byte statistics the fake decoder
+    emits are re-derivable in pure SQL, and the whole binary → Arrow batch
+    → numpy → aggregate path gets a DuckDB oracle instead of a rows-only
+    count.
 
-    All aggregated measures are integers (byte counts, mod-2^31-1 checksums,
-    min/max dims) — no float accumulation, so parity is exact regardless of
-    partitioning.
+    The equivalence `utf8-byte sums == per-character code sums` holds only
+    for ASCII text, so BOTH sides gate on ASCII-only documents (the
+    fixtures are all-ASCII today, making the gate a no-op — it exists so a
+    regenerated fixture with real de/fr accents narrows the comparison
+    instead of silently breaking parity). All aggregated measures are
+    integers (byte counts, mod-2^31-1 checksums, min/max dims) — no float
+    accumulation, so parity is exact regardless of partitioning.
 
     Scale notes: decode is per-row map work (no shuffle); the rollup
     shuffles 3 groups. For real media the same shape holds — decode emits
     compact features, aggregation never touches payload bytes again.
     """
-    feats = multimodal_decode_features(spark, sf_dir)
+    feats = multimodal_decode_features(
+        spark, sf_dir, ascii_only=True
+    )
     return feats.groupBy("media_type").agg(
         F.count(F.lit(1)).alias("n_items"),
         F.sum("n_bytes").cast("bigint").alias("total_bytes"),

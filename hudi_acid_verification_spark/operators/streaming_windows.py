@@ -57,13 +57,32 @@ def few_partitions(spark: SparkSession, n: int = 8):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+def _fixture_fingerprint(sf_dir: str) -> str:
+    """Cheap content fingerprint of a fixture dir: (name, size, mtime) of
+    every parquet file. Regenerated fixtures invalidate staged caches."""
+    parts = []
+    try:
+        for entry in sorted(os.scandir(sf_dir), key=lambda e: e.name):
+            if entry.name.endswith(".parquet"):
+                st = entry.stat()
+                parts.append(f"{entry.name}:{st.st_size}:{st.st_mtime_ns}")
+    except FileNotFoundError:
+        pass
+    return "|".join(parts)
+
+
 def staged_once(sf_dir: str, name: str, build) -> str:
-    """Deterministic file-source staging built once per (name, sf) and
+    """Deterministic file-source staging built once per (name, fixture) and
     reused by later calls — the staged content is a pure function of the
     read-only fixture, so re-deriving it (split-point collect + parquet
-    writes) on every invocation only re-pays Spark jobs for identical
-    bytes. A marker file commits the build; a half-built dir (no marker,
-    e.g. a crashed writer) is wiped and rebuilt.
+    writes) on every invocation only re-pays Spark jobs for identical bytes.
+
+    Reuse is guarded two ways: the marker records a FINGERPRINT of the
+    source fixture (file sizes + mtimes), so a regenerated or different
+    same-basename fixture rebuilds instead of silently serving stale rows;
+    and the build lands in a temp dir atomically renamed into place, so a
+    crashed or concurrent builder can never publish a half-built dir (if a
+    racer renamed first, its identical deterministic output wins).
 
     Streaming CHECKPOINTS must NOT live in the staged dir: a reused
     checkpoint replays the query as already-complete and the sink sees no
@@ -75,11 +94,49 @@ def staged_once(sf_dir: str, name: str, build) -> str:
         f"{name}_{os.path.basename(sf_dir.rstrip('/'))}",
     )
     marker = os.path.join(base, "_STAGED_OK")
-    if not os.path.exists(marker):
-        shutil.rmtree(base, ignore_errors=True)
-        build(base)
-        open(marker, "w").close()
+    fp = _fixture_fingerprint(sf_dir)
+    try:
+        with open(marker) as f:
+            if f.read() == fp:
+                return base
+    except OSError:
+        pass
+    import uuid as _uuid
+
+    tmp = base + f".build.{_uuid.uuid4().hex}"
+    build(tmp)
+    with open(os.path.join(tmp, "_STAGED_OK"), "w") as f:
+        f.write(fp)
+    shutil.rmtree(base, ignore_errors=True)
+    try:
+        os.rename(tmp, base)
+    except OSError:
+        # a concurrent builder published first; its output is identical
+        shutil.rmtree(tmp, ignore_errors=True)
     return base
+
+
+def _stage_split_by_ts(
+    spark: SparkSession, sf_dir: str, name: str, df, newest_first: bool = False
+) -> str:
+    """Stage ``df`` as two half-by-median-ts parquet batches (the shared
+    recipe of every two-micro-batch streaming demo here) under a
+    staged_once dir; returns the ``src`` glob root. One definition — the
+    split recipe cannot drift between the operators that share a cache.
+    """
+
+    def build(base: str) -> None:
+        src_dir = os.path.join(base, "src")
+        split_ts = df.selectExpr(
+            "timestamp_micros(CAST(percentile(unix_micros(ts), 0.5) AS BIGINT)) AS m"
+        ).collect()[0]["m"]
+        older = df.filter(F.col("ts") < split_ts)
+        newer = df.filter(F.col("ts") >= split_ts)
+        first, second = (newer, older) if newest_first else (older, newer)
+        first.coalesce(1).write.parquet(os.path.join(src_dir, "batch=0"))
+        second.coalesce(1).write.parquet(os.path.join(src_dir, "batch=1"))
+
+    return os.path.join(staged_once(sf_dir, name, build), "src")
 
 
 def fresh_ckpt(stage: str) -> str:
@@ -233,21 +290,8 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batch is a fresh snapshot, mirroring AcidTable's manifest reads.)
     """
     e = load(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
-
-    def build(base: str) -> None:
-        src_dir = os.path.join(base, "src")
-        split_ts = e.selectExpr(
-            "timestamp_micros(CAST(percentile(unix_micros(ts), 0.5) AS BIGINT)) AS m"
-        ).collect()[0]["m"]
-        e.filter(F.col("ts") >= split_ts).coalesce(1).write.parquet(
-            os.path.join(src_dir, "batch=0")
-        )
-        e.filter(F.col("ts") < split_ts).coalesce(1).write.parquet(
-            os.path.join(src_dir, "batch=1")
-        )
-
-    stage = staged_once(sf_dir, "stream_late", build)
-    src = os.path.join(stage, "src")
+    src = _stage_split_by_ts(spark, sf_dir, "stream_late", e, newest_first=True)
+    stage = os.path.dirname(src)
 
     stream = (
         spark.readStream.schema(e.schema)
@@ -316,21 +360,8 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "ts"
     )
-
-    def build(base: str) -> None:
-        src_dir = os.path.join(base, "src")
-        split_ts = e.selectExpr(
-            "timestamp_micros(CAST(percentile(unix_micros(ts), 0.5) AS BIGINT)) AS m"
-        ).collect()[0]["m"]
-        e.filter(F.col("ts") < split_ts).coalesce(1).write.parquet(
-            os.path.join(src_dir, "batch=0")
-        )
-        e.filter(F.col("ts") >= split_ts).coalesce(1).write.parquet(
-            os.path.join(src_dir, "batch=1")
-        )
-
-    stage = staged_once(sf_dir, "stream_join", build)
-    src = os.path.join(stage, "src")
+    src = _stage_split_by_ts(spark, sf_dir, "stream_join", e)
+    stage = os.path.dirname(src)
 
     def read_side(kind: str, alias: str) -> DataFrame:
         s = (
@@ -398,21 +429,8 @@ def stream_stateful_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events").filter(
         F.col("event_type") == "purchase"
     ).select("user_id", "ts", "value")
-
-    def build(base: str) -> None:
-        src_dir = os.path.join(base, "src")
-        split_ts = e.selectExpr(
-            "timestamp_micros(CAST(percentile(unix_micros(ts), 0.5) AS BIGINT)) AS m"
-        ).collect()[0]["m"]
-        e.filter(F.col("ts") < split_ts).coalesce(1).write.parquet(
-            os.path.join(src_dir, "batch=0")
-        )
-        e.filter(F.col("ts") >= split_ts).coalesce(1).write.parquet(
-            os.path.join(src_dir, "batch=1")
-        )
-
-    stage = staged_once(sf_dir, "stream_stateful", build)
-    src = os.path.join(stage, "src")
+    src = _stage_split_by_ts(spark, sf_dir, "stream_stateful", e)
+    stage = os.path.dirname(src)
 
     def fold(key, pdfs, state: GroupState):
         (n, total) = state.get if state.exists else (0, 0.0)
@@ -503,22 +521,9 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events").filter(
         F.col("event_type") == "purchase"
     ).select("user_id", "ts", "value")
-
-    def build(base: str) -> None:
-        src_dir = os.path.join(base, "src")
-        split_ts = e.selectExpr(
-            "timestamp_micros(CAST(percentile(unix_micros(ts), 0.5) AS BIGINT)) AS m"
-        ).collect()[0]["m"]
-        e.filter(F.col("ts") < split_ts).coalesce(1).write.parquet(
-            os.path.join(src_dir, "batch=0")
-        )
-        e.filter(F.col("ts") >= split_ts).coalesce(1).write.parquet(
-            os.path.join(src_dir, "batch=1")
-        )
-
-    # identical staging recipe to stream_stateful_fold → shared staged dir
-    stage = staged_once(sf_dir, "stream_stateful", build)
-    src = os.path.join(stage, "src")
+    # same name + recipe as stream_stateful_fold → one shared staged dir
+    src = _stage_split_by_ts(spark, sf_dir, "stream_stateful", e)
+    stage = os.path.dirname(src)
 
     class CumulativeSpend(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
