@@ -36,19 +36,28 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Read one of the driver's fixture tables (TESTDATA.md).
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark reads as a raw
-    int64 under ``spark.sql.legacy.parquet.nanosAsLong``. Normalize to:
+    ``events.ts`` arrives either as parquet TIMESTAMP(NANOS) — which Spark
+    reads as a raw int64 under ``spark.sql.legacy.parquet.nanosAsLong`` — or
+    as TIMESTAMP(MICROS) (read as timestamp/timestamp_ntz). Normalize to:
     - ``ts``    TimestampType at microsecond precision (Spark-native), and
     - ``ts_ns`` the exact nanosecond epoch long (for integer-exact windowed
       arithmetic that must match the DuckDB oracle bit-for-bit).
     """
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
-    if table == "events" and dict(df.dtypes).get("ts") == "bigint":
+    if table == "events":
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts_ns", F.col("ts")).withColumn(
-            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-        )
+        dt = dict(df.dtypes).get("ts")
+        if dt == "bigint":
+            df = df.withColumn("ts_ns", F.col("ts")).withColumn(
+                "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+            )
+        else:
+            # Session tz is UTC, so the ntz→tz cast preserves the wall-clock
+            # value and matches DuckDB's naive reading of the same file.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp")).withColumn(
+                "ts_ns", F.unix_micros(F.col("ts")) * F.lit(1000).cast("bigint")
+            )
     return df
 
 
