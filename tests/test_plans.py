@@ -303,3 +303,23 @@ def test_q20_date_gate_prunes_fact_scan(spark):
     plan = plan_of(spark, "q20_excess_suppliers")
     assert "GreaterThanOrEqual(l_shipdate" in plan
     assert plan.count("BroadcastExchange") >= 3
+
+
+def test_corpus_clean_gates_reach_scan(spark):
+    """The language and length gates must fuse into pushed scan predicates —
+    the cleaning pipeline's stage 1..3 never materialize."""
+    plan = plan_of(spark, "pipeline_corpus_clean")
+    assert "In(lang, [de,en,fr]" in plan, "language gate not pushed to scan"
+    assert "IsNotNull(n_chars)" in plan, "length gate not pushed to scan"
+    assert "SortMergeJoin" not in plan
+
+
+def test_event_funnel_stage_filters_push_and_broadcast(spark):
+    """Each funnel stage scans only its event type (per-stage pushdown) and
+    the shrinking stage frames broadcast into the next stage's join."""
+    plan = plan_of(spark, "event_funnel")
+    assert "EqualTo(event_type,view)" in plan
+    assert "EqualTo(event_type,click)" in plan
+    assert "EqualTo(event_type,purchase)" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
