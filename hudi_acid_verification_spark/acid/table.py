@@ -434,7 +434,15 @@ class AcidTable:
         """
         commit_id = uuid.uuid4().hex
         staging = os.path.join(self.path, "_staging", commit_id)
-        df.write.mode("overwrite").partitionBy(m.partition_col).parquet(staging)
+        # Rebalance on the partition column so each hive partition gets a few
+        # right-sized files instead of one per upstream task (32 shuffle
+        # partitions × partition values = hundreds of tiny files per commit,
+        # compounding into every later snapshot read). AQE's rebalance both
+        # coalesces small partitions and splits skewed ones, so this stays
+        # correct when one partition value carries most of a 100 TB batch.
+        df.hint("rebalance", m.partition_col).write.mode("overwrite").partitionBy(
+            m.partition_col
+        ).parquet(staging)
         entries: list[dict] = []
         prefix = f"{m.partition_col}="
         for root, _dirs, files in os.walk(staging):

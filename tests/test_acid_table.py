@@ -240,8 +240,16 @@ def test_deleted_keys_changefeed(spark, table):
 
 
 def test_compaction_preserves_content_and_reduces_files(spark, table):
-    for i in range(4):
-        table.upsert(rows(spark, [(f"PK{i}", "P0", f"v{i}")]))
+    # Commit writes rebalance on the partition column, so a COW partition
+    # normally lands as one right-sized file; multi-file partitions arise
+    # when AQE splits a large write. Fabricate that state: two write batches
+    # published under one commit → P0 holds two small files.
+    table.upsert(rows(spark, [("PK0", "P0", "v0")]))
+    m = table._read_manifest()
+    extra = table._write_data(
+        rows(spark, [("PK1", "P0", "v1"), ("PK2", "P0", "v2")]), m
+    ) + table._write_data(rows(spark, [("PK3", "P0", "v3")]), m)
+    table._commit(lambda cur: cur.files + extra)
     before = snap_dict(table)
     hist = table.history()
     assert hist[-1]["partitions"]["P0"] >= 2  # small files accreted
