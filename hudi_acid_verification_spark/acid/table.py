@@ -593,10 +593,12 @@ class AcidTable:
         )
 
     def _partition_scoped_rewrite(
-        self, m: _Manifest, changed, rewrite
+        self, m: _Manifest, changed, rewrite, scope_keys: DataFrame | None = None
     ) -> list[dict]:
-        """COW scoped by partition: only files whose partition value appears
-        in ``changed`` are rewritten; all other live files carry over.
+        """COW scoped by partition, then by file: only files whose partition
+        value appears in ``changed`` — and, when ``scope_keys`` is given,
+        whose manifest pk range can overlap the incoming keys — are
+        rewritten; all other live files carry over untouched.
 
         ``changed`` is either a DataFrame carrying the partition column (one
         distinct+collect job discovers the affected set) or an iterable of
@@ -604,8 +606,19 @@ class AcidTable:
         DML batches built driver-side, where an extra Spark job would
         dominate the commit latency.
 
+        ``scope_keys`` is a DataFrame carrying the pk column of every key
+        this DML can match. File-level pruning (Hudi's file-slice tagging
+        against column_stats) is what keeps a point update from rewriting a
+        whole 100 TB partition: one tiny min/max job on the keys, then any
+        file whose [pk_min, pk_max] is disjoint carries over. UTF-8 byte
+        order (parquet stats) equals code-point order (Python str), so the
+        driver-side compare is exact. The stats job is skipped when every
+        affected partition holds at most one file — then it can prune
+        nothing (single-file partitions must rewrite regardless), so small
+        fresh tables pay zero extra latency.
+
         ``rewrite(old_rows_df) -> new_rows_df`` receives the current rows of
-        the affected partitions only.
+        the files being rewritten only.
         """
         if isinstance(changed, DataFrame):
             affected = {
@@ -616,6 +629,21 @@ class AcidTable:
             affected = {str(p) for p in changed}
         keep = [f for f in m.files if f["partition"] not in affected]
         touch = [f for f in m.files if f["partition"] in affected]
+        multi_file = len({f["partition"] for f in touch}) < len(touch)
+        if scope_keys is not None and multi_file:
+            lo, hi = scope_keys.agg(
+                F.min(m.pk), F.max(m.pk)
+            ).first()
+            if lo is not None:
+                def disjoint(f: dict) -> bool:
+                    return (
+                        "pk_min" in f
+                        and "pk_max" in f
+                        and (f["pk_max"] < lo or f["pk_min"] > hi)
+                    )
+
+                keep.extend(f for f in touch if disjoint(f))
+                touch = [f for f in touch if not disjoint(f)]
         if touch:
             paths = [os.path.join(self._data_dir, f["file"]) for f in touch]
             old = (
@@ -656,6 +684,7 @@ class AcidTable:
                     lambda old: old.join(
                         incoming.select(m.pk), m.pk, "left_anti"
                     ).unionByName(incoming),
+                    scope_keys=incoming,
                 )
             finally:
                 incoming.unpersist()
@@ -751,7 +780,9 @@ class AcidTable:
                             cols.append(F.coalesce(old[c], s[f"__s_{c}"]).alias(c))
                     return joined.select(*cols)
 
-                return self._partition_scoped_rewrite(m, changed, rewrite)
+                return self._partition_scoped_rewrite(
+                    m, changed, rewrite, scope_keys=src
+                )
             finally:
                 src.unpersist()
 
@@ -827,6 +858,7 @@ class AcidTable:
                     m,
                     changed,
                     lambda old: old.join(F.broadcast(kdf), m.pk, "left_anti"),
+                    scope_keys=kdf,
                 )
             finally:
                 kdf.unpersist()

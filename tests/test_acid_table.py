@@ -262,6 +262,39 @@ def test_compaction_preserves_content_and_reduces_files(spark, table):
     assert table.deleted_keys(v - 1, v).count() == 0
 
 
+def test_file_scoped_rewrite_carries_disjoint_files(spark, table):
+    """A point DML on a multi-file partition must rewrite only the files
+    whose manifest pk range can contain the touched keys; range-disjoint
+    files carry over as the SAME manifest entries (no data movement) —
+    the column-stats file pruning that keeps a 3-row commit from rewriting
+    a whole partition."""
+    table.upsert(rows(spark, [("PK0", "P0", "v0")]))
+    m = table._read_manifest()
+    extra = table._write_data(
+        rows(spark, [("PK5", "P0", "v5")]), m
+    ) + table._write_data(rows(spark, [("PK9", "P0", "v9")]), m)
+    table._commit(lambda cur: cur.files + extra)
+    files_before = {f["file"] for f in table._read_manifest().files}
+    assert len(files_before) == 3
+
+    table.upsert(rows(spark, [("PK9", "P0", "v9b")]))
+    files_after = {f["file"] for f in table._read_manifest().files}
+    # PK0's and PK5's files survive untouched; only PK9's file was replaced
+    assert len(files_before & files_after) == 2
+    assert snap_dict(table) == {
+        "PK0": ("P0", "v0"),
+        "PK5": ("P0", "v5"),
+        "PK9": ("P0", "v9b"),
+    }
+
+    # a delete likewise touches only the overlapping file
+    files_before = files_after
+    table.delete(["PK5"], partitions=["P0"])
+    files_after = {f["file"] for f in table._read_manifest().files}
+    assert len(files_before & files_after) == 2
+    assert snap_dict(table) == {"PK0": ("P0", "v0"), "PK9": ("P0", "v9b")}
+
+
 def test_history_timeline(spark, table):
     table.upsert(rows(spark, [("PK1", "P0", "v1")]))
     table.upsert(rows(spark, [("PK2", "P1", "v2")]))
