@@ -9,7 +9,11 @@ Float-parity strategy (matters for the DuckDB oracle): double-precision SUMs
 are order-dependent, and Spark's partition-parallel reduction visits rows in
 a different order than DuckDB. We therefore cast inputs to DECIMAL before
 aggregating — decimal addition is exact and associative, so Spark and DuckDB
-agree bit-for-bit at any partitioning/parallelism. Products of two factors use
+agree bit-for-bit at any partitioning/parallelism. Final projections cast the
+exact decimal sum to DOUBLE once (one correctly-rounded conversion, identical
+in both engines): driver-facing outputs must never carry decimal columns,
+because the engines' pandas renderings of decimals diverge (round-1 lesson,
+VERDICT.md — see tests/oracle_check.py). Products of two factors use
 DECIMAL(18,4) (result scale 8, precision 37 ≤ 38 — no engine-specific
 rounding); three factors use DECIMAL(12,4) (result precision exactly 38).
 Averages are computed as exact decimal SUM cast to double, divided by COUNT —
@@ -43,13 +47,13 @@ def _dec2(c: str) -> F.Column:
     SELECT
         l_returnflag,
         l_linestatus,
-        sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
-        sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS sum_base_price,
-        sum(CAST(l_extendedprice AS DECIMAL(18,4))
-            * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS sum_disc_price,
-        sum(CAST(l_extendedprice AS DECIMAL(12,4))
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+            * CAST(1.0 - l_discount AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_disc_price,
+        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4))
             * CAST(1.0 - l_discount AS DECIMAL(12,4))
-            * CAST(1.0 + l_tax AS DECIMAL(12,4))) AS sum_charge,
+            * CAST(1.0 + l_tax AS DECIMAL(12,4))), 4) AS DOUBLE) AS sum_charge,
         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_price,
         CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_disc,
@@ -70,16 +74,30 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_dec2("l_quantity")).alias("sum_qty"),
-            F.sum(_dec2("l_extendedprice")).alias("sum_base_price"),
-            F.sum(
-                _dec2("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")).cast(_DEC2)
-            ).alias("sum_disc_price"),
-            F.sum(
-                F.col("l_extendedprice").cast(_DEC3)
-                * (F.lit(1.0) - F.col("l_discount")).cast(_DEC3)
-                * (F.lit(1.0) + F.col("l_tax")).cast(_DEC3)
-            ).alias("sum_charge"),
+            # Exact decimal accumulation, then ONE correctly-rounded cast to
+            # double in the final projection: driver-facing outputs must not
+            # carry decimals (round-1 lesson — see tests/oracle_check.py).
+            F.sum(_dec2("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec2("l_extendedprice")).cast("double").alias("sum_base_price"),
+            # scale-8/12 sums are rounded to scale 4 FIRST (both engines round
+            # half-away-from-zero on decimals) so the unscaled value stays
+            # below 2^53 and the double conversion is exact — a raw
+            # decimal(38,12)→double cast double-rounds differently per engine
+            F.round(
+                F.sum(
+                    _dec2("l_extendedprice")
+                    * (F.lit(1.0) - F.col("l_discount")).cast(_DEC2)
+                ),
+                4,
+            ).cast("double").alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast(_DEC3)
+                    * (F.lit(1.0) - F.col("l_discount")).cast(_DEC3)
+                    * (F.lit(1.0) + F.col("l_tax")).cast(_DEC3)
+                ),
+                4,
+            ).cast("double").alias("sum_charge"),
             (F.sum(_dec2("l_quantity")).cast("double") / cnt).alias("avg_qty"),
             (F.sum(_dec2("l_extendedprice")).cast("double") / cnt).alias("avg_price"),
             (F.sum(_dec2("l_discount")).cast("double") / cnt).alias("avg_disc"),
@@ -95,7 +113,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         o_orderpriority,
         o_orderstatus,
         count(*) AS n_orders,
-        sum(CAST(o_totalprice AS DECIMAL(18,4))) AS sum_price,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
         min(o_totalprice) AS min_price,
         max(o_totalprice) AS max_price,
         CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_price
@@ -111,7 +129,7 @@ def agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority", "o_orderstatus")
         .agg(
             cnt.alias("n_orders"),
-            F.sum(_dec2("o_totalprice")).alias("sum_price"),
+            F.sum(_dec2("o_totalprice")).cast("double").alias("sum_price"),
             F.min("o_totalprice").alias("min_price"),
             F.max("o_totalprice").alias("max_price"),
             (F.sum(_dec2("o_totalprice")).cast("double") / cnt).alias("avg_price"),
@@ -158,7 +176,7 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         l_returnflag,
         l_linestatus,
         GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
-        sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
         count(*) AS n
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
@@ -177,7 +195,7 @@ def agg_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cube("l_returnflag", "l_linestatus")
         .agg(
             F.grouping_id().alias("gid"),
-            F.sum(_dec2("l_quantity")).alias("sum_qty"),
+            F.sum(_dec2("l_quantity")).cast("double").alias("sum_qty"),
             F.count(F.lit(1)).alias("n"),
         )
         .select("l_returnflag", "l_linestatus", "gid", "sum_qty", "n")
@@ -219,7 +237,7 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            count(*) AS n_events,
-           sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
     FROM events
     GROUP BY event_type
     """,
@@ -243,7 +261,7 @@ def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return salted.groupBy("event_type").agg(
         F.sum("pn").alias("n_events"),
-        F.sum("psum").alias("sum_value"),
+        F.sum("psum").cast("double").alias("sum_value"),
     )
 
 
@@ -252,7 +270,7 @@ def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag, l_linestatus,
            GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
-           sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
     """,
@@ -267,7 +285,7 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"""
         SELECT l_returnflag, l_linestatus,
                grouping(l_returnflag) * 2 + grouping(l_linestatus) AS gid,
-               sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
         FROM parquet.`{sf_dir}/lineitem.parquet`
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """

@@ -23,8 +23,8 @@ _DEC2 = "decimal(18,4)"
     "q3_shipping_priority",
     oracle="""
     SELECT l.l_orderkey,
-           sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
-               * CAST(1.0 - l.l_discount AS DECIMAL(18,4))) AS revenue,
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+               * CAST(1.0 - l.l_discount AS DECIMAL(18,4))), 4) AS DOUBLE) AS revenue,
            strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
            o.o_orderpriority
     FROM customer c
@@ -34,7 +34,8 @@ _DEC2 = "decimal(18,4)"
       AND o.o_orderdate < TIMESTAMP '1998-03-15'
       AND l.l_shipdate > TIMESTAMP '1998-03-15'
     GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
-    ORDER BY revenue DESC, l.l_orderkey
+    ORDER BY sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                 * CAST(1.0 - l.l_discount AS DECIMAL(18,4))) DESC, l.l_orderkey
     LIMIT 10
     """,
 )
@@ -55,16 +56,18 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(
                 F.col("l_extendedprice").cast(_DEC2)
                 * (F.lit(1.0) - F.col("l_discount")).cast(_DEC2)
-            ).alias("revenue")
+            ).alias("revenue_dec")
         )
+        # order + cut on the EXACT decimal (tie-safe), cast to double only in
+        # the final projection (driver outputs carry no decimals)
+        .orderBy(F.col("revenue_dec").desc(), "l_orderkey")
+        .limit(10)
         .select(
             "l_orderkey",
-            "revenue",
+            F.round(F.col("revenue_dec"), 4).cast("double").alias("revenue"),
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
             "o_orderpriority",
         )
-        .orderBy(F.col("revenue").desc(), "l_orderkey")
-        .limit(10)
     )
 
 
@@ -72,8 +75,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_region_revenue",
     oracle="""
     SELECT n.n_name,
-           sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
-               * CAST(1.0 - l.l_discount AS DECIMAL(18,4))) AS revenue,
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+               * CAST(1.0 - l.l_discount AS DECIMAL(18,4))), 4) AS DOUBLE) AS revenue,
            count(*) AS n_lineitems
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -99,10 +102,13 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.sum(
-                F.col("l_extendedprice").cast(_DEC2)
-                * (F.lit(1.0) - F.col("l_discount")).cast(_DEC2)
-            ).alias("revenue"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast(_DEC2)
+                    * (F.lit(1.0) - F.col("l_discount")).cast(_DEC2)
+                ),
+                4,
+            ).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_lineitems"),
         )
     )

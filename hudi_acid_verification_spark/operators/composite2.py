@@ -51,7 +51,8 @@ def _volume() -> F.Column:
 @query(
     "q7_nation_volume",
     oracle=f"""
-    SELECT supp_nation, cust_nation, l_year, sum(volume) AS revenue
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(round(sum(volume), 4) AS DOUBLE) AS revenue
     FROM (
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                year(l.l_shipdate) AS l_year,
@@ -112,7 +113,7 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             _volume().alias("volume"),
         )
         .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(F.sum("volume").alias("revenue"))
+        .agg(F.round(F.sum("volume"), 4).cast("double").alias("revenue"))
     )
 
 
@@ -120,10 +121,10 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_priority_by_flag",
     oracle="""
     SELECT l.l_returnflag,
-           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders o
     JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
@@ -155,9 +156,9 @@ def q12_priority_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q14_promo_revenue",
     oracle=f"""
-    SELECT 100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
-                                 THEN {_VOLUME_SQL} END) AS DOUBLE)
-                 / CAST(sum({_VOLUME_SQL}) AS DOUBLE) AS promo_revenue_pct,
+    SELECT 100.0 * CAST(round(sum(CASE WHEN p.p_type = 'PROMO'
+                                 THEN {_VOLUME_SQL} END), 4) AS DOUBLE)
+                 / CAST(round(sum({_VOLUME_SQL}), 4) AS DOUBLE) AS promo_revenue_pct,
            count(*) AS n_lines
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
@@ -190,10 +191,13 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return agg.select(
+        # ratio operands rounded to scale 4 first — exact double conversion
+        # (raw scale-8 sums can exceed 2^53 unscaled and double-round
+        # differently per engine)
         (
             F.lit(100.0)
-            * F.col("promo").cast("double")
-            / F.col("total").cast("double")
+            * F.round(F.col("promo"), 4).cast("double")
+            / F.round(F.col("total"), 4).cast("double")
         ).alias("promo_revenue_pct"),
         "n_lines",
     )
@@ -202,7 +206,8 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q19_disjunctive_pred",
     oracle=f"""
-    SELECT sum({_VOLUME_SQL}) AS revenue, count(*) AS n_lines
+    SELECT CAST(round(sum({_VOLUME_SQL}), 4) AS DOUBLE) AS revenue,
+           count(*) AS n_lines
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
@@ -234,7 +239,7 @@ def q19_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(p, p.p_partkey == li.l_partkey)
         .filter(branch)
         .agg(
-            F.sum(_volume()).alias("revenue"),
+            F.round(F.sum(_volume()), 4).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -326,7 +331,7 @@ def q21_sole_returner(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM pool WHERE c_acctbal > 0.0
     )
     SELECT cntrycode, count(*) AS numcust,
-           sum(CAST(c_acctbal AS DECIMAL(18,4))) AS totacctbal
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
     FROM pool, avg_bal
     WHERE c_acctbal > a
       AND NOT EXISTS (
@@ -368,7 +373,7 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cntrycode")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.sum(F.col("c_acctbal").cast(_DEC2)).alias("totacctbal"),
+            F.sum(F.col("c_acctbal").cast(_DEC2)).cast("double").alias("totacctbal"),
         )
     )
 
@@ -377,7 +382,7 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_revenue",
     oracle=f"""
     SELECT c.c_custkey, c.c_name,
-           sum({_VOLUME_SQL}) AS revenue,
+           CAST(round(sum({_VOLUME_SQL}), 4) AS DOUBLE) AS revenue,
            c.c_acctbal, n.n_name
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -387,7 +392,7 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND o.o_orderdate >= TIMESTAMP '1997-01-01'
       AND o.o_orderdate < TIMESTAMP '1997-07-01'
     GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
-    ORDER BY revenue DESC, c.c_custkey
+    ORDER BY sum({_VOLUME_SQL}) DESC, c.c_custkey
     LIMIT 20
     """,
 )
@@ -411,10 +416,17 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.sum(_volume()).alias("revenue"))
-        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
-        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .agg(F.sum(_volume()).alias("revenue_dec"))
+        # order + cut on the EXACT decimal, cast only in the final projection
+        .orderBy(F.col("revenue_dec").desc(), "c_custkey")
         .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.round(F.col("revenue_dec"), 4).cast("double").alias("revenue"),
+            "c_acctbal",
+            "n_name",
+        )
     )
 
 
@@ -428,7 +440,8 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND l.l_shipdate < TIMESTAMP '1997-04-01'
         GROUP BY l_suppkey
     )
-    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    SELECT s.s_suppkey, s.s_name,
+           CAST(round(r.total_revenue, 4) AS DOUBLE) AS total_revenue
     FROM supplier s
     JOIN rev r ON r.l_suppkey = s.s_suppkey
     WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
@@ -456,5 +469,10 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.join(rev, rev.l_suppkey == s.s_suppkey)
         .crossJoin(F.broadcast(mx))
         .filter(F.col("total_revenue") == F.col("mx"))
-        .select("s_suppkey", "s_name", "total_revenue")
+        # max-equality tested on the EXACT decimal; double only in the output
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("total_revenue"), 4).cast("double").alias("total_revenue"),
+        )
     )

@@ -41,8 +41,8 @@ from .composite2 import _DEC2, _VOLUME_SQL, _volume
 @query(
     "q6_forecast_revenue",
     oracle="""
-    SELECT sum(CAST(l_extendedprice AS DECIMAL(18,4))
-               * CAST(l_discount AS DECIMAL(18,4))) AS revenue,
+    SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+               * CAST(l_discount AS DECIMAL(18,4))), 4) AS DOUBLE) AS revenue,
            count(*) AS n_lines
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -68,10 +68,13 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.sum(
-                F.col("l_extendedprice").cast(_DEC2)
-                * F.col("l_discount").cast(_DEC2)
-            ).alias("revenue"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast(_DEC2)
+                    * F.col("l_discount").cast(_DEC2)
+                ),
+                4,
+            ).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -135,9 +138,9 @@ def q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN nation sn ON sn.n_nationkey = s.s_nationkey
     )
     SELECT o_year,
-           CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume END)
+           CAST(round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume END), 4)
                 AS DOUBLE)
-           / CAST(sum(volume) AS DOUBLE) AS mkt_share,
+           / CAST(round(sum(volume), 4) AS DOUBLE) AS mkt_share,
            count(*) AS n_lines
     FROM flat GROUP BY o_year
     """,
@@ -198,9 +201,11 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return agg.select(
         "o_year",
-        (F.col("nat").cast("double") / F.col("total").cast("double")).alias(
-            "mkt_share"
-        ),
+        # ratio operands rounded to scale 4 first — exact double conversion
+        (
+            F.round(F.col("nat"), 4).cast("double")
+            / F.round(F.col("total"), 4).cast("double")
+        ).alias("mkt_share"),
         "n_lines",
     )
 
@@ -209,9 +214,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q9_profit_proxy",
     oracle=f"""
     SELECT sn.n_name AS nation, year(o.o_orderdate) AS o_year,
-           sum({_VOLUME_SQL}
+           CAST(round(sum({_VOLUME_SQL}
                - CAST(p.p_retailprice * 0.1 AS DECIMAL(18,4))
-                 * CAST(l.l_quantity AS DECIMAL(18,4))) AS profit,
+                 * CAST(l.l_quantity AS DECIMAL(18,4))), 4) AS DOUBLE) AS profit,
            count(*) AS n_lines
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%widget%'
@@ -254,7 +259,7 @@ def q9_profit_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(o, o.o_orderkey == li.l_orderkey)
         .groupBy("nation", F.year("o_orderdate").alias("o_year"))
         .agg(
-            F.sum(_volume() - cost).alias("profit"),
+            F.round(F.sum(_volume() - cost), 4).cast("double").alias("profit"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -272,7 +277,7 @@ def q9_profit_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
          AND n.n_name = 'NATION_1'
         GROUP BY l.l_partkey
     )
-    SELECT partkey, part_value FROM v
+    SELECT partkey, CAST(part_value AS DOUBLE) AS part_value FROM v
     WHERE 1000 * part_value > (SELECT sum(part_value) FROM v)
     """,
 )
@@ -308,8 +313,9 @@ def q11_important_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = F.sum("part_value").over(Window.partitionBy())
     return (
         v.withColumn("__total", total)
+        # share threshold on EXACT decimals; double only in the output
         .filter(F.col("part_value") * 1000 > F.col("__total"))
-        .select("partkey", "part_value")
+        .select("partkey", F.col("part_value").cast("double").alias("part_value"))
     )
 
 
@@ -443,7 +449,8 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l_partkey, min(pair_cost) AS best_cost
         FROM cost GROUP BY l_partkey
     )
-    SELECT p.p_partkey, p.p_brand, s.s_name, s.s_acctbal, c.pair_cost AS best_cost
+    SELECT p.p_partkey, p.p_brand, s.s_name, s.s_acctbal,
+           CAST(c.pair_cost AS DOUBLE) AS best_cost
     FROM cost c
     JOIN best b ON b.l_partkey = c.l_partkey AND c.pair_cost = b.best_cost
     JOIN part p ON p.p_partkey = c.l_partkey
@@ -496,7 +503,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), s.s_suppkey == F.col("l_suppkey"))
         .select(
             "p_partkey", "p_brand", "s_name", "s_acctbal", "s_suppkey",
-            F.col("pair_cost").alias("best_cost"),
+            # min-equality matched on the EXACT decimal; double in the output
+            F.col("pair_cost").cast("double").alias("best_cost"),
         )
         .orderBy(F.col("s_acctbal").desc(), "s_suppkey", "p_partkey")
         .limit(20)

@@ -269,8 +269,8 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2
     )
     SELECT doc_id,
-           sum(CASE WHEN s > 0 THEN CAST(power(2, bit) AS BIGINT) ELSE 0 END)
-               AS simhash
+           CAST(sum(CASE WHEN s > 0 THEN CAST(power(2, bit) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS simhash
     FROM bit_sums
     GROUP BY doc_id
     """,

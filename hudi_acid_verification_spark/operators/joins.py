@@ -160,8 +160,9 @@ _SKEW_SALT = 8
     "join_skew_salted",
     oracle="""
     SELECT o.o_orderpriority,
-           sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
-               * CAST(1.0 - l.l_discount AS DECIMAL(18,4))) AS revenue,
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+               * CAST(1.0 - l.l_discount AS DECIMAL(18,4))), 4) AS DOUBLE)
+               AS revenue,
            count(*) AS n_lines
     FROM lineitem l
     JOIN orders o ON o.o_orderkey = l.l_orderkey
@@ -196,10 +197,13 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o_rep, (li.l_orderkey == o_rep.o_orderkey) & (li.salt == o_rep.salt))
         .groupBy("o_orderpriority")
         .agg(
-            F.sum(
-                F.col("l_extendedprice").cast("decimal(18,4)")
-                * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,4)")
-            ).alias("revenue"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,4)")
+                    * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,4)")
+                ),
+                4,
+            ).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )

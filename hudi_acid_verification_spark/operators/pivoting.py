@@ -24,7 +24,7 @@ _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
                     '%Y-%m-%d') AS day,
            """
     + ",\n           ".join(
-        f"sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS {t}"
+        f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS {t}"
         for t in _EVENT_TYPES
     )
     + """
@@ -55,7 +55,7 @@ def pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
                         '%Y-%m-%d') AS day,
                """
     + ",\n               ".join(
-        f"sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS {t}"
+        f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS {t}"
         for t in _EVENT_TYPES
     )
     + f"""

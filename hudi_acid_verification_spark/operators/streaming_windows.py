@@ -154,7 +154,7 @@ def fresh_ckpt(stage: str) -> str:
                  '{_FMT_DUCK}') AS window_start,
         event_type,
         count(*) AS n_events,
-        sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+        CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -166,7 +166,9 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,4)")).alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_value"),
         )
         .select(
             F.date_format(F.col("window.start"), _FMT_SPARK).alias("window_start"),
@@ -189,7 +191,7 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT window_start,
            count(*) AS n_events,
-           sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
     FROM expanded
     GROUP BY window_start
     """,
@@ -202,7 +204,9 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.window("ts", "1 hour", "30 minutes"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,4)")).alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_value"),
         )
         .select(
             F.date_format(F.col("window.start"), _FMT_SPARK).alias("window_start"),
@@ -232,10 +236,10 @@ _GAP_US = 30 * 60 * 1_000_000  # 30-minute session gap
     ),
     sessions AS (
         SELECT user_id, ts_us,
-               sum(is_start) OVER (
+               CAST(sum(is_start) OVER (
                    PARTITION BY user_id ORDER BY ts_us
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ) AS session_id
+               ) AS BIGINT) AS session_id
         FROM marked
     )
     SELECT user_id, session_id,

@@ -68,7 +68,8 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem GROUP BY l_partkey
     )
     SELECT p.p_brand,
-           sum(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS small_qty_revenue,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS small_qty_revenue,
            count(*) AS n_lines
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
@@ -103,9 +104,9 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_quantity") < 0.5 * F.col("avg_quantity"))
         .groupBy("p_brand")
         .agg(
-            F.sum(F.col("l_extendedprice").cast(_DEC2)).alias(
-                "small_qty_revenue"
-            ),
+            F.sum(F.col("l_extendedprice").cast(_DEC2))
+            .cast("double")
+            .alias("small_qty_revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )

@@ -220,8 +220,8 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
              ) u
     )
     SELECT doc_id,
-           sum(pos * CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT))
-               % 1000000007 AS fingerprint,
+           CAST(sum(pos * CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT))
+               % 1000000007 AS BIGINT) AS fingerprint,
            count(*) AS n_tokens
     FROM toks
     GROUP BY doc_id

@@ -89,11 +89,11 @@ def window_rank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_running",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
                PARTITION BY o_custkey
                ORDER BY o_orderdate, o_orderkey
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS running_spend
+           ) AS DOUBLE) AS running_spend
     FROM orders
     """,
 )
@@ -107,7 +107,10 @@ def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load(spark, sf_dir, "orders").select(
         "o_custkey",
         "o_orderkey",
-        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).over(w).alias("running_spend"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .over(w)
+        .cast("double")
+        .alias("running_spend"),
     )
 
 
@@ -207,7 +210,8 @@ def window_ntile_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_range_frame",
     oracle="""
     SELECT o_custkey, o_orderkey, o_totalprice,
-           sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER wr AS band_sum,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER wr AS DOUBLE)
+               AS band_sum,
            count(*) OVER wr AS n_in_band,
            first_value(o_orderkey) OVER wu AS cheapest_key,
            nth_value(o_orderkey, 2) OVER wu AS second_cheapest_key
@@ -244,10 +248,10 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         "o_totalprice",
-        """sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        """CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
                PARTITION BY o_custkey ORDER BY o_totalprice
                RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW
-           ) AS band_sum""",
+           ) AS DOUBLE) AS band_sum""",
         """count(*) OVER (
                PARTITION BY o_custkey ORDER BY o_totalprice
                RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW
