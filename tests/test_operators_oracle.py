@@ -100,3 +100,32 @@ def test_acid_stream_ingest_matches_batch_union(spark):
         .count()
     )
     assert snap.count() == n_purchases
+
+
+def test_certification_order_invariants():
+    """The driver certifies the FIRST 50 entries of queries() each round —
+    pin that the explicit order covers the registry exactly, has no dupes,
+    and spends the whole window on oracled (hash-checkable) queries."""
+    import __spark_entry__ as e
+
+    order = e._CERT_ORDER
+    assert len(order) == len(set(order)), "duplicate names in _CERT_ORDER"
+    assert set(order) == set(ops.QUERIES), (
+        "certification order out of sync with registry: "
+        f"missing={set(ops.QUERIES) - set(order)} "
+        f"stale={set(order) - set(ops.QUERIES)}"
+    )
+    first50 = list(e.queries())[:50]
+    assert all(n in ops.ORACLES for n in first50), [
+        n for n in first50 if n not in ops.ORACLES
+    ]
+    # the round-1 red set must sit inside the certification window
+    round1_red = {
+        "q1_pricing_summary", "agg_group", "agg_rollup_cube",
+        "agg_skew_salted", "agg_grouping_sets", "join_bucketed_colocated",
+        "q3_shipping_priority", "q5_region_revenue", "q7_nation_volume",
+        "q12_priority_by_flag", "q19_disjunctive_pred",
+        "q10_returned_revenue", "q15_top_supplier", "q6_forecast_revenue",
+        "q9_profit_proxy", "q11_important_value", "q2_min_cost_supplier",
+    }
+    assert round1_red <= set(first50)
