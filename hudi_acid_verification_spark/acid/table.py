@@ -636,11 +636,17 @@ class AcidTable:
             ).first()
             if lo is not None:
                 def disjoint(f: dict) -> bool:
-                    return (
-                        "pk_min" in f
-                        and "pk_max" in f
-                        and (f["pk_max"] < lo or f["pk_min"] > hi)
-                    )
+                    try:
+                        return (
+                            "pk_min" in f
+                            and "pk_max" in f
+                            and (f["pk_max"] < lo or f["pk_min"] > hi)
+                        )
+                    except TypeError:
+                        # incomparable stat/key types (e.g. bytes stats vs a
+                        # non-str pk): keep the file conservatively, same
+                        # stance as lookup()'s may_contain()
+                        return False
 
                 keep.extend(f for f in touch if disjoint(f))
                 touch = [f for f in touch if not disjoint(f)]

@@ -53,8 +53,11 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
                 "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
             )
         else:
-            # Session tz is UTC, so the ntz→tz cast preserves the wall-clock
-            # value and matches DuckDB's naive reading of the same file.
+            # The ntz→tz cast preserves the wall-clock value (matching
+            # DuckDB's naive reading of the same file) ONLY under a UTC
+            # session timezone; load() accepts arbitrary sessions, so pin
+            # the conf here rather than trusting the caller configured it.
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
             df = df.withColumn("ts", F.col("ts").cast("timestamp")).withColumn(
                 "ts_ns", F.unix_micros(F.col("ts")) * F.lit(1000).cast("bigint")
             )
