@@ -31,6 +31,11 @@ from . import load, query
 from .similarity import _dot_q, _quant, _ORACLE_ELEMS
 
 _DUP_TAU = 0.35      # cosine threshold for near-duplicate
+# dedup_embedding_cosine is the brute-force oracle BASELINE: it collects the
+# corpus to the driver for the broadcast matmul, which is O(N²) work and a
+# driver OOM beyond small corpora. Hard ceiling so it can't be pointed at a
+# large table by accident; the scale path is dedup_embedding_lsh.
+_BRUTE_FORCE_MAX_VECTORS = 200_000
 _CENT_MOD = 31       # vec_id % 31 == 0 → centroid (deterministic "k-means")
 _N_QUERIES = 8       # vec_id < 8 are the query vectors
 _NPROBE = 2
@@ -76,6 +81,16 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .similarity import _SCALE
 
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    n_vectors = emb.count()
+    if n_vectors > _BRUTE_FORCE_MAX_VECTORS:
+        raise ValueError(
+            f"dedup_embedding_cosine is the brute-force O(N²) baseline and "
+            f"refuses corpora above {_BRUTE_FORCE_MAX_VECTORS} vectors "
+            f"(got {n_vectors}): the full corpus is collected to the driver "
+            f"for the broadcast matmul. Use dedup_embedding_lsh (banded "
+            f"hyperplane LSH, bucket-local rescoring) for large corpora."
+        )
 
     def to_int_matrix(ids, vecs):
         m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
@@ -633,6 +648,21 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical to the oracle. Skew lever: a hot bucket re-salts by
     lengthening its band key, same as any skewed join key.
     """
+    pairs = _lsh_band_pairs(spark, sf_dir)
+    return pairs.groupBy(F.col("hi").alias("vec_id")).agg(
+        F.min("lo").alias("dup_of"),
+        F.max("cosine").alias("max_cosine"),
+    )
+
+
+def _lsh_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded hyperplane-LSH candidate pairs with exact ≥τ cosines:
+    (lo, hi, cosine) with lo < hi, possibly emitted once per matching band
+    (consumers either aggregate idempotently or dropDuplicates). This is
+    the shared scale-path pair generator for ``dedup_embedding_lsh`` and
+    ``dedup_components`` — O(N·bands) shuffle, bucket-local int64 matmul
+    rescoring, never an all-pairs scan or a driver-side corpus collect.
+    """
     import numpy as np
     import pandas as pd
 
@@ -685,22 +715,54 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    pairs = bands.groupBy("band_id", "band_key").applyInPandas(
+    return bands.groupBy("band_id", "band_key").applyInPandas(
         rescore, "lo bigint, hi bigint, cosine double"
-    )
-    return pairs.groupBy(F.col("hi").alias("vec_id")).agg(
-        F.min("lo").alias("dup_of"),
-        F.max("cosine").alias("max_cosine"),
     )
 
 
 def _components_oracle() -> str:
+    """Recursive-CTE closure over the SAME banded-LSH candidate pairs the
+    operator consumes (the scale-path edge set — identical and
+    deterministic in both engines), not the all-pairs scan."""
+    from .similarity import _N_PLANES, _PLANES
+
+    values = ", ".join(
+        f"({p}, {i + 1}, {_PLANES[p][i]})"
+        for p in range(_N_PLANES)
+        for i in range(len(_PLANES[p]))
+    )
+    n_bands = _N_PLANES // _EMB_BAND_BITS
+    band_selects = " UNION ALL ".join(
+        f"SELECT vec_id, {j} AS band_id,"
+        f" substr(bucket, {j * _EMB_BAND_BITS + 1}, {_EMB_BAND_BITS})"
+        " AS band_key FROM buckets"
+        for j in range(n_bands)
+    )
     return f"""
-    WITH RECURSIVE {_ORACLE_ELEMS},
+    WITH RECURSIVE planes(plane, i, w) AS (VALUES {values}),
+    {_ORACLE_ELEMS},
+    bits AS (
+        SELECT e.vec_id, p.plane,
+               CASE WHEN sum(e.x * p.w) > 0 THEN '1' ELSE '0' END AS bit
+        FROM elems e JOIN planes p ON p.i = e.i
+        GROUP BY 1, 2
+    ),
+    buckets AS (
+        SELECT vec_id, string_agg(bit, '' ORDER BY plane) AS bucket
+        FROM bits GROUP BY vec_id
+    ),
+    bands AS ({band_selects}),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS lo, b.vec_id AS hi
+        FROM bands a JOIN bands b
+          ON b.band_id = a.band_id AND b.band_key = a.band_key
+         AND b.vec_id > a.vec_id
+    ),
     dots AS (
-        SELECT a.vec_id AS lo, b.vec_id AS hi, sum(a.x * b.x) AS dot
-        FROM elems a
-        JOIN elems b ON b.i = a.i AND b.vec_id > a.vec_id
+        SELECT c.lo, c.hi, sum(ea.x * eb.x) AS dot
+        FROM cand c
+        JOIN elems ea ON ea.vec_id = c.lo
+        JOIN elems eb ON eb.vec_id = c.hi AND eb.i = ea.i
         GROUP BY 1, 2
     ),
     pairs AS (
@@ -737,56 +799,29 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline needs (A≈B and B≈C must collapse to ONE cluster even when
     A≉C directly; per-pair canonicalization alone can't see that).
 
-    Spark shape: the pair scan is the dedup_embedding_cosine block matmul
-    emitting raw (lo, hi) edges; components then converge by iterative
-    min-label propagation — per round, one edges⋈labels shuffle + a
-    min-aggregate, repeated until a driver-side changed-count hits zero
-    (rounds = graph diameter; dup clusters are shallow). Each round's
-    labels are cached and the previous round unpersisted, so lineage stays
-    flat. At 100 TB the same loop runs with the large-star/small-star
-    rewrite (Kiveris et al., "Connected Components in MapReduce") for
-    O(log n) rounds and periodic checkpoints; the per-round plan —
-    shuffle-on-src, min-combine — is unchanged. The DuckDB oracle is a
-    recursive CTE computing min reachable id per node: exact, any depth.
+    Spark shape: edges come from the banded-LSH bucket rescore
+    (``_lsh_band_pairs`` — the same O(N·bands) scale path as
+    ``dedup_embedding_lsh``, no all-pairs scan and no driver-side corpus
+    collect); components then converge by iterative min-label propagation —
+    per round, one edges⋈labels shuffle + a min-aggregate, repeated until a
+    driver-side changed-count hits zero (rounds = graph diameter; dup
+    clusters are shallow). Each round's labels are cached and the previous
+    round unpersisted, so lineage stays flat. At 100 TB the same loop runs
+    with the large-star/small-star rewrite (Kiveris et al., "Connected
+    Components in MapReduce") for O(log n) rounds and periodic checkpoints;
+    the per-round plan — shuffle-on-src, min-combine — is unchanged. The
+    DuckDB oracle closes the SAME LSH pair set with a recursive CTE
+    computing min reachable id per node: exact, any depth.
     """
-    import numpy as np
-    import pandas as pd
-
-    from .similarity import _SCALE
-
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
 
-    corpus_rows = emb.collect()
-    ids = np.asarray([r["vec_id"] for r in corpus_rows], dtype=np.int64)
-    mat = np.floor(
-        np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in corpus_rows])
-        * float(_SCALE)
-        + 0.5
-    ).astype(np.int64)
-    nrm = np.sqrt((mat * mat).sum(axis=1).astype(np.float64))
-    bc = spark.sparkContext.broadcast((ids, mat, nrm))
-
-    def emit_pairs(batches):
-        ids_all, mat_all, nrm_all = bc.value
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            q = np.floor(
-                np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"].values])
-                * float(_SCALE)
-                + 0.5
-            ).astype(np.int64)
-            qn = np.sqrt((q * q).sum(axis=1).astype(np.float64))
-            qi = pdf["vec_id"].values.astype(np.int64)
-            cos = (q @ mat_all.T).astype(np.float64) / (
-                qn[:, None] * nrm_all[None, :]
-            )
-            mask = (ids_all[None, :] > qi[:, None]) & (cos >= _DUP_TAU)
-            r, c = np.nonzero(mask)
-            if len(r):
-                yield pd.DataFrame({"lo": qi[r], "hi": ids_all[c]})
-
-    pairs = emb.mapInPandas(emit_pairs, "lo bigint, hi bigint")
+    # one emission per matching band → dropDuplicates before doubling into
+    # directed edges (keeps the per-round join volume at |E|, not |E|·bands)
+    pairs = (
+        _lsh_band_pairs(spark, sf_dir)
+        .select("lo", "hi")
+        .dropDuplicates(["lo", "hi"])
+    )
     # localCheckpoint (not cache): iterative self-referencing plans double
     # in size per round — checkpointing truncates the lineage so round N's
     # plan is O(1), the standard Spark idiom for iterative graph algorithms

@@ -323,3 +323,32 @@ def test_event_funnel_stage_filters_push_and_broadcast(spark):
     assert "EqualTo(event_type,purchase)" in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_components_uses_lsh_pairs_not_corpus_collect(spark, monkeypatch):
+    """dedup_components must never collect the embedding corpus to the
+    driver (round-1 scale-killer): its edges come from the banded-LSH bucket
+    rescore. Driver-side collects of scalar convergence state are fine."""
+    from pyspark.sql import DataFrame
+
+    collected_schemas: list[list[str]] = []
+    real_collect = DataFrame.collect
+
+    def spy_collect(self):
+        collected_schemas.append(list(self.columns))
+        return real_collect(self)
+
+    monkeypatch.setattr(DataFrame, "collect", spy_collect)
+    out = ops.QUERIES["dedup_components"](spark, SF_SMALL)
+    real_collect(out)  # materialize the full pipeline
+    offenders = [c for c in collected_schemas if "embedding" in c or "qv" in c]
+    assert not offenders, f"corpus-sized collect detected: {offenders}"
+
+
+def test_embedding_cosine_refuses_large_corpus(spark, monkeypatch):
+    """The brute-force baseline must refuse, not OOM, above its ceiling."""
+    from hudi_acid_verification_spark.operators import ann
+
+    monkeypatch.setattr(ann, "_BRUTE_FORCE_MAX_VECTORS", 10)
+    with pytest.raises(ValueError, match="dedup_embedding_lsh"):
+        ops.QUERIES["dedup_embedding_cosine"](spark, SF_SMALL)
