@@ -194,6 +194,16 @@ class AcidTable:
     def version(self) -> int:
         return self._read_manifest().version
 
+    @property
+    def pk(self) -> str:
+        """Primary-key column name (hoodie.datasource.write.recordkey.field)."""
+        return self._read_manifest().pk
+
+    @property
+    def partition_col(self) -> str:
+        """Partition column name (hoodie.datasource.write.partitionpath.field)."""
+        return self._read_manifest().partition_col
+
     def snapshot(self, version: int | None = None) -> DataFrame:
         """Consistent snapshot DataFrame (ReaderThread.java:77-80 parity;
         ``version`` gives time travel over retained manifests)."""

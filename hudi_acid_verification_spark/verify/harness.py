@@ -64,6 +64,11 @@ class HarnessConfig:
     lock_timeout_seconds: float = 120.0
     table_mode: str = "cow"  # "cow" (reference config) | "mor"
     mor_compact_every: int = 20  # inline-compaction cadence when mode=mor
+    # issue UPDATE/DELETE as the reference's literal SQL text
+    # (TransactionWriter.java:143-178) through the acid.sql_dml shim instead
+    # of the DataFrame API — API-parity mode; INSERT stays the write-path
+    # upsert, as in the reference (:121-141)
+    sql_mode: bool = False
 
 
 @dataclass
@@ -171,6 +176,8 @@ class TransactionHarness:
         parts = sorted({r[1] for r in rows})
         if txn.manipulation_type is ManipulationType.INSERT:
             table.upsert(df, timeout=timeout, partitions=parts)
+        elif self.config.sql_mode:
+            self._apply_sql(table, txn, df, timeout)
         elif txn.manipulation_type is ManipulationType.UPDATE:
             # partition = f(pk) in this workload (generator.partition_for),
             # so the merge skips every partition-discovery job: the batch is
@@ -186,6 +193,42 @@ class TransactionHarness:
                 [(r[0], r[1]) for r in rows],
                 timeout=timeout,
                 partitions=sorted({r[1] for r in rows}),
+            )
+
+    def _apply_sql(self, table: AcidTable, txn, df, timeout: float) -> None:
+        """Reference writer parity: issue the literal SQL statement text the
+        reference emits (TransactionWriter.java:143-178) and let the
+        ``acid.sql_dml`` shim parse + dispatch it. Loses the partition-hint
+        fast paths (the SQL carries no partition list) — correctness
+        identical, a bit more discovery work per commit."""
+        from ..acid.sql_dml import execute_dml
+
+        if txn.manipulation_type is ManipulationType.UPDATE:
+            view = f"updates_{txn.transaction_id.replace('-', '_')}"
+            df.createOrReplaceTempView(view)
+            try:
+                execute_dml(
+                    table,
+                    f"MERGE INTO acid USING (SELECT * FROM {view}) s "
+                    "ON acid.primaryKeyValue = s.primaryKeyValue "
+                    "WHEN MATCHED THEN UPDATE SET "
+                    "acid.dataValue = s.dataValue "
+                    "WHEN NOT MATCHED THEN INSERT "
+                    "(primaryKeyValue, partitionKeyValue, dataValue) VALUES "
+                    "(s.primaryKeyValue, s.partitionKeyValue, s.dataValue)",
+                    timeout=timeout,
+                )
+            finally:
+                table.spark.catalog.dropTempView(view)
+        else:  # DELETE — comma-delimited quoted list (defect D2 fixed)
+            quoted = ", ".join(
+                "'" + dm.primary_key_value.replace("'", "''") + "'"
+                for dm in txn.data_manipulations
+            )
+            execute_dml(
+                table,
+                f"DELETE FROM acid WHERE primaryKeyValue IN ({quoted})",
+                timeout=timeout,
             )
 
     def _writer_loop(self) -> None:
