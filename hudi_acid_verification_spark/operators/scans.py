@@ -24,14 +24,25 @@ from . import load, query
 @query(
     "scan_project",
     oracle="""
-    SELECT l_orderkey, l_linenumber, l_extendedprice, l_shipdate
+    SELECT l_orderkey, l_linenumber, l_extendedprice,
+           strftime(l_shipdate, '%Y-%m-%d') AS l_shipdate
     FROM lineitem
     """,
 )
 def scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Column-pruned scan: only the projected columns reach the reader."""
+    """Column-pruned scan: only the projected columns reach the reader.
+
+    The date is emitted as a formatted string — the one timestamp rendering
+    proven green through the driver's hash (round-1 lesson: tz-aware vs
+    naive pandas timestamps are an unproven rendering pair; strings are
+    deterministic in both engines). Pruning is unaffected: ReadSchema still
+    carries exactly the four referenced columns (test_plans.py).
+    """
     return load(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_linenumber", "l_extendedprice", "l_shipdate"
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice",
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("l_shipdate"),
     )
 
 

@@ -25,7 +25,8 @@ from . import load, query
 @query(
     "window_latest_per_key",
     oracle="""
-    SELECT l_orderkey, l_linenumber, l_shipdate, l_extendedprice
+    SELECT l_orderkey, l_linenumber,
+           strftime(l_shipdate, '%Y-%m-%d') AS l_shipdate, l_extendedprice
     FROM (
         SELECT l_orderkey, l_linenumber, l_shipdate, l_extendedprice,
                row_number() OVER (
@@ -54,7 +55,14 @@ def window_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .drop("rn")
+        # window still orders by the native timestamp; the output renders it
+        # as the driver-proven string form (see scan_project)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.date_format("l_shipdate", "yyyy-MM-dd").alias("l_shipdate"),
+            "l_extendedprice",
+        )
     )
 
 
