@@ -15,6 +15,11 @@ writer/TransactionManager.java:70-88, reader/ReaderThread.java:74-77).
 Scale notes: views are metadata-only (no materialization); the underlying
 scans keep pushdown/pruning. Temp views are session-scoped, mirroring the
 reference's session-per-client isolation (TransactionManager.java:95-101).
+
+For registrations that must OUTLIVE the process — the reference's Hive
+metastore usage (SparkSessionProvider.java:62-68) — see ``metastore.py``:
+an embedded-Derby Hive catalog whose table definitions persist on disk and
+survive restarts (tests/test_metastore.py proves the round trip).
 """
 
 from __future__ import annotations
