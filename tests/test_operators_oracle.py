@@ -103,9 +103,11 @@ def test_acid_stream_ingest_matches_batch_union(spark):
 
 
 def test_certification_order_invariants():
-    """The driver certifies the FIRST 50 entries of queries() each round —
-    pin that the explicit order covers the registry exactly, has no dupes,
-    and spends the whole window on oracled (hash-checkable) queries."""
+    """The driver certifies the FIRST ~50 entries of queries() each round.
+    Pin the auto-rotation: the base order covers the registry exactly with
+    no dupes, and the emitted order is (never-certified oracled,
+    never-certified rows-only, previously-certified) — so the window always
+    spends itself on queries that still need a green row."""
     import __spark_entry__ as e
 
     order = e._CERT_ORDER
@@ -115,17 +117,26 @@ def test_certification_order_invariants():
         f"missing={set(ops.QUERIES) - set(order)} "
         f"stale={set(order) - set(ops.QUERIES)}"
     )
-    first50 = list(e.queries())[:50]
-    assert all(n in ops.ORACLES for n in first50), [
-        n for n in first50 if n not in ops.ORACLES
+    emitted = list(e.queries())
+    assert set(emitted) == set(ops.QUERIES)
+    assert list(e.oracle_sql()) == [n for n in emitted if n in ops.ORACLES]
+
+    done = e._certified_names()
+
+    def cls(n: str) -> int:
+        if n not in done:
+            return 0 if n in ops.ORACLES else 1
+        return 2
+
+    classes = [cls(n) for n in emitted]
+    assert classes == sorted(classes), (
+        "rotation violated: pending-oracled must precede pending-rows-only "
+        "must precede certified"
+    )
+    # pending queries that fit the window must actually be in it
+    n_pending_oracled = classes.count(0)
+    window = set(emitted[:50])
+    expect_in_window = [n for n in emitted if cls(n) == 0][
+        : min(50, n_pending_oracled)
     ]
-    # the round-1 red set must sit inside the certification window
-    round1_red = {
-        "q1_pricing_summary", "agg_group", "agg_rollup_cube",
-        "agg_skew_salted", "agg_grouping_sets", "join_bucketed_colocated",
-        "q3_shipping_priority", "q5_region_revenue", "q7_nation_volume",
-        "q12_priority_by_flag", "q19_disjunctive_pred",
-        "q10_returned_revenue", "q15_top_supplier", "q6_forecast_revenue",
-        "q9_profit_proxy", "q11_important_value", "q2_min_cost_supplier",
-    }
-    assert round1_red <= set(first50)
+    assert set(expect_in_window) <= window
