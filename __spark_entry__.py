@@ -58,7 +58,11 @@ _CERT_ORDER = [
     "q4_order_priority", "q17_small_qty_revenue",
     "dedup_simhash", "dedup_fuzzy_levenshtein",
     "text_stats",
-    # tier 3 — never driver-checked, remaining oracled
+    # tier 3 — round-2 additions (LLM-corpus pipeline, PQ ANN, streaming
+    # dedup, partitioned source), then the remaining never-checked oracled
+    "pipeline_token_pack", "text_pii_scrub", "pipeline_contamination_ngram",
+    "pipeline_domain_mix", "text_heavy_hitters", "similarity_pq_adc",
+    "stream_dedup_watermark", "source_partitioned_pruned",
     "text_lang_id", "text_quality_score", "text_token_count",
     "text_fingerprint", "text_tfidf_topterms",
     "event_funnel", "pipeline_corpus_clean",

@@ -76,11 +76,13 @@ def _import_all() -> None:
         composite,
         composite2,
         composite3,
+        corpus,
         dedup,
         joins,
         multimodal,
         pipelines,
         pivoting,
+        pq,
         scalar,
         scans,
         setops,

@@ -1,0 +1,330 @@
+"""Training-corpus preparation operators over ``documents`` (north-star
+LLM-data-pipeline surface, round-2 additions): token-budget sequence
+packing, PII scrubbing, benchmark-contamination screening, domain-mixture
+resampling, and corpus-level heavy hitters.
+
+The reference has no analytics surface (SURVEY.md §2A note); these are the
+operations a 100 TB pretraining pipeline runs between raw ingestion and
+tokenizer output. Everything is JVM-side expressions (split / higher-order
+array functions / regexp / window) — no Python rows, so whole-stage codegen
+covers the hot paths and each operator's shuffle is on its natural key.
+
+Cross-engine determinism: counts are int64; token hashes are md5 (identical
+in both engines); ratios are exact-integer counts divided once as doubles;
+selection uses md5-ordered row_number with doc_id tie-break (total order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import load, query
+
+_PACK_BUDGET = 512  # tokens per training sequence pack
+_NGRAM = 5          # contamination shingle width
+_BENCH_MOD = 17     # doc_id % 17 == 0 rows play the held-out benchmark set
+_TOP_TERMS = 25
+
+# Order matters: emails are scrubbed before digit runs (emails contain digits).
+_EMAIL_RE = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+_NUM_RE = "[0-9]+"
+
+
+@query(
+    "pipeline_token_pack",
+    oracle=f"""
+    WITH sized AS (
+        SELECT doc_id, source,
+               len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    ),
+    offs AS (
+        SELECT doc_id, source, n_tokens,
+               CAST(sum(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - n_tokens AS BIGINT) AS start_off
+        FROM sized
+    )
+    SELECT source,
+           start_off // {_PACK_BUDGET} AS pack_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+           CAST(min(doc_id) AS BIGINT) AS first_doc
+    FROM offs
+    GROUP BY source, pack_id
+    """,
+)
+def pipeline_token_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing: documents are laid end-to-end per
+    source in doc_id order and cut into ~512-token training packs (a doc
+    belongs to the pack where its start offset falls — the contiguous
+    packing rule LLM pipelines use to build fixed-length sequences without
+    shuffling document order).
+
+    One window (cumulative token sum partitioned by source) plus one
+    aggregate on (source, pack_id). Partitioning by source keeps the sort
+    local to each source's shard — there is no global order, so at 100 TB
+    every source packs independently and the plan has exactly one shuffle
+    on source. Pack ids are offsets, not row numbers, so the result is
+    independent of physical row order.
+    """
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offs = d.withColumn(
+        "start_off",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("bigint"),
+    )
+    return (
+        offs.withColumn(
+            "pack_id", F.expr(f"start_off DIV {_PACK_BUDGET}")
+        )
+        .groupBy("source", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("pack_tokens"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+        )
+    )
+
+
+@query(
+    "text_pii_scrub",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(text, '{_NUM_RE}')) AS n_numbers,
+           length(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                                 '{_NUM_RE}', '<NUM>', 'g')) AS scrubbed_len,
+           md5(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{_NUM_RE}', '<NUM>', 'g')) AS scrubbed_md5
+    FROM documents
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII scrubbing: mask email-shaped tokens then digit runs,
+    reporting per-document redaction counts and an md5 of the scrubbed
+    text (so the oracle verifies the full rewritten string, not just
+    counts). Pure regexp_replace/regexp_count — stays in codegen, scales
+    with the scan, no shuffle at all.
+
+    The two patterns here stand in for the production rule pack (emails,
+    phones, SSNs, addresses); rule packs stay deterministic and auditable
+    where ML-based PII models are not — the standard first pass.
+    """
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"),
+        _NUM_RE,
+        "<NUM>",
+    )
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_count("text", F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count("text", F.lit(_NUM_RE)).alias("n_numbers"),
+        F.length(scrubbed).alias("scrubbed_len"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
+
+
+@query(
+    "pipeline_contamination_ngram",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, md5(array_to_string(t[u.i:u.i+{_NGRAM - 1}], ' ')) AS g
+        FROM toks,
+             LATERAL (SELECT unnest(generate_series(1, len(t) - {_NGRAM - 1})) AS i) u
+        WHERE len(t) >= {_NGRAM}
+    ),
+    bench AS (
+        SELECT DISTINCT g FROM grams WHERE doc_id % {_BENCH_MOD} = 0
+    ),
+    corpus AS (
+        SELECT * FROM grams WHERE doc_id % {_BENCH_MOD} != 0
+    )
+    SELECT c.doc_id,
+           count(*) AS n_grams,
+           CAST(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_contaminated,
+           CAST(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(*) AS contamination_ratio
+    FROM corpus c LEFT JOIN bench b ON b.g = c.g
+    GROUP BY c.doc_id
+    """,
+)
+def pipeline_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination screening: every training document is scored
+    by how many of its 5-gram token shingles appear in a held-out benchmark
+    set (docs with doc_id % 17 == 0 stand in for the eval suite). The
+    standard decontamination pass before pretraining.
+
+    Shape: one pass shingles the benchmark docs into a DISTINCT gram-hash
+    set — eval suites are tiny relative to the corpus, so that set
+    BROADCASTS; the corpus-side shingle stream then left-joins it with no
+    shuffle of the corpus (map-side hash probe) and aggregates per doc_id
+    (map-side partial). At 100 TB this is scan + broadcast probe + one
+    doc-keyed shuffle — the only scalable decontamination shape.
+    """
+    toks = F.split("text", " ")
+    grams_of = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (_NGRAM - 1)),
+        lambda i: F.md5(F.array_join(F.slice(toks, i, _NGRAM), " ")),
+    )
+    grams = (
+        load(spark, sf_dir, "documents")
+        .filter(F.size(toks) >= _NGRAM)
+        .select("doc_id", F.explode(grams_of).alias("g"))
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % _BENCH_MOD == 0)
+        .select("g")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    corpus = grams.filter(F.col("doc_id") % _BENCH_MOD != 0)
+    return (
+        corpus.join(F.broadcast(bench), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_contaminated"),
+            (
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+                / F.count(F.lit(1))
+            ).alias("contamination_ratio"),
+        )
+    )
+
+
+@query(
+    "pipeline_domain_mix",
+    oracle="""
+    WITH weighted AS (
+        SELECT source, count(*) AS n_docs,
+               CAST(('0x' || substr(md5(source), 1, 8)) AS BIGINT) % 5 + 1 AS weight
+        FROM documents GROUP BY source
+    ),
+    totals AS (
+        SELECT CAST(sum(n_docs) AS BIGINT) // 2 AS sample_budget,
+               CAST(sum(weight) AS BIGINT) AS total_weight
+        FROM weighted
+    ),
+    quota AS (
+        SELECT w.source, w.weight,
+               (w.weight * t.sample_budget) // t.total_weight AS n_target
+        FROM weighted w, totals t
+    ),
+    ranked AS (
+        SELECT d.doc_id, d.source, q.weight, q.n_target,
+               row_number() OVER (
+                   PARTITION BY d.source
+                   ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
+               ) AS rn
+        FROM documents d JOIN quota q ON q.source = d.source
+    )
+    SELECT source, CAST(weight AS BIGINT) AS weight,
+           CAST(n_target AS BIGINT) AS n_target,
+           count(*) AS n_selected,
+           CAST(sum(doc_id) AS BIGINT) AS sel_doc_sum
+    FROM ranked
+    WHERE rn <= n_target
+    GROUP BY source, weight, n_target
+    """,
+)
+def pipeline_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture resampling: each source (domain) gets a deterministic
+    mixture weight (md5-derived 1..5, standing in for the tuned sampling
+    weights of a data recipe); half the corpus is the sampling budget, split
+    across sources proportionally to weight; each source then contributes
+    its md5-ordered top n_target documents — a reproducible weighted
+    downsample, the way pretraining mixes are actually materialized.
+
+    Shape: per-source counts (tiny aggregate) → scalar budget (1 row,
+    crossJoin broadcast) → quota join back (broadcast: #sources rows) →
+    per-source md5-ordered window limit. The only corpus-wide shuffle is
+    the window partitioned by source; the md5 sort key makes the selection
+    independent of physical row order AND uniformly spread, unlike head-N.
+    """
+    d = load(spark, sf_dir, "documents")
+    weight = (
+        F.conv(F.substring(F.md5("source"), 1, 8), 16, 10).cast("bigint") % 5 + 1
+    )
+    weighted = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.first(weight).alias("weight")
+    )
+    totals = weighted.agg(
+        F.expr("CAST(sum(n_docs) AS BIGINT) DIV 2").alias("sample_budget"),
+        F.sum("weight").cast("bigint").alias("total_weight"),
+    )
+    quota = (
+        weighted.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "weight",
+            F.expr("(weight * sample_budget) DIV total_weight").alias("n_target"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = (
+        d.join(F.broadcast(quota), "source")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.col("n_target"))
+    )
+    return ranked.groupBy("source", "weight", "n_target").agg(
+        F.count(F.lit(1)).alias("n_selected"),
+        F.sum("doc_id").cast("bigint").alias("sel_doc_sum"),
+    )
+
+
+@query(
+    "text_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    counts AS (
+        SELECT term, count(*) AS cnt, count(DISTINCT doc_id) AS n_docs
+        FROM toks WHERE term <> '' GROUP BY term
+    )
+    SELECT term, cnt, n_docs,
+           row_number() OVER (ORDER BY cnt DESC, term) AS rnk
+    FROM counts
+    ORDER BY cnt DESC, term
+    LIMIT {_TOP_TERMS}
+    """,
+)
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level heavy hitters: the 25 most frequent terms with their
+    total count and document frequency, deterministic tie-break on the
+    term itself. The exact two-level aggregate is the oracle baseline; at
+    100 TB the same query runs with map-side partial aggregation doing
+    almost all the work (term cardinality ≪ token count) and
+    TakeOrderedAndProject merging per-partition top-k heaps — or swaps in
+    a count-min sketch when the vocabulary itself stops fitting.
+    """
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    counts = toks.groupBy("term").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    top = counts.orderBy(F.col("cnt").desc(), "term").limit(_TOP_TERMS)
+    w = Window.orderBy(F.col("cnt").desc(), "term")
+    return top.withColumn("rnk", F.row_number().over(w))

@@ -63,3 +63,28 @@ def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → ORC → read back (columnar alternative with pushdown)."""
     return _roundtrip(spark, sf_dir, "documents", "orc")
+
+
+@query(
+    "source_partitioned_pruned",
+    oracle="SELECT doc_id, text, source, n_chars, lang FROM documents WHERE lang = 'en'",
+)
+def source_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned parquet: documents written PARTITIONED BY
+    (lang), read back with a partition predicate. The filter binds to the
+    directory layout, so the scan lists and reads ONLY lang=en files —
+    PartitionFilters in the plan, zero I/O for the other languages (the
+    plan audit asserts it). This is the layout decision that matters most
+    at 100 TB: a predicate on the partition column prunes before any byte
+    is read, where a row-group filter still pays the file listing and
+    footer reads.
+    """
+    src = load(spark, sf_dir, "documents")
+    path = _stage_dir(sf_dir, "documents_partitioned")
+    src.write.mode("overwrite").partitionBy("lang").parquet(path)
+    return (
+        spark.read.schema(src.schema)
+        .parquet(path)
+        .filter("lang = 'en'")
+        .select("doc_id", "text", "source", "n_chars", "lang")
+    )

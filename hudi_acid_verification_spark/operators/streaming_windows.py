@@ -587,3 +587,77 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+@query(
+    "stream_dedup_watermark",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once dedup of an at-least-once stream: the event stream is
+    unioned with a second reader of the same source (every event arrives
+    TWICE, the classic at-least-once delivery duplicate), then
+    ``dropDuplicatesWithinWatermark`` on event_id collapses the copies —
+    the standard idempotent-ingestion front of a streaming pipeline.
+
+    The deduped append output is then batch-aggregated per event_type, and
+    the oracle is the plain batch aggregate over the original events: the
+    stream result matches it exactly iff every duplicate was dropped and
+    no original lost. The watermark delay (10 days) exceeds the fixture's
+    time span, so no dedup state is evicted before its duplicate arrives —
+    at production scale the delay bounds state to O(events per delay
+    window) per key-partition, which is what makes the operator runnable
+    on an unbounded stream (a plain ``dropDuplicates`` would grow state
+    forever).
+
+    Scale notes: dedup state shuffles on event_id (the natural idempotency
+    key); the downstream aggregate is a tiny per-type rollup.
+    """
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    src = _stage_split_by_ts(spark, sf_dir, "stream_dedup", e)
+    stage = os.path.dirname(src)
+
+    def read_once() -> DataFrame:
+        return (
+            spark.readStream.schema(e.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(src + "/batch=*")
+        )
+
+    doubled = read_once().union(read_once())
+    deduped = (
+        doubled.withWatermark("ts", "10 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    qname = "stream_dedup_watermark_sink"
+    with few_partitions(spark):
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", fresh_ckpt(stage))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    return (
+        spark.sql(f"SELECT * FROM {qname}")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )

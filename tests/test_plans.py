@@ -352,3 +352,52 @@ def test_embedding_cosine_refuses_large_corpus(spark, monkeypatch):
     monkeypatch.setattr(ann, "_BRUTE_FORCE_MAX_VECTORS", 10)
     with pytest.raises(ValueError, match="dedup_embedding_lsh"):
         ops.QUERIES["dedup_embedding_cosine"](spark, SF_SMALL)
+
+
+def test_contamination_broadcasts_benchmark_set(spark):
+    """The benchmark gram set (tiny vs the corpus) must broadcast; the
+    corpus-side shingle stream may never shuffle into a SortMergeJoin."""
+    plan = plan_of(spark, "pipeline_contamination_ngram")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pq_adc_broadcasts_codebooks_and_lut(spark):
+    """PQ encode joins broadcast codebooks; ADC scoring joins a broadcast
+    per-query LUT — the corpus itself is never the shuffled join side."""
+    plan = plan_of(spark, "similarity_pq_adc")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_domain_mix_broadcasts_quota(spark):
+    """The per-source quota frame (#sources rows) broadcasts back onto the
+    corpus; only the selection window shuffles the documents."""
+    plan = plan_of(spark, "pipeline_domain_mix")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_token_pack_windows_per_source(spark):
+    """Sequence packing must partition its cumulative window by source —
+    a global (SinglePartition) window would serialize the corpus."""
+    plan = plan_of(spark, "pipeline_token_pack")
+    assert "hashpartitioning(source" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_heavy_hitters_topk_and_partial_agg(spark):
+    """Global top-25 terms: partial aggregation before the shuffle and a
+    TakeOrderedAndProject instead of a full global sort."""
+    plan = plan_of(spark, "text_heavy_hitters")
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_" in plan.lower() or "Partial" in plan
+
+
+def test_partitioned_source_prunes_partitions(spark):
+    """The lang predicate must bind to the directory layout (partition
+    pruning), not run as a data filter over all files."""
+    plan = plan_of(spark, "source_partitioned_pruned")
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf, "no PartitionFilters in scan"
+    assert any("lang" in ln for ln in pf)
