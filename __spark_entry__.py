@@ -63,6 +63,7 @@ _CERT_ORDER = [
     "pipeline_token_pack", "text_pii_scrub", "pipeline_contamination_ngram",
     "pipeline_domain_mix", "text_heavy_hitters", "similarity_pq_adc",
     "stream_dedup_watermark", "source_partitioned_pruned",
+    "stream_static_enrich", "pipeline_pretrain_e2e",
     "text_lang_id", "text_quality_score", "text_token_count",
     "text_fingerprint", "text_tfidf_topterms",
     "event_funnel", "pipeline_corpus_clean",

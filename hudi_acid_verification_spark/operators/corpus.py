@@ -1,7 +1,9 @@
 """Training-corpus preparation operators over ``documents`` (north-star
 LLM-data-pipeline surface, round-2 additions): token-budget sequence
 packing, PII scrubbing, benchmark-contamination screening, domain-mixture
-resampling, and corpus-level heavy hitters.
+resampling, corpus-level heavy hitters, and the end-to-end pretraining
+pipeline composite (gate → dedup → decontaminate → mix → pack) that chains
+them as one declarative plan.
 
 The reference has no analytics surface (SURVEY.md §2A note); these are the
 operations a 100 TB pretraining pipeline runs between raw ingestion and
@@ -328,3 +330,194 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = counts.orderBy(F.col("cnt").desc(), "term").limit(_TOP_TERMS)
     w = Window.orderBy(F.col("cnt").desc(), "term")
     return top.withColumn("rnk", F.row_number().over(w))
+
+
+@query(
+    "pipeline_pretrain_e2e",
+    oracle=f"""
+    WITH gated AS (
+        SELECT doc_id, text, source,
+               len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 20
+          AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+              / len(string_split(text, ' ')) >= 0.5
+    ),
+    deduped AS (
+        SELECT doc_id, text, source, n_tokens FROM (
+            SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+            FROM gated
+        ) WHERE rn = 1
+    ),
+    grams AS (
+        SELECT d.doc_id,
+               md5(array_to_string(t.l[u.i:u.i+{_NGRAM - 1}], ' ')) AS g
+        FROM deduped d,
+             LATERAL (SELECT string_split(d.text, ' ') AS l) t,
+             LATERAL (SELECT unnest(generate_series(1, len(t.l) - {_NGRAM - 1})) AS i) u
+    ),
+    bench AS (
+        SELECT DISTINCT md5(array_to_string(t.l[u.i:u.i+{_NGRAM - 1}], ' ')) AS g
+        FROM documents d,
+             LATERAL (SELECT string_split(d.text, ' ') AS l) t,
+             LATERAL (SELECT unnest(generate_series(1, len(t.l) - {_NGRAM - 1})) AS i) u
+        WHERE d.doc_id % {_BENCH_MOD} = 0
+    ),
+    contam AS (
+        SELECT c.doc_id,
+               CAST(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                   / count(*) AS ratio
+        FROM grams c LEFT JOIN bench b ON b.g = c.g
+        GROUP BY c.doc_id
+    ),
+    clean AS (
+        SELECT d.* FROM deduped d
+        JOIN contam x ON x.doc_id = d.doc_id
+        WHERE d.doc_id % {_BENCH_MOD} != 0 AND x.ratio < 0.3
+    ),
+    weighted AS (
+        SELECT source, count(*) AS n_docs,
+               CAST(('0x' || substr(md5(source), 1, 8)) AS BIGINT) % 5 + 1 AS weight
+        FROM clean GROUP BY source
+    ),
+    totals AS (
+        SELECT CAST(sum(n_docs) AS BIGINT) // 2 AS sample_budget,
+               CAST(sum(weight) AS BIGINT) AS total_weight
+        FROM weighted
+    ),
+    quota AS (
+        SELECT w.source, w.weight,
+               (w.weight * t.sample_budget) // t.total_weight AS n_target
+        FROM weighted w, totals t
+    ),
+    selected AS (
+        SELECT doc_id, source, weight, n_target, n_tokens FROM (
+            SELECT c.doc_id, c.source, q.weight, q.n_target, c.n_tokens,
+                   row_number() OVER (
+                       PARTITION BY c.source
+                       ORDER BY md5(CAST(c.doc_id AS VARCHAR)), c.doc_id
+                   ) AS rn
+            FROM clean c JOIN quota q ON q.source = c.source
+        ) WHERE rn <= n_target
+    ),
+    packed AS (
+        SELECT source, weight, n_target, doc_id, n_tokens,
+               (CAST(sum(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - n_tokens AS BIGINT)) // {_PACK_BUDGET} AS pack_id
+        FROM selected
+    )
+    SELECT source, CAST(weight AS BIGINT) AS weight,
+           CAST(n_target AS BIGINT) AS n_target,
+           count(*) AS n_docs_kept,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
+           CAST(count(DISTINCT pack_id) AS BIGINT) AS n_packs
+    FROM packed
+    GROUP BY source, weight, n_target
+    """,
+)
+def pipeline_pretrain_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full pretraining-data mile as ONE declarative plan:
+    quality gate (length + lexical diversity) → exact dedup (min-doc_id
+    survivor per identical text) → benchmark decontamination (drop docs
+    with ≥ 30% 5-gram overlap against the held-out set) → weighted
+    domain-mixture selection (md5-deterministic quotas over the CLEANED
+    per-source counts) → token-budget sequence packing → per-source
+    accounting (docs kept, tokens, packs).
+
+    Composes the five standalone operators end-to-end, which is how a real
+    pipeline runs them — and Catalyst plans the whole chain at once:
+    the gates fuse into the scan, the benchmark gram set and the quota
+    frame broadcast, and the corpus shuffles only on its natural stage keys
+    (dedup window on text, contamination rollup + join-back on doc_id,
+    mixture/packing windows on source) regardless of how many logical
+    stages the recipe has. That plan-level fusion across stage boundaries
+    is the argument for expressing the pipeline declaratively instead of
+    as five materialized intermediate datasets.
+    """
+    toks = F.split("text", " ")
+    gated = (
+        load(spark, sf_dir, "documents")
+        .withColumn("n_tokens", F.size(toks))
+        .filter(
+            (F.col("n_tokens") >= 20)
+            & (
+                F.size(F.array_distinct(toks)).cast("double")
+                / F.col("n_tokens")
+                >= 0.5
+            )
+        )
+        .select("doc_id", "text", "source", "n_tokens")
+    )
+    w_dedup = Window.partitionBy("text").orderBy("doc_id")
+    deduped = (
+        gated.withColumn("rn", F.row_number().over(w_dedup))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    grams_of = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (_NGRAM - 1)),
+        lambda i: F.md5(F.array_join(F.slice(toks, i, _NGRAM), " ")),
+    )
+    bench = (
+        load(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % _BENCH_MOD == 0) & (F.size(toks) >= _NGRAM))
+        .select(F.explode(grams_of).alias("g"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    grams = deduped.select("doc_id", F.explode(grams_of).alias("g"))
+    contam = (
+        grams.join(F.broadcast(bench), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+                / F.count(F.lit(1))
+            ).alias("ratio")
+        )
+    )
+    clean = (
+        deduped.join(contam, "doc_id")
+        .filter((F.col("doc_id") % _BENCH_MOD != 0) & (F.col("ratio") < 0.3))
+        .select("doc_id", "source", "n_tokens")
+    )
+    weight = (
+        F.conv(F.substring(F.md5("source"), 1, 8), 16, 10).cast("bigint") % 5 + 1
+    )
+    weighted = clean.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.first(weight).alias("weight")
+    )
+    totals = weighted.agg(
+        F.expr("CAST(sum(n_docs) AS BIGINT) DIV 2").alias("sample_budget"),
+        F.sum("weight").cast("bigint").alias("total_weight"),
+    )
+    quota = weighted.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "weight",
+        F.expr("(weight * sample_budget) DIV total_weight").alias("n_target"),
+    )
+    w_sel = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    selected = (
+        clean.join(F.broadcast(quota), "source")
+        .withColumn("rn", F.row_number().over(w_sel))
+        .filter(F.col("rn") <= F.col("n_target"))
+        .drop("rn")
+    )
+    w_pack = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = selected.withColumn(
+        "start_off",
+        (F.sum("n_tokens").over(w_pack) - F.col("n_tokens")).cast("bigint"),
+    ).withColumn("pack_id", F.expr(f"start_off DIV {_PACK_BUDGET}"))
+    return packed.groupBy("source", "weight", "n_target").agg(
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.sum("n_tokens").cast("bigint").alias("tokens_total"),
+        F.countDistinct("pack_id").cast("bigint").alias("n_packs"),
+    )

@@ -661,3 +661,80 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_value"),
         )
     )
+
+
+@query(
+    "stream_static_enrich",
+    oracle="""
+    SELECT c.c_mktsegment, n.n_name,
+           count(*) AS n_events,
+           CAST(sum(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE e.event_type = 'purchase'
+    GROUP BY c.c_mktsegment, n.n_name
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the purchase stream joins the static
+    customer→nation dimension chain per micro-batch, and the enriched
+    append output rolls up revenue by (market segment, nation). The
+    canonical streaming-ETL shape — facts arrive unbounded, dimensions are
+    a slowly-changing table the stream enriches against.
+
+    The static side needs no watermark and holds no state: each micro-batch
+    plans a fresh batch join, and with dimensions this small Spark
+    BROADCASTS them — the stream is never shuffled for the join. At
+    production scale the dimension re-resolves per batch (new snapshot =
+    picked up automatically, e.g. an AcidTable manifest read), which is why
+    stream-static beats stream-stream for reference data.
+
+    Oracle: the same join+rollup in batch SQL — an inner join against a
+    static side loses no rows in append mode, so stream equals batch
+    exactly.
+    """
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    src = _stage_split_by_ts(spark, sf_dir, "stream_enrich", e)
+    stage = os.path.dirname(src)
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    nat = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(src + "/batch=*")
+        .filter(F.col("event_type") == "purchase")
+    )
+    enriched = stream.join(
+        F.broadcast(cust), stream["user_id"] == cust["c_custkey"]
+    ).join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+    qname = "stream_static_enrich_sink"
+    with few_partitions(spark):
+        q = (
+            enriched.select("c_mktsegment", "n_name", "value")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", fresh_ckpt(stage))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    return (
+        spark.sql(f"SELECT * FROM {qname}")
+        .groupBy("c_mktsegment", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )

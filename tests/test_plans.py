@@ -401,3 +401,14 @@ def test_partitioned_source_prunes_partitions(spark):
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert pf, "no PartitionFilters in scan"
     assert any("lang" in ln for ln in pf)
+
+
+def test_pretrain_e2e_broadcasts_and_fuses_gates(spark):
+    """The end-to-end corpus pipeline: quality gates reach the scan as one
+    fused filter stage, and the benchmark-gram + quota frames broadcast —
+    the corpus is never the build side of any join."""
+    plan = plan_of(spark, "pipeline_pretrain_e2e")
+    assert "BroadcastHashJoin" in plan
+    # corpus shuffles only on natural stage keys; never a cartesian fallback
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan or "sample_budget" in plan
