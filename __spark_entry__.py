@@ -64,6 +64,9 @@ _CERT_ORDER = [
     "pipeline_domain_mix", "text_heavy_hitters", "similarity_pq_adc",
     "stream_dedup_watermark", "source_partitioned_pruned",
     "stream_static_enrich", "pipeline_pretrain_e2e",
+    "text_repetition_metrics", "text_seqlen_histogram",
+    "pipeline_incremental_dedup", "pipeline_dataset_card",
+    "scalar_url_parse", "sketch_countmin_topk", "sketch_bloom_membership",
     "text_lang_id", "text_quality_score", "text_token_count",
     "text_fingerprint", "text_tfidf_topterms",
     "event_funnel", "pipeline_corpus_clean",

@@ -83,10 +83,12 @@ def _import_all() -> None:
         pipelines,
         pivoting,
         pq,
+        quality,
         scalar,
         scans,
         setops,
         similarity,
+        sketch,
         sources,
         subqueries,
         streaming_windows,

@@ -1,0 +1,374 @@
+"""Corpus-quality and corpus-maintenance operators over ``documents``
+(north-star LLM-data-pipeline surface, round-2 continuation): Gopher-style
+repetition metrics, sequence-length histograms, incremental
+new-batch-vs-corpus dedup, a per-(lang, source) dataset card, and URL
+parsing/normalization.
+
+The reference has no analytics surface (SURVEY.md §2A note); these are the
+quality gates and bookkeeping a 100 TB pretraining pipeline runs alongside
+dedup/decontamination. Everything stays in JVM expressions (explode /
+groupBy / window / regexp) so whole-stage codegen covers the hot path and
+each operator's only shuffles are on its natural keys (doc_id or the
+rollup key).
+
+Cross-engine determinism: counts are int64, every ratio is an exact integer
+pair divided once as doubles, hash-derived values go through md5 (identical
+in both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import load, query
+
+_HIST_WIDTH = 8      # tokens per histogram bucket
+_CORPUS_MOD = 3      # doc_id % 3 == 0 rows play the already-ingested corpus
+
+
+@query(
+    "text_repetition_metrics",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    tc AS (
+        SELECT doc_id, term, count(*) AS cnt FROM toks GROUP BY doc_id, term
+    ),
+    uni AS (
+        SELECT doc_id,
+               CAST(sum(cnt) AS BIGINT) AS n_tokens,
+               CAST(max(cnt) AS BIGINT) AS top_token_cnt,
+               CAST(sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS BIGINT)
+                   AS repeated_tokens
+        FROM tc GROUP BY doc_id
+    ),
+    big AS (
+        SELECT d.doc_id,
+               count(*) AS n_2grams,
+               count(DISTINCT array_to_string(t.l[u.i:u.i+1], ' '))
+                   AS n_distinct_2grams
+        FROM documents d,
+             LATERAL (SELECT string_split(d.text, ' ') AS l) t,
+             LATERAL (SELECT unnest(generate_series(1, len(t.l) - 1)) AS i) u
+        WHERE len(t.l) >= 2
+        GROUP BY d.doc_id
+    )
+    SELECT u.doc_id, u.n_tokens,
+           CAST(u.top_token_cnt AS DOUBLE) / u.n_tokens AS top_token_frac,
+           CAST(u.repeated_tokens AS DOUBLE) / u.n_tokens AS repeated_token_frac,
+           1.0 - CAST(b.n_distinct_2grams AS DOUBLE) / b.n_2grams
+               AS dup_2gram_frac,
+           (CAST(u.top_token_cnt AS DOUBLE) / u.n_tokens <= 0.1
+            AND 1.0 - CAST(b.n_distinct_2grams AS DOUBLE) / b.n_2grams <= 0.25)
+               AS passes_repetition_gate
+    FROM uni u JOIN big b ON b.doc_id = u.doc_id
+    """,
+)
+def text_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: top-token fraction,
+    fraction of tokens belonging to a term that repeats, duplicate-2-gram
+    fraction, and the boolean repetition gate built from them. These are
+    the rules production quality filters (Gopher §A.1.1, C4) apply to drop
+    boilerplate and degenerate machine text before training.
+
+    Shape: one explode → (doc_id, term) count → doc rollup for the unigram
+    signals, one 2-gram explode → doc rollup for the duplicate-bigram
+    signal, joined on doc_id. All three shuffles key on doc_id (or
+    doc_id+term, a superset), so at 100 TB the work is proportional to
+    token count with map-side partial aggregation absorbing the skew —
+    no corpus-wide key ever concentrates.
+    """
+    toks = F.split("text", " ")
+    d = load(spark, sf_dir, "documents")
+    tc = (
+        d.select("doc_id", F.explode(toks).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    uni = tc.groupBy("doc_id").agg(
+        F.sum("cnt").cast("bigint").alias("n_tokens"),
+        F.max("cnt").cast("bigint").alias("top_token_cnt"),
+        F.sum(F.when(F.col("cnt") >= 2, F.col("cnt")).otherwise(0))
+        .cast("bigint")
+        .alias("repeated_tokens"),
+    )
+    grams_of = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.array_join(F.slice(toks, i, 2), " "),
+    )
+    big = (
+        d.filter(F.size(toks) >= 2)
+        .select("doc_id", F.explode(grams_of).alias("g"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_2grams"),
+            F.countDistinct("g").alias("n_distinct_2grams"),
+        )
+    )
+    top_frac = F.col("top_token_cnt").cast("double") / F.col("n_tokens")
+    dup2 = F.lit(1.0) - F.col("n_distinct_2grams").cast("double") / F.col(
+        "n_2grams"
+    )
+    return uni.join(big, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        top_frac.alias("top_token_frac"),
+        (F.col("repeated_tokens").cast("double") / F.col("n_tokens")).alias(
+            "repeated_token_frac"
+        ),
+        dup2.alias("dup_2gram_frac"),
+        ((top_frac <= 0.1) & (dup2 <= 0.25)).alias("passes_repetition_gate"),
+    )
+
+
+@query(
+    "text_seqlen_histogram",
+    oracle=f"""
+    WITH sized AS (
+        SELECT len(string_split(text, ' ')) AS n_tokens FROM documents
+    ),
+    hist AS (
+        SELECT n_tokens // {_HIST_WIDTH} AS bucket,
+               count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
+               CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+               CAST(max(n_tokens) AS BIGINT) AS max_tokens
+        FROM sized GROUP BY bucket
+    )
+    SELECT bucket * {_HIST_WIDTH} AS bucket_lo,
+           n_docs, tokens_total, min_tokens, max_tokens,
+           CAST(sum(n_docs) OVER (ORDER BY bucket) AS DOUBLE)
+               / sum(n_docs) OVER () AS cum_doc_frac
+    FROM hist
+    """,
+)
+def text_seqlen_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram of the corpus ({_HIST_WIDTH}-token buckets)
+    with the cumulative document fraction — the distribution a pipeline
+    inspects to pick packing budgets and truncation limits before
+    tokenization.
+
+    Shape: scan → map-side bucket assignment → one tiny aggregate on
+    bucket (cardinality = max_len/width, a few hundred at most), then the
+    cumulative window runs over that already-tiny frame on a single
+    partition — the 100 TB cost is exactly one pass over the corpus.
+    """
+    sized = load(spark, sf_dir, "documents").select(
+        F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    hist = (
+        sized.withColumn("bucket", F.expr(f"n_tokens DIV {_HIST_WIDTH}"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("tokens_total"),
+            F.min("n_tokens").cast("bigint").alias("min_tokens"),
+            F.max("n_tokens").cast("bigint").alias("max_tokens"),
+        )
+    )
+    w_cum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return hist.select(
+        (F.col("bucket") * _HIST_WIDTH).alias("bucket_lo"),
+        "n_docs",
+        "tokens_total",
+        "min_tokens",
+        "max_tokens",
+        (
+            F.sum("n_docs").over(w_cum).cast("double")
+            / F.sum("n_docs").over(w_all)
+        ).alias("cum_doc_frac"),
+    )
+
+
+@query(
+    "pipeline_incremental_dedup",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT DISTINCT md5(text) AS h FROM documents
+        WHERE doc_id % {_CORPUS_MOD} = 0
+    ),
+    batch AS (
+        SELECT doc_id, source, md5(text) AS h,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM documents WHERE doc_id % {_CORPUS_MOD} != 0
+    )
+    SELECT b.source,
+           count(*) AS n_batch,
+           CAST(sum(CASE WHEN b.rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_within_dup,
+           CAST(sum(CASE WHEN b.rn = 1 AND c.h IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_already_ingested,
+           CAST(sum(CASE WHEN b.rn = 1 AND c.h IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_new_kept,
+           CAST(sum(CASE WHEN b.rn = 1 AND c.h IS NULL THEN b.doc_id ELSE 0 END)
+               AS BIGINT) AS new_doc_sum
+    FROM batch b LEFT JOIN corpus c ON c.h = b.h
+    GROUP BY b.source
+    """,
+)
+def pipeline_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus update: dedup a NEW ingestion batch first within
+    itself (min-doc_id survivor per identical text) and then against the
+    already-ingested corpus (docs with doc_id % {_CORPUS_MOD} == 0 play the
+    existing store), reporting per-source how many batch docs were
+    batch-internal dups, already ingested, or genuinely new. This is the
+    steady-state shape of a crawl pipeline — full-corpus re-dedup never
+    runs again after bootstrap; every refresh is batch-vs-corpus.
+
+    Shape: both sides key on md5(text); the within-batch window and the
+    batch↔corpus hash join shuffle on that same 128-bit key, so one
+    exchange of the (small) batch serves both steps, while the corpus side
+    in production is a pre-bucketed hash index that never reshuffles —
+    Spark's sort-merge join against a bucketed table reads it in place.
+    The final rollup keys on source (tiny).
+    """
+    d = load(spark, sf_dir, "documents").withColumn("h", F.md5("text"))
+    corpus = (
+        d.filter(F.col("doc_id") % _CORPUS_MOD == 0)
+        .select("h")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    batch = d.filter(F.col("doc_id") % _CORPUS_MOD != 0).withColumn(
+        "rn", F.row_number().over(Window.partitionBy("h").orderBy("doc_id"))
+    )
+    kept_new = (F.col("rn") == 1) & F.col("hit").isNull()
+    return (
+        batch.join(corpus, "h", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_batch"),
+            F.sum((F.col("rn") > 1).cast("int"))
+            .cast("bigint")
+            .alias("n_within_dup"),
+            F.sum(((F.col("rn") == 1) & F.col("hit").isNotNull()).cast("int"))
+            .cast("bigint")
+            .alias("n_already_ingested"),
+            F.sum(kept_new.cast("int")).cast("bigint").alias("n_new_kept"),
+            F.sum(F.when(kept_new, F.col("doc_id")).otherwise(0))
+            .cast("bigint")
+            .alias("new_doc_sum"),
+        )
+    )
+
+
+@query(
+    "pipeline_dataset_card",
+    oracle="""
+    WITH per AS (
+        SELECT lang, source,
+               count(*) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens_total,
+               CAST(sum(n_chars) AS BIGINT) AS chars_total,
+               count(DISTINCT md5(text)) AS n_distinct_texts
+        FROM documents GROUP BY lang, source
+    )
+    SELECT lang, source, n_docs, tokens_total, chars_total,
+           CAST(tokens_total AS DOUBLE) / n_docs AS mean_tokens,
+           1.0 - CAST(n_distinct_texts AS DOUBLE) / n_docs AS dup_rate,
+           CAST(n_docs AS DOUBLE) / sum(n_docs) OVER () AS corpus_share
+    FROM per
+    """,
+)
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card rollup: the per-(lang, source) accounting block every
+    released training corpus publishes — document/token/char volumes, mean
+    document length, exact duplicate rate, and each cell's share of the
+    corpus.
+
+    Shape: one aggregate keyed on (lang, source) — map-side partials do
+    ~all the work since the group cardinality is tiny — then the share
+    window runs over the handful of rollup rows. One corpus pass at any
+    scale; the exact distinct-count keys on the same group so it rides the
+    same shuffle.
+    """
+    per = (
+        load(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split("text", " ")))
+            .cast("bigint")
+            .alias("tokens_total"),
+            F.sum("n_chars").cast("bigint").alias("chars_total"),
+            F.countDistinct(F.md5("text")).alias("n_distinct_texts"),
+        )
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return per.select(
+        "lang",
+        "source",
+        "n_docs",
+        "tokens_total",
+        "chars_total",
+        (F.col("tokens_total").cast("double") / F.col("n_docs")).alias(
+            "mean_tokens"
+        ),
+        (
+            F.lit(1.0)
+            - F.col("n_distinct_texts").cast("double") / F.col("n_docs")
+        ).alias("dup_rate"),
+        (F.col("n_docs").cast("double") / F.sum("n_docs").over(w_all)).alias(
+            "corpus_share"
+        ),
+    )
+
+
+@query(
+    "scalar_url_parse",
+    oracle="""
+    WITH urls AS (
+        SELECT doc_id,
+               'https://' || source || '.example.com/' || lang || '/doc-'
+                   || CAST(doc_id AS VARCHAR) || '?ref=' || source AS url
+        FROM documents
+    )
+    SELECT doc_id, url,
+           regexp_extract(url, '^https?://([^/]+)/', 1) AS host,
+           regexp_extract(url, '^https?://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, 'ref=([^&]+)', 1) AS ref_param,
+           regexp_extract(url, '^https?://[^/.]+\\.([^/]+)/', 1)
+               AS registered_domain
+    FROM urls
+    """,
+)
+def scalar_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL synthesis + parsing: builds each document's canonical URL and
+    decomposes it into host / path / query-param / registered domain with
+    ``parse_url`` (the JVM built-in crawl pipelines use for host-level
+    grouping, robots lookups, and per-domain caps). The oracle re-derives
+    the same fields with regexes, pinning ``parse_url``'s semantics.
+
+    Shape: pure per-row expressions in one codegen stage — no shuffle, no
+    Python; scales with the scan.
+    """
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/"),
+        F.col("lang"),
+        F.lit("/doc-"),
+        F.col("doc_id").cast("string"),
+        F.lit("?ref="),
+        F.col("source"),
+    )
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        url.alias("url"),
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("ref")).alias("ref_param"),
+        F.regexp_extract(url, r"^https?://[^/.]+\.([^/]+)/", 1).alias(
+            "registered_domain"
+        ),
+    )

@@ -1,0 +1,263 @@
+"""Probabilistic-sketch operators built from deterministic JVM bit
+arithmetic: a count-min sketch for heavy hitters and a Bloom filter for
+corpus-membership probes.
+
+At 100 TB exact per-term or per-hash state stops fitting; these are the
+standard sub-linear replacements. Both sketches here are REAL — md5-derived
+hash families, bit-packed words, mergeable map-side partials — not library
+calls, so the same construction runs on any Spark cluster with no UDFs.
+And because the hash families are deterministic, DuckDB can rebuild the
+identical sketch and the oracle checks the sketch CONTENTS exactly, not
+just summary statistics.
+
+Scale notes: a count-min sketch is a fixed (depth × width) grid whose
+partial aggregates merge by addition — the shuffle carries at most
+depth×width rows per map partition regardless of corpus size. A Bloom
+filter is a fixed bit array whose partials merge by OR — same property.
+Both therefore ship O(sketch) not O(data) through every exchange, which is
+the whole point.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import load, query
+
+_CM_W = 512        # count-min width (slots per row)
+_CM_D = 4          # count-min depth (hash functions)
+_CM_TOP = 25
+
+_BLOOM_BITS = 65536   # m: filter size in bits
+_BLOOM_WORDS = 32     # bits per packed word (32 keeps every mask positive)
+_BLOOM_K = 3          # hash functions
+_CORPUS_MOD = 3       # doc_id % 3 == 0 rows play the already-ingested corpus
+
+
+def _slot_sql(i: str, term: str, width: int) -> str:
+    """DuckDB: md5-derived hash of (i, term) into [0, width)."""
+    return (
+        f"CAST(('0x' || substr(md5(CAST({i} AS VARCHAR) || ':' || {term}), 1, 8)) "
+        f"AS BIGINT) % {width}"
+    )
+
+
+def _slot_col(i, term, width: int):
+    """Spark: the same md5-derived hash family, bit-identical to _slot_sql."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(i.cast("string"), F.lit(":"), term)), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % width
+    )
+
+
+@query(
+    "sketch_countmin_topk",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    exact AS (
+        SELECT term, count(*) AS exact_cnt FROM toks
+        WHERE term <> '' GROUP BY term
+    ),
+    cells AS (
+        SELECT i.i AS row_i, {_slot_sql('i.i', 't.term', _CM_W)} AS slot,
+               count(*) AS cnt
+        FROM toks t, LATERAL (
+            SELECT unnest(generate_series(0, {_CM_D - 1})) AS i
+        ) i
+        WHERE t.term <> ''
+        GROUP BY row_i, slot
+    ),
+    probes AS (
+        SELECT e.term, e.exact_cnt, i.i AS row_i,
+               {_slot_sql('i.i', 'e.term', _CM_W)} AS slot
+        FROM exact e, LATERAL (
+            SELECT unnest(generate_series(0, {_CM_D - 1})) AS i
+        ) i
+    ),
+    est AS (
+        SELECT p.term,
+               CAST(min(p.exact_cnt) AS BIGINT) AS exact_cnt,
+               CAST(min(c.cnt) AS BIGINT) AS est_cnt
+        FROM probes p JOIN cells c ON c.row_i = p.row_i AND c.slot = p.slot
+        GROUP BY p.term
+    )
+    SELECT term, est_cnt, exact_cnt, est_cnt - exact_cnt AS overcount
+    FROM est
+    ORDER BY est_cnt DESC, term
+    LIMIT {_CM_TOP}
+    """,
+)
+def sketch_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the token stream ({_CM_D}×{_CM_W} grid,
+    md5-derived hash family), then the top-{_CM_TOP} terms ranked by their
+    SKETCH estimate, with the exact count and the sketch's overcount
+    alongside. Count-min guarantees est ≥ exact (collisions only inflate);
+    a property test pins that invariant, and the oracle rebuilds the same
+    grid in DuckDB so the estimates match bit-for-bit.
+
+    Shape: the grid build is one explode → groupBy(row, slot) whose
+    map-side partials cap the exchange at depth×width rows per partition —
+    constant shuffle volume at any corpus size. The probe side joins the
+    (tiny, ≤ depth×width row) grid back to candidate terms; at 100 TB the
+    candidate set comes from per-partition pre-aggregation, and the final
+    ranking is a TakeOrderedAndProject top-k, never a full sort.
+    """
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    rows_i = F.explode(F.sequence(F.lit(0), F.lit(_CM_D - 1))).alias("row_i")
+    cells = (
+        toks.select("term", rows_i)
+        .select("row_i", _slot_col(F.col("row_i"), F.col("term"), _CM_W).alias("slot"))
+        .groupBy("row_i", "slot")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    exact = toks.groupBy("term").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    probes = exact.select("term", "exact_cnt", rows_i).withColumn(
+        "slot", _slot_col(F.col("row_i"), F.col("term"), _CM_W)
+    )
+    est = (
+        probes.join(F.broadcast(cells), ["row_i", "slot"])
+        .groupBy("term")
+        .agg(
+            F.min("exact_cnt").cast("bigint").alias("exact_cnt"),
+            F.min("cnt").cast("bigint").alias("est_cnt"),
+        )
+    )
+    return (
+        est.select(
+            "term",
+            "est_cnt",
+            "exact_cnt",
+            (F.col("est_cnt") - F.col("exact_cnt")).alias("overcount"),
+        )
+        .orderBy(F.col("est_cnt").desc(), "term")
+        .limit(_CM_TOP)
+    )
+
+
+@query(
+    "sketch_bloom_membership",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT DISTINCT md5(text) AS h FROM documents
+        WHERE doc_id % {_CORPUS_MOD} = 0
+    ),
+    bloom AS (
+        SELECT b.bit // {_BLOOM_WORDS} AS word,
+               bit_or(CAST(1 AS BIGINT) << (b.bit % {_BLOOM_WORDS})) AS bits
+        FROM corpus c, LATERAL (
+            SELECT {_slot_sql('j.j', 'c.h', _BLOOM_BITS)} AS bit
+            FROM (SELECT unnest(generate_series(0, {_BLOOM_K - 1})) AS j) j
+        ) b
+        GROUP BY word
+    ),
+    batch AS (
+        SELECT doc_id, source, md5(text) AS h FROM documents
+        WHERE doc_id % {_CORPUS_MOD} != 0
+    ),
+    probed AS (
+        SELECT t.doc_id, t.source, t.h,
+               CAST(sum(CASE WHEN (bl.bits & (CAST(1 AS BIGINT) << (b.bit % {_BLOOM_WORDS})))
+                                  != 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bits_set
+        FROM batch t, LATERAL (
+            SELECT j.j, {_slot_sql('j.j', 't.h', _BLOOM_BITS)} AS bit
+            FROM (SELECT unnest(generate_series(0, {_BLOOM_K - 1})) AS j) j
+        ) b
+        LEFT JOIN bloom bl ON bl.word = b.bit // {_BLOOM_WORDS}
+        GROUP BY t.doc_id, t.source, t.h
+    )
+    SELECT p.source,
+           count(*) AS n_probes,
+           CAST(sum(CASE WHEN p.n_bits_set = {_BLOOM_K} THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_bloom_positive,
+           CAST(sum(CASE WHEN c.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_true_present,
+           CAST(sum(CASE WHEN p.n_bits_set = {_BLOOM_K} AND c.h IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_false_positive
+    FROM probed p LEFT JOIN corpus c ON c.h = p.h
+    GROUP BY p.source
+    """,
+)
+def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership screen: pack the already-ingested corpus's
+    text hashes into a {_BLOOM_BITS}-bit filter ({_BLOOM_K} md5-derived
+    hashes, OR-merged {_BLOOM_WORDS}-bit words), probe every new-batch
+    document against it, and reconcile per source against exact membership
+    — reporting bloom positives, true positives, and measured false
+    positives. A Bloom negative is definitive, so at 100 TB this pass lets
+    the expensive exact hash join run over only the (tiny) bloom-positive
+    slice instead of the whole batch.
+
+    Shape: the filter build is explode → groupBy(word) with bit_or partials
+    — the exchange carries at most m/{_BLOOM_WORDS} words per partition,
+    constant in corpus size — and the packed filter (≤ {_BLOOM_BITS // _BLOOM_WORDS}
+    rows) BROADCASTS to the probe side, so probing never shuffles the
+    batch. The exact reconciliation join is the operator under test in
+    `pipeline_incremental_dedup`; here it exists to measure the sketch.
+    """
+    d = load(spark, sf_dir, "documents").withColumn("h", F.md5("text"))
+    corpus = (
+        d.filter(F.col("doc_id") % _CORPUS_MOD == 0).select("h").distinct()
+    )
+    js = F.explode(F.sequence(F.lit(0), F.lit(_BLOOM_K - 1))).alias("j")
+    bit = _slot_col(F.col("j"), F.col("h"), _BLOOM_BITS)
+    word = F.expr(f"bit DIV {_BLOOM_WORDS}")
+    mask = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), CAST(bit % {_BLOOM_WORDS} AS INT))"
+    )
+    bloom = (
+        corpus.select("h", js)
+        .select(bit.alias("bit"))
+        .select(word.alias("word"), mask.alias("mask"))
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+    batch = d.filter(F.col("doc_id") % _CORPUS_MOD != 0).select(
+        "doc_id", "source", "h"
+    )
+    probed = (
+        batch.select("doc_id", "source", "h", js)
+        .select("doc_id", "source", "h", bit.alias("bit"))
+        .select(
+            "doc_id",
+            "source",
+            "h",
+            word.alias("word"),
+            mask.alias("mask"),
+        )
+        .join(F.broadcast(bloom), "word", "left")
+        .groupBy("doc_id", "source", "h")
+        .agg(
+            F.sum(
+                (F.col("bits").bitwiseAND(F.col("mask")) != 0).cast("int")
+            )
+            .cast("bigint")
+            .alias("n_bits_set")
+        )
+    )
+    present = corpus.withColumn("in_corpus", F.lit(1))
+    pos = F.col("n_bits_set") == _BLOOM_K
+    return (
+        probed.join(present, "h", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_probes"),
+            F.sum(pos.cast("int")).cast("bigint").alias("n_bloom_positive"),
+            F.sum(F.col("in_corpus").isNotNull().cast("int"))
+            .cast("bigint")
+            .alias("n_true_present"),
+            F.sum((pos & F.col("in_corpus").isNull()).cast("int"))
+            .cast("bigint")
+            .alias("n_false_positive"),
+        )
+    )

@@ -120,3 +120,24 @@ def test_pq_adc_rescore_recall_vs_exact(spark):
         len(exact[q] & approx[q]) / len(exact[q]) for q in exact
     ]
     assert sum(recalls) / len(recalls) >= 0.8, f"recall collapsed: {recalls}"
+
+
+def test_countmin_never_undercounts(spark):
+    """CM guarantee: estimate >= exact for every reported term."""
+    from hudi_acid_verification_spark import operators as ops
+
+    rows = ops.QUERIES["sketch_countmin_topk"](spark, SF_SMALL).collect()
+    assert rows
+    assert all(r["overcount"] >= 0 for r in rows)
+
+
+def test_bloom_no_false_negatives(spark):
+    """Bloom guarantee: every truly-present probe is bloom-positive, and
+    false positives are the only divergence."""
+    from hudi_acid_verification_spark import operators as ops
+
+    rows = ops.QUERIES["sketch_bloom_membership"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r["n_bloom_positive"] >= r["n_true_present"]
+        assert r["n_false_positive"] == r["n_bloom_positive"] - r["n_true_present"]

@@ -412,3 +412,56 @@ def test_pretrain_e2e_broadcasts_and_fuses_gates(spark):
     # corpus shuffles only on natural stage keys; never a cartesian fallback
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan or "sample_budget" in plan
+
+
+def test_repetition_metrics_partial_agg_on_doc_keys(spark):
+    """Both repetition rollups must partial-aggregate before their exchange
+    (shuffle volume O(doc_id×term groups), not O(tokens)) and join on
+    doc_id without any broadcast of the corpus side."""
+    plan = plan_of(spark, "text_repetition_metrics")
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_seqlen_histogram_single_pass(spark):
+    """The histogram reads only the text column and partial-aggregates on
+    bucket, so the corpus pass ships O(buckets) rows into the window."""
+    plan = plan_of(spark, "text_seqlen_histogram")
+    read_schema = next(ln for ln in plan.splitlines() if "ReadSchema" in ln)
+    assert "text" in read_schema
+    for unused in ("doc_id", "lang", "source", "n_chars"):
+        assert unused not in read_schema, f"{unused} leaked into ReadSchema"
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_incremental_dedup_joins_on_hash_no_broadcast_of_batch(spark):
+    """Batch↔corpus dedup must hash-join on md5(text); the rollup keys on
+    source with a map-side partial."""
+    plan = plan_of(spark, "pipeline_incremental_dedup")
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_url_parse_stays_in_one_codegen_stage(spark):
+    """Pure scalar op: no exchange at all — the whole operator is one
+    codegen'd project over the scan."""
+    plan = plan_of(spark, "scalar_url_parse")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_countmin_grid_broadcasts_and_topk(spark):
+    """The sketch grid (≤ depth×width rows) must broadcast to the probe
+    join, and the final ranking must be a top-k, not a full sort."""
+    plan = plan_of(spark, "sketch_countmin_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan
+
+
+def test_bloom_filter_broadcasts_to_probe(spark):
+    """The packed filter (≤ m/32 words) must broadcast; the probe side
+    never shuffles on the word key."""
+    plan = plan_of(spark, "sketch_bloom_membership")
+    assert "BroadcastHashJoin" in plan
+    assert "partial_bit_or" in plan or "bit_or" in plan
