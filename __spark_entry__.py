@@ -67,6 +67,7 @@ _CERT_ORDER = [
     "text_repetition_metrics", "text_seqlen_histogram",
     "pipeline_incremental_dedup", "pipeline_dataset_card",
     "scalar_url_parse", "sketch_countmin_topk", "sketch_bloom_membership",
+    "dedup_semantic_cluster", "window_gap_fill",
     "text_lang_id", "text_quality_score", "text_token_count",
     "text_fingerprint", "text_tfidf_topterms",
     "event_funnel", "pipeline_corpus_clean",

@@ -865,3 +865,126 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         "component_id",
         F.count(F.lit(1)).over(w).alias("cluster_size"),
     )
+
+
+def _semantic_cluster_oracle() -> str:
+    cos = "CAST(d.dot AS DOUBLE) / (nv.nrm * nc.nrm)"
+    pcos = "CAST(d.dot AS DOUBLE) / (na.nrm * nb.nrm)"
+    return f"""
+    WITH {_ORACLE_ELEMS},
+    cdots AS (
+        SELECT a.vec_id, b.vec_id AS cent_id, sum(a.x * b.x) AS dot
+        FROM elems a
+        JOIN elems b ON b.i = a.i AND b.vec_id % {_CENT_MOD} = 0
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT d.vec_id, d.cent_id,
+               row_number() OVER (
+                   PARTITION BY d.vec_id ORDER BY {cos} DESC, d.cent_id
+               ) AS rn
+        FROM cdots d
+        JOIN norms nv ON nv.vec_id = d.vec_id
+        JOIN norms nc ON nc.vec_id = d.cent_id
+    ),
+    assign AS (SELECT vec_id, cent_id FROM ranked WHERE rn = 1),
+    pairs AS (
+        SELECT a.cent_id, a.vec_id AS lo, b.vec_id AS hi
+        FROM assign a
+        JOIN assign b ON b.cent_id = a.cent_id AND b.vec_id > a.vec_id
+    ),
+    dots AS (
+        SELECT p.cent_id, p.lo, p.hi, sum(ea.x * eb.x) AS dot
+        FROM pairs p
+        JOIN elems ea ON ea.vec_id = p.lo
+        JOIN elems eb ON eb.vec_id = p.hi AND eb.i = ea.i
+        GROUP BY 1, 2, 3
+    )
+    SELECT d.hi AS vec_id,
+           CAST(min(d.cent_id) AS BIGINT) AS cluster_id,
+           min(d.lo) AS dup_of,
+           max({pcos}) AS max_cosine
+    FROM dots d
+    JOIN norms na ON na.vec_id = d.lo
+    JOIN norms nb ON nb.vec_id = d.hi
+    WHERE {pcos} >= {_DUP_TAU}
+    GROUP BY d.hi
+    """
+
+
+@query("dedup_semantic_cluster", oracle=_semantic_cluster_oracle())
+def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic dedup: assign every vector to its nearest
+    centroid (the same deterministic vec_id % {_CENT_MOD} "k-means" family
+    the IVF index uses), then find near-duplicate pairs ONLY within each
+    cluster and canonicalize to the lowest vec_id. Clustering first turns
+    the O(N²) pair space into O(Σ cᵢ²) — with balanced clusters a K×
+    reduction — which is how semantic dedup actually runs over web-scale
+    embedding corpora (SemDeDup / D4 recipe).
+
+    Shape: assignment is one corpus scan against BROADCAST centroids (the
+    mapInPandas int64 block matmul shared with the IVF operators — no
+    shuffle); pair scoring is CLUSTER-LOCAL, one numpy int64 matmul per
+    cluster inside applyInPandas, so the only corpus shuffle keys on
+    cluster_id and only the ≥τ pairs leave the worker. A hot (oversized)
+    cluster re-splits by a secondary LSH band on the same machinery —
+    same skew lever as any grouped matmul. Compare `dedup_embedding_lsh`
+    (recall from hash collisions) with this (recall from cluster
+    assignment): production pipelines run one or the other depending on
+    whether they already maintain a k-means index.
+
+    Exactness: int64 matmul dots over the shared 1e7 quantization, cosine
+    as the same two IEEE double ops — bit-identical to the oracle's
+    unrolled assignment + pair join.
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = _load_quantized(spark, sf_dir)
+    cent = [
+        (r["vec_id"], r["qv"])
+        for r in emb.filter(F.col("vec_id") % _CENT_MOD == 0)
+        .select("vec_id", "qv")
+        .collect()
+    ]
+    assigned = _rank_cells(emb, cent, max_rn=1).select(
+        "vec_id", "qv", "nrm", "cent_id"
+    )
+
+    def rescore(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "cluster_id": np.array([], np.int64),
+                "lo": np.array([], np.int64),
+                "hi": np.array([], np.int64),
+                "cosine": np.array([], np.float64),
+            }
+        )
+        if len(pdf) < 2:
+            return empty
+        order = np.argsort(pdf["vec_id"].to_numpy(np.int64))
+        ids = pdf["vec_id"].to_numpy(np.int64)[order]
+        mat = np.stack(pdf["qv"].to_numpy()[order]).astype(np.int64)
+        nrm = pdf["nrm"].to_numpy(np.float64)[order]
+        cos = (mat @ mat.T).astype(np.float64) / np.outer(nrm, nrm)
+        iu, ju = np.triu_indices(len(ids), k=1)  # sorted ⇒ ids[iu] < ids[ju]
+        keep = cos[iu, ju] >= _DUP_TAU
+        if not keep.any():
+            return empty
+        return pd.DataFrame(
+            {
+                "cluster_id": np.full(int(keep.sum()), pdf["cent_id"].iloc[0]),
+                "lo": ids[iu[keep]],
+                "hi": ids[ju[keep]],
+                "cosine": cos[iu, ju][keep],
+            }
+        )
+
+    pairs = assigned.groupBy("cent_id").applyInPandas(
+        rescore, "cluster_id bigint, lo bigint, hi bigint, cosine double"
+    )
+    return pairs.groupBy(F.col("hi").alias("vec_id")).agg(
+        F.min("cluster_id").alias("cluster_id"),
+        F.min("lo").alias("dup_of"),
+        F.max("cosine").alias("max_cosine"),
+    )

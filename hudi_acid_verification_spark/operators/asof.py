@@ -125,3 +125,85 @@ def join_range_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p_partkey", "p_retailprice", "band_name")
     )
+
+
+@query(
+    "window_gap_fill",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_events,
+               arg_max(value, event_id) AS day_close
+        FROM events GROUP BY 1, 2
+    ),
+    span AS (
+        SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1
+    ),
+    grid AS (
+        SELECT s.user_id, CAST(u.d AS DATE) AS day
+        FROM span s, LATERAL (
+            SELECT unnest(generate_series(CAST(s.d0 AS TIMESTAMP),
+                                          CAST(s.d1 AS TIMESTAMP),
+                                          INTERVAL 1 DAY)) AS d
+        ) u
+    ),
+    joined AS (
+        SELECT g.user_id, g.day,
+               CAST(coalesce(d.n_events, 0) AS BIGINT) AS n_events,
+               d.day_close
+        FROM grid g
+        LEFT JOIN daily d ON d.user_id = g.user_id AND d.day = g.day
+    )
+    SELECT user_id, strftime(day, '%Y-%m-%d') AS day, n_events,
+           (n_events = 0) AS is_gap,
+           last_value(day_close IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_close
+    FROM joined
+    """,
+)
+def window_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill (resample + forward fill): each user's event
+    stream is resampled onto a dense daily grid spanning their first to
+    last active day; days with no events appear as explicit gap rows whose
+    closing value carries forward from the last observed day (the
+    ``day_close`` is the value of the day's max-event_id event — a
+    deterministic "last write"). The missing-bucket densification +
+    LOCF fill every monitoring / feature-engineering pipeline needs and
+    SQL engines ship as ``date_spine``/``time_bucket_gapfill``.
+
+    Shape: one aggregate to daily grain (map-side partials eat the raw
+    events), a per-user span aggregate (tiny), the grid generated by
+    ``sequence``+``explode`` — rows materialize distributed, proportional
+    to user-days, never on the driver — and the grid⋈daily join plus the
+    carry-forward window both key on user_id, so one exchange serves
+    both. At 100 TB the grid side is O(users × days) ≪ O(events) and
+    every stage keys on user_id — no global sort anywhere.
+    """
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max_by("value", "event_id").alias("day_close"),
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d0"), F.col("d1"), F.expr("interval 1 day"))
+        ).alias("day"),
+    )
+    joined = grid.join(daily, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+        (F.coalesce("n_events", F.lit(0)) == 0).alias("is_gap"),
+        F.last("day_close", ignorenulls=True).over(w).alias("filled_close"),
+    )

@@ -465,3 +465,23 @@ def test_bloom_filter_broadcasts_to_probe(spark):
     plan = plan_of(spark, "sketch_bloom_membership")
     assert "BroadcastHashJoin" in plan
     assert "partial_bit_or" in plan or "bit_or" in plan
+
+
+def test_semantic_cluster_pairs_are_cluster_local(spark):
+    """Assignment must be the broadcast-centroid mapInPandas matmul (no
+    pair join against centroids) and pair scoring must group on cluster_id
+    (FlatMapGroupsInPandas) — never an all-pairs cartesian."""
+    plan = plan_of(spark, "dedup_semantic_cluster")
+    assert "FlatMapGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_gap_fill_grid_is_distributed_and_keyed_on_user(spark):
+    """The date spine must materialize via explode (distributed), daily
+    rollup must partial-aggregate, and no stage may fall back to a
+    cartesian join."""
+    plan = plan_of(spark, "window_gap_fill")
+    assert "Generate explode" in plan or "Generate" in plan
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
