@@ -372,3 +372,157 @@ def scalar_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             "registered_domain"
         ),
     )
+
+
+@query(
+    "dedup_url_canonical",
+    oracle="""
+    WITH raw AS (
+        SELECT doc_id,
+               (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END)
+               || (CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END)
+               || '.example.com/' || lang || '/doc-'
+               || CAST(doc_id // 4 AS VARCHAR)
+               || (CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END)
+               || (CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed' ELSE '' END)
+                   AS url
+        FROM documents
+    ),
+    canon AS (
+        SELECT doc_id, url,
+               'https://' || lower(
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(url, '^https?://', ''),
+                           '\\?utm_[a-z_]+=[^&]*$', ''),
+                       '/$', '')
+               ) AS canonical_url
+        FROM raw
+    )
+    SELECT canonical_url,
+           min(doc_id) AS keeper_doc_id,
+           count(*) AS n_variants,
+           count(DISTINCT url) AS n_distinct_raw
+    FROM canon
+    GROUP BY canonical_url
+    """,
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + dedup: each document's URL arrives in one of
+    the messy forms crawlers actually see (http vs https, upper/lowercase
+    host, trailing slash, utm tracking params); canonicalization folds all
+    variants of the same page (scheme→https, host lowercased, tracking
+    params and trailing slash stripped) and dedup keeps the min-doc_id
+    keeper per canonical page. URL-level dedup is the cheapest first pass
+    of a crawl pipeline — it collapses refetches before any content hash
+    is computed.
+
+    Shape: per-row canonicalization is pure codegen'd string ops; the
+    dedup is one hash aggregate on the canonical key with map-side
+    partials — the same one-shuffle shape as dedup_exact, at any scale.
+    """
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("https://")).otherwise(
+            F.lit("http://")
+        ),
+        F.when(F.col("doc_id") % 3 == 0, F.upper("source")).otherwise(
+            F.col("source")
+        ),
+        F.lit(".example.com/"),
+        F.col("lang"),
+        F.lit("/doc-"),
+        F.expr("doc_id DIV 4").cast("string"),
+        F.when(F.col("doc_id") % 2 == 1, F.lit("/")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("?utm_source=feed")).otherwise(
+            F.lit("")
+        ),
+    )
+    canonical = F.concat(
+        F.lit("https://"),
+        F.lower(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(url, r"^https?://", ""),
+                    r"\?utm_[a-z_]+=[^&]*$",
+                    "",
+                ),
+                r"/$",
+                "",
+            )
+        ),
+    )
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", url.alias("url"), canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_variants"),
+            F.countDistinct("url").alias("n_distinct_raw"),
+        )
+    )
+
+
+@query(
+    "text_rare_token_score",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    freq AS (
+        SELECT term, count(*) AS gf FROM toks GROUP BY term
+    ),
+    thresh AS (
+        SELECT CAST(sum(gf) AS BIGINT) // 500 AS rare_cut FROM freq
+    )
+    SELECT t.doc_id,
+           count(*) AS n_tokens,
+           CAST(sum(f.gf) AS DOUBLE) / count(*) AS mean_token_freq,
+           CAST(sum(CASE WHEN f.gf < th.rare_cut THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(*) AS rare_frac
+    FROM toks t
+    JOIN freq f ON f.term = t.term
+    CROSS JOIN thresh th
+    GROUP BY t.doc_id
+    """,
+)
+def text_rare_token_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency quality signal: per document, the mean global
+    frequency of its tokens and the fraction of tokens rarer than a
+    corpus-derived cutoff (total_tokens/500). High mean-frequency docs are
+    boilerplate; high rare-frac docs are noise/code/garbled text — this
+    integer-exact pair is the deterministic stand-in for LM-perplexity
+    quality filters (same join shape, an n-gram LM table instead of
+    unigram counts).
+
+    Shape: the global frequency table is vocabulary-sized → BROADCAST to
+    the token stream (no corpus shuffle), the scalar cutoff broadcasts as
+    a 1-row cross join, and the per-doc rollup keys on doc_id with
+    map-side partials. At 100 TB the token stream never shuffles except
+    on doc_id — and that exchange carries one row per token only until
+    partial aggregation collapses it.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("gf"))
+    thresh = freq.agg(
+        F.expr("CAST(sum(gf) AS BIGINT) DIV 500").alias("rare_cut")
+    )
+    return (
+        toks.join(F.broadcast(freq), "term")
+        .crossJoin(F.broadcast(thresh))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (F.sum("gf").cast("double") / F.count(F.lit(1))).alias(
+                "mean_token_freq"
+            ),
+            (
+                F.sum((F.col("gf") < F.col("rare_cut")).cast("int")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+            ).alias("rare_frac"),
+        )
+    )

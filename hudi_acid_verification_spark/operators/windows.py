@@ -273,3 +273,76 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
            ) AS second_cheapest_key""",
     )
+
+
+@query(
+    "window_active_users",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM ud),
+    contrib AS (
+        SELECT u.user_id, CAST(g.d AS DATE) AS target_day
+        FROM ud u, LATERAL (
+            SELECT unnest(generate_series(CAST(u.day AS TIMESTAMP),
+                                          CAST(u.day + 6 AS TIMESTAMP),
+                                          INTERVAL 1 DAY)) AS d
+        ) g
+    ),
+    wau AS (
+        SELECT c.target_day AS day, count(DISTINCT c.user_id) AS wau_7d
+        FROM contrib c JOIN days d ON d.day = c.target_day
+        GROUP BY 1
+    ),
+    dau AS (
+        SELECT day, count(DISTINCT user_id) AS dau FROM ud GROUP BY 1
+    )
+    SELECT strftime(d.day, '%Y-%m-%d') AS day, d.dau, w.wau_7d,
+           CAST(d.dau AS DOUBLE) / w.wau_7d AS stickiness
+    FROM dau d JOIN wau w ON w.day = d.day
+    """,
+)
+def window_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily and trailing-7-day distinct active users (DAU / WAU) plus the
+    DAU/WAU stickiness ratio — the canonical engagement rollup, and the
+    canonical example of a DISTINCT aggregate over a sliding window, which
+    plain window frames cannot express (COUNT(DISTINCT) OVER RANGE is
+    unsupported in every engine).
+
+    Shape — the contribution-replication trick: each (user, day) activity
+    row is exploded into the 7 target days it contributes to, then a plain
+    count(DISTINCT) groups by target day. Replication factor equals the
+    window length (bounded, known), after which everything is hash
+    aggregation with map-side partials on a day key — at 100 TB this
+    shuffles 7×|user-days| small rows, versus a self-join on the day range
+    which would rescan the event table per window position. The first
+    DISTINCT (user, day) pass collapses raw events before any replication,
+    so event volume never multiplies.
+    """
+    e = load(spark, sf_dir, "events")
+    ud = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    days = ud.select("day").distinct()
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"), F.date_add("day", 6), F.expr("interval 1 day")
+            )
+        ).alias("target_day"),
+    )
+    wau = (
+        contrib.join(days, contrib.target_day == days.day)
+        .groupBy("target_day")
+        .agg(F.countDistinct("user_id").alias("wau_7d"))
+    )
+    dau = ud.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    return (
+        dau.join(wau, dau.day == wau.target_day)
+        .select(
+            F.date_format(dau.day, "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau_7d",
+            (F.col("dau").cast("double") / F.col("wau_7d")).alias("stickiness"),
+        )
+    )

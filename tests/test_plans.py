@@ -485,3 +485,27 @@ def test_gap_fill_grid_is_distributed_and_keyed_on_user(spark):
     assert "Generate explode" in plan or "Generate" in plan
     assert "partial_count" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_url_canonical_single_aggregate(spark):
+    """Canonicalization is codegen'd string ops; dedup is ONE hash
+    aggregate on the canonical key with a map-side partial."""
+    plan = plan_of(spark, "dedup_url_canonical")
+    assert "partial_count" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_rare_token_score_broadcasts_frequency_table(spark):
+    """The vocabulary-sized frequency table must broadcast — the token
+    stream never shuffles except on doc_id."""
+    plan = plan_of(spark, "text_rare_token_score")
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_active_users_replicates_bounded_window(spark):
+    """The DISTINCT-over-sliding-window uses contribution replication
+    (explode) then plain hash aggregation — no per-day rescan join."""
+    plan = plan_of(spark, "window_active_users")
+    assert "Generate explode" in plan or "Generate" in plan
+    assert "CartesianProduct" not in plan
