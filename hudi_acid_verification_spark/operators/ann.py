@@ -844,14 +844,29 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("dst").alias("p_vec"))
             .agg(F.min("component_id").alias("p_label"))
         )
+        stepped = labels.join(prop, labels.vec_id == prop.p_vec, "left").select(
+            "vec_id",
+            F.least(
+                F.col("component_id"),
+                F.coalesce(F.col("p_label"), F.col("component_id")),
+            ).alias("component_id"),
+        )
+        # Path halving (pointer jumping): label ← label[label]. Every label
+        # is itself a vec_id, so one labels⋈labels hop re-points each node
+        # at its representative's (smaller-or-equal) representative —
+        # convergence drops from O(diameter) rounds to O(log diameter),
+        # which is what makes the giant percolated component at higher SFs
+        # (1 928 nodes at sf0.1) close in a handful of rounds.
+        hop = stepped.select(
+            F.col("vec_id").alias("r_vec"), F.col("component_id").alias("r_label")
+        )
         labels = (
-            labels.join(prop, labels.vec_id == prop.p_vec, "left")
+            stepped.join(hop, stepped.component_id == hop.r_vec, "left")
             .select(
                 "vec_id",
-                F.least(
-                    F.col("component_id"),
-                    F.coalesce(F.col("p_label"), F.col("component_id")),
-                ).alias("component_id"),
+                F.coalesce(F.col("r_label"), F.col("component_id")).alias(
+                    "component_id"
+                ),
             )
             .localCheckpoint()
         )
