@@ -207,3 +207,76 @@ def window_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.coalesce("n_events", F.lit(0)) == 0).alias("is_gap"),
         F.last("day_close", ignorenulls=True).over(w).alias("filled_close"),
     )
+
+
+_IVL_A_NS = 30 * 60 * 1_000_000_000   # purchase influence window: 30 min
+_IVL_B_NS = 15 * 60 * 1_000_000_000   # error window: 15 min
+_IVL_GRID_NS = _IVL_A_NS              # grid = max interval width
+
+
+@query(
+    "join_interval_overlap",
+    oracle=f"""
+    WITH a AS (
+        SELECT event_id AS a_id, epoch_ns(ts) AS s,
+               epoch_ns(ts) + {_IVL_A_NS} AS e
+        FROM events WHERE event_type = 'purchase'
+    ),
+    b AS (
+        SELECT event_id AS b_id, epoch_ns(ts) AS s,
+               epoch_ns(ts) + {_IVL_B_NS} AS e
+        FROM events WHERE event_type = 'error'
+    )
+    SELECT a.a_id AS purchase_id,
+           count(*) AS n_overlapping_errors,
+           min(b.b_id) AS first_error_id
+    FROM a JOIN b ON a.s < b.e AND b.s < a.e
+    GROUP BY a.a_id
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: every purchase projects a 30-minute influence
+    interval, every error a 15-minute one; pair them whenever the intervals
+    overlap (a.start < b.end AND b.start < a.end) and roll up per purchase.
+    Interval×interval overlap is the join relational engines fall back to a
+    nested-loop theta join for — the scalable encoding is GRID
+    DECOMPOSITION: bucket time into cells of the max interval width, emit
+    each interval into every cell it touches (≤ 2 here), EQUI-join on the
+    cell, dedup the pair, and apply the exact overlap predicate as a
+    post-filter. The theta join becomes a hash join whose replication
+    factor is interval_width/grid_width, never a cartesian.
+
+    Shape: both sides explode into O(1) grid cells, shuffle keys on the
+    cell id (time-uniform → no skew; a hot cell would re-split by salting),
+    and the rollup keys on purchase_id. At 100 TB this is two scans + one
+    bounded-fanout hash join — the same plan TimescaleDB/KDB-style range
+    engines special-case, expressed with stock Spark operators. Exactness:
+    all bounds are int64 nanoseconds (ts_ns), predicate and group results
+    integer-exact in both engines.
+    """
+    e = load(spark, sf_dir, "events")
+    a = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("a_id"),
+        F.col("ts_ns").alias("a_s"),
+        (F.col("ts_ns") + F.lit(_IVL_A_NS)).alias("a_e"),
+    )
+    b = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("b_id"),
+        F.col("ts_ns").alias("b_s"),
+        (F.col("ts_ns") + F.lit(_IVL_B_NS)).alias("b_e"),
+    )
+    cells = lambda s, e_: F.sequence(  # noqa: E731
+        F.expr(f"{s} DIV {_IVL_GRID_NS}"), F.expr(f"{e_} DIV {_IVL_GRID_NS}")
+    )
+    ag = a.withColumn("cell", F.explode(cells("a_s", "a_e")))
+    bg = b.withColumn("cell", F.explode(cells("b_s", "b_e")))
+    pairs = (
+        ag.join(bg, "cell")
+        .filter((F.col("a_s") < F.col("b_e")) & (F.col("b_s") < F.col("a_e")))
+        .select("a_id", "b_id")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    return pairs.groupBy(F.col("a_id").alias("purchase_id")).agg(
+        F.count(F.lit(1)).alias("n_overlapping_errors"),
+        F.min("b_id").alias("first_error_id"),
+    )

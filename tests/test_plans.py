@@ -509,3 +509,13 @@ def test_active_users_replicates_bounded_window(spark):
     plan = plan_of(spark, "window_active_users")
     assert "Generate explode" in plan or "Generate" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_interval_overlap_grid_join_no_nested_loop(spark):
+    """The interval×interval overlap must run as a grid-cell hash join
+    (bounded fanout), never the nested-loop theta join Spark would
+    otherwise plan for a pure range predicate."""
+    plan = plan_of(spark, "join_interval_overlap")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate explode" in plan or "Generate" in plan
