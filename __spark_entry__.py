@@ -78,6 +78,7 @@ _CERT_ORDER = [
     "udtf_token_spans", "udaf_pandas_grouped",
     "multimodal_metadata_agg",
     # tier 4 — rows-only by design
+    "pipeline_bpe_merges",
     "agg_approx_distinct", "multimodal_decode_features",
     "multimodal_frame_sample", "stream_watermark_late",
     "stream_stateful_fold", "stream_transform_with_state",

@@ -521,3 +521,106 @@ def pipeline_pretrain_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("bigint").alias("tokens_total"),
         F.countDistinct("pack_id").cast("bigint").alias("n_packs"),
     )
+
+
+_BPE_ROUNDS = 4
+_BPE_SEP = "\x1f"   # unit separator: joins symbols INSIDE a merged symbol
+_PAIR_SEP = "\x1e"  # record separator: joins the two symbols of a counted
+                    # pair — distinct from _BPE_SEP so a pair whose halves
+                    # are themselves merge products still splits in two
+
+
+@query("pipeline_bpe_merges")  # iterative argmax+rewrite: no single-pass oracle
+def pipeline_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style merge induction over the token stream: for each of
+    4 rounds, count all adjacent symbol pairs in the corpus, pick the most
+    frequent (ties broken lexicographically on the pair), and rewrite
+    every document by greedily merging that pair left-to-right — exactly
+    the training loop of byte-pair-encoding tokenizers, lifted from
+    characters to whitespace tokens so the fixture's vocabulary produces
+    meaningful collocations. Output: one row per round with the merged
+    pair, its raw adjacent count, the number of merges actually performed
+    (≤ count: overlapping occurrences merge non-overlapping), and the
+    corpus token total after the rewrite.
+
+    Shape: pair counting is explode → groupBy(pair) with map-side partials
+    (the pair key space is vocab², tiny next to the token stream) and the
+    argmax is a 1-row TakeOrdered collect — the merge table is DRIVER
+    state, like MLlib's k-means centroids. The rewrite is one corpus scan
+    applying a JVM ``aggregate`` fold (greedy left-to-right merge as a
+    pure higher-order expression — no Python in the loop); R rounds = R
+    scans + R tiny shuffles, each round's corpus localCheckpoint'd so
+    lineage stays flat. Production BPE trainers keep the corpus cached
+    and update pair counts incrementally from each round's merge sites;
+    the per-round plan — partial-agg count, broadcast merge rule, local
+    rewrite — is the same, so the refinement changes constants, not
+    shape. No SQL oracle (iterative argmax + rewrite is not
+    single-pass-expressible); correctness is pinned by a pytest that
+    replays the identical algorithm in pure Python on the collected
+    corpus and compares every round bit-for-bit.
+    """
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("syms"))
+        .localCheckpoint()
+    )
+    out_rows = []
+    for rnd in range(1, _BPE_ROUNDS + 1):
+        total_before = docs.agg(
+            F.sum(F.size("syms")).cast("bigint").alias("t")
+        ).collect()[0]["t"]
+        pairs = docs.select(
+            F.explode(
+                F.zip_with(
+                    F.slice("syms", 1, F.size("syms") - 1),
+                    F.slice("syms", 2, F.size("syms") - 1),
+                    lambda x, y: F.concat(x, F.lit(_PAIR_SEP), y),
+                )
+            ).alias("pair")
+        )
+        top = (
+            pairs.groupBy("pair")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "pair")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        pair, cnt = top[0]["pair"], top[0]["cnt"]
+        a, b = pair.split(_PAIR_SEP)
+        merged = f"{a}{_BPE_SEP}{b}"
+        # Greedy left-to-right merge as a JVM fold: append t, except when
+        # the accumulator ends with `a` and t == b — then replace the tail
+        # with the merged symbol. A fresh merge leaves `merged` (≠ a: the
+        # separator char never appears inside a raw token) on top, giving
+        # BPE's non-overlap rule.
+        step = (
+            "(acc, t) -> CASE WHEN size(acc) > 0"
+            f" AND element_at(acc, -1) = '{a}' AND t = '{b}'"
+            f" THEN concat(slice(acc, 1, size(acc) - 1), array('{merged}'))"
+            " ELSE concat(acc, array(t)) END"
+        )
+        docs = docs.select(
+            "doc_id",
+            F.expr(
+                f"aggregate(syms, CAST(array() AS ARRAY<STRING>), {step})"
+            ).alias("syms"),
+        ).localCheckpoint()
+        total_after = docs.agg(
+            F.sum(F.size("syms")).cast("bigint").alias("t")
+        ).collect()[0]["t"]
+        out_rows.append(
+            (
+                rnd,
+                pair.replace(_PAIR_SEP, " ").replace(_BPE_SEP, " "),
+                int(cnt),
+                int(total_before - total_after),
+                int(total_after),
+            )
+        )
+    return spark.createDataFrame(
+        out_rows,
+        "merge_round int, merged_pair string, pair_count bigint, "
+        "n_merges bigint, tokens_after bigint",
+    )

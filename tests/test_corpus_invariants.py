@@ -141,3 +141,57 @@ def test_bloom_no_false_negatives(spark):
     for r in rows:
         assert r["n_bloom_positive"] >= r["n_true_present"]
         assert r["n_false_positive"] == r["n_bloom_positive"] - r["n_true_present"]
+
+
+def test_bpe_merges_match_pure_python_replay(spark):
+    """pipeline_bpe_merges has no SQL oracle (iterative argmax + rewrite);
+    replay the identical algorithm in pure Python on the collected corpus
+    and compare every round bit-for-bit."""
+    from hudi_acid_verification_spark.operators.corpus import (
+        _BPE_ROUNDS,
+        _BPE_SEP,
+        _PAIR_SEP,
+    )
+
+    got = [
+        (r["merge_round"], r["merged_pair"], r["pair_count"], r["n_merges"],
+         r["tokens_after"])
+        for r in ops.QUERIES["pipeline_bpe_merges"](spark, SF_SMALL)
+        .orderBy("merge_round")
+        .collect()
+    ]
+
+    docs = [
+        r["text"].split(" ")
+        for r in load(spark, SF_SMALL, "documents").select("text").collect()
+    ]
+    expected = []
+    for rnd in range(1, _BPE_ROUNDS + 1):
+        counts: dict[tuple[str, str], int] = defaultdict(int)
+        for syms in docs:
+            for x, y in zip(syms, syms[1:]):
+                counts[(x, y)] += 1
+        if not counts:
+            break
+        # argmax with (count DESC, pair ASC) tie-break — pair compared as
+        # the joined string, exactly like the operator's ORDER BY
+        (a, b), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0] + _PAIR_SEP + kv[0][1])
+        )
+        merged = a + _BPE_SEP + b
+        before = sum(len(s) for s in docs)
+        new_docs = []
+        for syms in docs:
+            acc: list[str] = []
+            for t in syms:
+                if acc and acc[-1] == a and t == b:
+                    acc[-1] = merged
+                else:
+                    acc.append(t)
+            new_docs.append(acc)
+        docs = new_docs
+        after = sum(len(s) for s in docs)
+        expected.append(
+            (rnd, (a + " " + b).replace(_BPE_SEP, " "), cnt, before - after, after)
+        )
+    assert got == expected
