@@ -351,7 +351,7 @@ class AcidTable:
 
     def _write_delta(
         self, df: DataFrame, m: _Manifest, op: str, seq: int, kind: str,
-        cols: list[str] | None = None,
+        cols: list[str] | None = None, preserve_layout: bool = False,
     ) -> list[dict]:
         """Write rows (plus op/seq markers) and return manifest entries
         tagged with the file kind — a delta append is ONE Spark write job
@@ -369,7 +369,7 @@ class AcidTable:
             physical = physical.withColumn(
                 "__cols", F.lit(None).cast(T.ArrayType(T.StringType()))
             )
-        entries = self._write_data(physical, m)
+        entries = self._write_data(physical, m, preserve_layout=preserve_layout)
         for e in entries:
             e["kind"] = kind
             e["seq"] = seq
@@ -431,7 +431,9 @@ class AcidTable:
             os.fsync(f.fileno())
         os.rename(ptr_tmp, self._latest_ptr)  # atomic on POSIX
 
-    def _write_data(self, df: DataFrame, m: _Manifest) -> list[dict]:
+    def _write_data(
+        self, df: DataFrame, m: _Manifest, preserve_layout: bool = False
+    ) -> list[dict]:
         """Write df hive-partitioned, publish files under the table's
         top-level ``<partition_col>=<value>/`` dirs, return manifest entries.
 
@@ -450,9 +452,13 @@ class AcidTable:
         # compounding into every later snapshot read). AQE's rebalance both
         # coalesces small partitions and splits skewed ones, so this stays
         # correct when one partition value carries most of a 100 TB batch.
-        df.hint("rebalance", m.partition_col).write.mode("overwrite").partitionBy(
-            m.partition_col
-        ).parquet(staging)
+        # ``preserve_layout`` skips the rebalance: cluster() has already
+        # range-partitioned + sorted the rows into its target file layout,
+        # and rebalancing would coalesce the curve back into one file per
+        # hive partition, erasing the stats-index tightness it just built.
+        if not preserve_layout:
+            df = df.hint("rebalance", m.partition_col)
+        df.write.mode("overwrite").partitionBy(m.partition_col).parquet(staging)
         entries: list[dict] = []
         prefix = f"{m.partition_col}="
         for root, _dirs, files in os.walk(staging):
@@ -476,37 +482,57 @@ class AcidTable:
         shutil.rmtree(staging, ignore_errors=True)
         return entries
 
+    _MAX_STAT_COLS = 12  # manifest col-stats index width cap
+
     @staticmethod
     def _pk_stats(path: str, pk: str) -> dict:
-        """Per-file primary-key min/max from the parquet footer — the
-        manifest's column-stats index (Hudi metadata-table `column_stats`
-        analog). Read once at commit time from metadata the writer already
-        produced (no data scan); :meth:`lookup` prunes with it.
+        """Per-file column min/max from the parquet footer — the manifest's
+        column-stats index (Hudi metadata-table `column_stats` analog). Read
+        once at commit time from metadata the writer already produced (no
+        data scan). The primary key's range lands in ``pk_min``/``pk_max``
+        (:meth:`lookup` and :meth:`_disjoint` prune with it); every other
+        primitive column's range (up to ``_MAX_STAT_COLS``) lands in
+        ``stats: {col: [lo, hi]}`` for :meth:`scan_range` data skipping.
         """
         try:
+            import datetime
             import pyarrow.parquet as pq
 
             md = pq.ParquetFile(path).metadata
-            idx = next(
-                (i for i in range(md.num_columns)
-                 if md.schema.column(i).name == pk),
-                None,
-            )
-            if idx is None:
-                return {}
-            def norm(v):
-                return v.decode("utf-8", "replace") if isinstance(v, bytes) else v
 
-            lo = hi = None
-            for rg in range(md.num_row_groups):
-                st = md.row_group(rg).column(idx).statistics
-                if st is None or not st.has_min_max:
-                    return {}
-                lo = norm(st.min) if lo is None else min(lo, norm(st.min))
-                hi = norm(st.max) if hi is None else max(hi, norm(st.max))
-            if lo is None:
-                return {}
-            return {"pk_min": lo, "pk_max": hi}
+            def norm(v):
+                if isinstance(v, bytes):
+                    return v.decode("utf-8", "replace")
+                if isinstance(v, (datetime.datetime, datetime.date)):
+                    return v.isoformat()
+                return v
+
+            def col_range(idx):
+                lo = hi = None
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    if st is None or not st.has_min_max:
+                        return None
+                    lo = norm(st.min) if lo is None else min(lo, norm(st.min))
+                    hi = norm(st.max) if hi is None else max(hi, norm(st.max))
+                if lo is None or not isinstance(lo, (str, int, float, bool)):
+                    return None
+                return [lo, hi]
+
+            out: dict = {}
+            stats: dict = {}
+            for i in range(md.num_columns):
+                name = md.schema.column(i).name
+                rng = col_range(i)
+                if rng is None:
+                    continue
+                if name == pk:
+                    out["pk_min"], out["pk_max"] = rng
+                elif len(stats) < AcidTable._MAX_STAT_COLS:
+                    stats[name] = rng
+            if stats:
+                out["stats"] = stats
+            return out
         except Exception:
             return {}  # stats are an optimization; never fail a commit
 
@@ -543,6 +569,65 @@ class AcidTable:
         else:
             df = self._df_for_files(m, cand)
         return df.filter(F.col(m.pk).isin(keys))
+
+    @staticmethod
+    def _may_overlap(f: dict, col: str, lo, hi, pk: str | None = None) -> bool:
+        """Can file ``f`` contain a row with ``lo <= col <= hi``? Missing or
+        incomparable stats keep the file (stats only ever prune)."""
+        if col == pk:
+            rng = [f.get("pk_min"), f.get("pk_max")]
+        else:
+            rng = (f.get("stats") or {}).get(col) or [None, None]
+        flo, fhi = rng
+        if flo is None or fhi is None:
+            return True
+        try:
+            if lo is not None and fhi < lo:
+                return False
+            if hi is not None and flo > hi:
+                return False
+            return True
+        except TypeError:
+            return True
+
+    def prune_stats(self, col: str, lo=None, hi=None) -> dict:
+        """Observability for the stats index: how many manifest files a
+        range predicate on ``col`` would touch vs. the total. The unit test
+        for :meth:`cluster` z-ordering asserts this ratio drops."""
+        m = self._read_manifest()
+        n_cand = sum(
+            1 for f in m.files if self._may_overlap(f, col, lo, hi, m.pk)
+        )
+        return {"n_files": len(m.files), "n_candidates": n_cand}
+
+    def scan_range(self, col: str, lo=None, hi=None) -> DataFrame:
+        """Range scan with column-stats data skipping: read only the files
+        whose footer-harvested [min, max] for ``col`` can overlap
+        [lo, hi], then apply the exact predicate as a residual filter —
+        the Hudi/Iceberg/Delta data-skipping read path over the manifest's
+        column-stats index. After :meth:`cluster` with ``zorder_cols``
+        containing ``col``, per-file ranges are tight and a selective
+        range touches O(selectivity) files instead of the whole table.
+
+        MOR prunes at PARTITION granularity (a candidate file's partition
+        resolves fully): a row's newest version can live in any delta file
+        of its partition, so file-level skipping would under-resolve;
+        partition-level skipping is the correct conservative unit.
+        """
+        m = self._read_manifest()
+        cand = [f for f in m.files if self._may_overlap(f, col, lo, hi, m.pk)]
+        if m.mode == "mor":
+            parts = {f["partition"] for f in cand}
+            cand = [f for f in m.files if f["partition"] in parts]
+            df = self._resolve(m, cand)
+        else:
+            df = self._df_for_files(m, cand)
+        pred = F.lit(True)
+        if lo is not None:
+            pred = pred & (F.col(col) >= F.lit(lo))
+        if hi is not None:
+            pred = pred & (F.col(col) <= F.lit(hi))
+        return df.filter(pred)
 
     def _commit_with(self, make, timeout: float = 60.0) -> int:
         """The one commit path: under the writer lock, derive the next
@@ -1087,8 +1172,62 @@ class AcidTable:
 
         return self._commit(mutate, timeout)
 
+    _Z_BITS = 12  # z-order grid resolution per dimension
+
+    def _with_zvalue(self, df: DataFrame, cols: list[str]) -> DataFrame:
+        """Append ``__zval__``: the Z-order (Morton) key interleaving each
+        column's 2^{_Z_BITS}-grid coordinate, scaled by the global
+        [min, max] from one tiny aggregate. Numeric columns only — string
+        dimensions need a rank-grid (a sampled sort), deliberately out of
+        scope for the inline path."""
+        numeric = ("int", "bigint", "smallint", "tinyint", "float", "double",
+                   "decimal", "date", "timestamp")
+        dtypes = dict(df.dtypes)
+        for c in cols:
+            if not dtypes.get(c, "").startswith(numeric):
+                raise ValueError(
+                    f"zorder_cols must be numeric/date; {c} is {dtypes.get(c)}"
+                )
+        def as_double(c: str) -> F.Column:
+            return (
+                F.unix_date(F.col(c)).cast("double")
+                if dtypes.get(c) == "date"
+                else F.col(c).cast("double")
+            )
+
+        aggs: list = []
+        for c in cols:
+            aggs += [F.min(as_double(c)), F.max(as_double(c))]
+        row = df.agg(*aggs).collect()[0]
+        grid = (1 << self._Z_BITS) - 1
+        coord_exprs = []
+        for i, c in enumerate(cols):
+            lo, hi = row[2 * i], row[2 * i + 1]
+            lo = lo if lo is not None else 0.0
+            span = (hi - lo) if (hi is not None and hi > lo) else 1.0
+            coord = F.least(
+                F.lit(grid).cast("bigint"),
+                F.floor(
+                    (F.coalesce(as_double(c), F.lit(lo)) - F.lit(lo))
+                    / F.lit(span)
+                    * F.lit(grid)
+                ).cast("bigint"),
+            )
+            coord_exprs.append(coord)
+        z = F.lit(0).cast("bigint")
+        for b in range(self._Z_BITS):
+            for i, coord in enumerate(coord_exprs):
+                z = z + F.shiftleft(
+                    F.shiftright(coord, b).bitwiseAND(F.lit(1)),
+                    b * len(cols) + i,
+                ).cast("bigint")
+        return df.withColumn("__zval__", z)
+
     def cluster(
-        self, files_per_partition: int = 4, timeout: float = 60.0
+        self,
+        files_per_partition: int = 4,
+        timeout: float = 60.0,
+        zorder_cols: list[str] | None = None,
     ) -> int:
         """Sort-clustering (Hudi clustering with sort columns analog):
         rewrite every partition's live rows ORDERED BY primary key into
@@ -1103,10 +1242,22 @@ class AcidTable:
         :meth:`compact` (readers on old manifests unaffected; changefeed
         clean because rows are rewritten verbatim).
 
+        With ``zorder_cols`` (numeric/date columns), rows are laid out
+        along a Z-ORDER curve instead of the pk: each column is scaled to
+        a 2^{_Z_BITS} grid by its global [min, max] (one tiny agg — no
+        global sort) and the grid coordinates' bits are interleaved into a
+        single sort key, so EVERY listed column's per-file range stays
+        tight simultaneously — the multi-dimensional layout Delta's
+        OPTIMIZE ZORDER BY and Hudi's space-filling-curve clustering
+        build, and what makes :meth:`scan_range` prune on any of the
+        z-ordered columns, not just the pk.
+
         Scale notes: one ``repartitionByRange`` shuffle over the table
         (range boundaries from a sample job) then a sorted write — the
         layout job Hudi schedules as async clustering; run it per hot
-        partition set in production rather than table-wide.
+        partition set in production rather than table-wide. Min/max
+        scaling is two scans worst-case; a production run samples instead,
+        changing boundaries, not the curve.
         """
 
         def mutate(m: _Manifest) -> list[dict]:
@@ -1117,14 +1268,23 @@ class AcidTable:
             rows = self._resolve(m, m.files) if m.mode == "mor" else (
                 self._df_for_files(m, m.files)
             )
-            out = rows.repartitionByRange(
-                total, F.col(m.partition_col), F.col(m.pk)
-            ).sortWithinPartitions(m.partition_col, m.pk)
+            if zorder_cols:
+                rows = self._with_zvalue(rows, zorder_cols)
+                out = rows.repartitionByRange(
+                    total, F.col(m.partition_col), F.col("__zval__")
+                ).sortWithinPartitions(m.partition_col, "__zval__").drop(
+                    "__zval__"
+                )
+            else:
+                out = rows.repartitionByRange(
+                    total, F.col(m.partition_col), F.col(m.pk)
+                ).sortWithinPartitions(m.partition_col, m.pk)
             if m.mode == "mor":
                 return self._write_delta(
-                    out, m, op="upsert", seq=m.version + 1, kind="base"
+                    out, m, op="upsert", seq=m.version + 1, kind="base",
+                    preserve_layout=True,
                 )
-            return self._write_data(out, m)
+            return self._write_data(out, m, preserve_layout=True)
 
         return self._commit(mutate, timeout)
 

@@ -514,3 +514,83 @@ def acid_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFr
         .filter(F.col("n_customers") > 0)
     )
     return maintained
+
+
+@query("acid_zorder_skipping")  # rows-only: layout lifecycle, no SQL oracle
+def acid_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-stats data skipping + z-order clustering lifecycle: build a
+    COW table from the orders fixture (pk = order key, partition = order
+    priority, extra numeric dims totalprice/custkey), commit three
+    interleaved batches (overlapping per-file ranges), then
+    ``cluster(zorder_cols=["o_totalprice", "o_custkey"])`` and compare how
+    many files a selective range on each NON-pk dimension touches before
+    and after the re-layout, plus a correctness witness (pruned scan row
+    count == full filter row count, both dims). Returns one row per probe
+    with the before/after candidate counts — deterministic for a fixture.
+
+    This is the manifest-as-index story at 100 TB: footer min/max harvested
+    at commit time (no data scan), multi-dimensional locality from one
+    Morton-key range shuffle, and every later range scan touching
+    O(selectivity) files. Rows-only by design: the observable is file-level
+    physical layout, which SQL cannot express.
+    """
+    from hudi_acid_verification_spark.acid import AcidTable
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "hudi_acid_verification_spark",
+        f"acid_zorder_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType(), False),
+            T.StructField("o_orderpriority", T.StringType(), False),
+            T.StructField("o_totalprice", T.DoubleType(), True),
+            T.StructField("o_custkey", T.LongType(), True),
+        ]
+    )
+    table = AcidTable.create(
+        spark, base, schema,
+        pk="o_orderkey", partition_col="o_orderpriority",
+        precombine_col=None,
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority",
+        F.col("o_totalprice").cast("double"), "o_custkey",
+    )
+    for i in range(3):  # interleaved thirds → overlapping file ranges
+        table.upsert(orders.filter(F.col("o_orderkey") % 3 == i))
+
+    bounds = orders.agg(
+        F.min("o_totalprice"), F.max("o_totalprice"),
+        F.min("o_custkey"), F.max("o_custkey"),
+    ).collect()[0]
+    p_lo, p_hi = bounds[0], bounds[0] + (bounds[1] - bounds[0]) * 0.05
+    c_lo, c_hi = bounds[2], bounds[2] + max(1, (bounds[3] - bounds[2]) // 20)
+
+    probes = [("o_totalprice", p_lo, p_hi), ("o_custkey", c_lo, c_hi)]
+    before = {c: table.prune_stats(c, lo, hi) for c, lo, hi in probes}
+    table.cluster(files_per_partition=16, zorder_cols=["o_totalprice", "o_custkey"])
+    rows = []
+    for c, lo, hi in probes:
+        after = table.prune_stats(c, lo, hi)
+        n_pruned = table.scan_range(c, lo, hi).count()
+        n_full = table.snapshot().filter(F.col(c).between(lo, hi)).count()
+        rows.append(
+            (
+                c,
+                int(before[c]["n_candidates"]),
+                int(before[c]["n_files"]),
+                int(after["n_candidates"]),
+                int(after["n_files"]),
+                int(n_pruned),
+                bool(n_pruned == n_full),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "dim string, cand_before int, files_before int, cand_after int, "
+        "files_after int, n_rows int, scan_matches_full boolean",
+    )
