@@ -559,16 +559,21 @@ def pipeline_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays the identical algorithm in pure Python on the collected
     corpus and compares every round bit-for-bit.
     """
+    # The corpus arrives as one small file locally → one task would run
+    # every round's rewrite fold; spread it across cores (at scale the
+    # input splits already provide this, so the repartition is a no-op
+    # cost-wise — one shuffle of the corpus before R in-place rounds).
     docs = (
         load(spark, sf_dir, "documents")
         .select("doc_id", F.split("text", " ").alias("syms"))
+        .repartition(spark.sparkContext.defaultParallelism)
         .localCheckpoint()
     )
     out_rows = []
+    total_before = docs.agg(
+        F.sum(F.size("syms")).cast("bigint").alias("t")
+    ).collect()[0]["t"]
     for rnd in range(1, _BPE_ROUNDS + 1):
-        total_before = docs.agg(
-            F.sum(F.size("syms")).cast("bigint").alias("t")
-        ).collect()[0]["t"]
         pairs = docs.select(
             F.explode(
                 F.zip_with(
@@ -619,6 +624,7 @@ def pipeline_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 int(total_after),
             )
         )
+        total_before = total_after  # next round's baseline, no extra agg
     return spark.createDataFrame(
         out_rows,
         "merge_round int, merged_pair string, pair_count bigint, "
