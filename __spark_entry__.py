@@ -69,7 +69,7 @@ _CERT_ORDER = [
     "scalar_url_parse", "sketch_countmin_topk", "sketch_bloom_membership",
     "dedup_semantic_cluster", "window_gap_fill",
     "dedup_url_canonical", "text_rare_token_score", "window_active_users",
-    "join_interval_overlap",
+    "join_interval_overlap", "dedup_shingle_containment",
     "text_lang_id", "text_quality_score", "text_token_count",
     "text_fingerprint", "text_tfidf_topterms",
     "event_funnel", "pipeline_corpus_clean",

@@ -371,3 +371,68 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("dist").alias("min_dist"),
         )
     )
+
+
+_CONTAIN_T = 0.8  # containment threshold: |A∩B| / |smaller side|
+
+
+@query(
+    "dedup_shingle_containment",
+    oracle=f"""
+    WITH {_SHINGLES_SQL},
+    sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM shingles a
+        JOIN shingles b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b, i.n_common,
+           CAST(i.n_common AS DOUBLE) / least(sa.n, sb.n) AS containment,
+           (sa.n <= sb.n) AS a_is_contained
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(i.n_common AS DOUBLE) / least(sa.n, sb.n) >= {_CONTAIN_T}
+    """,
+)
+def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle CONTAINMENT near-dup pairs: |A∩B| / min(|A|, |B|) ≥ 0.8 —
+    the directed variant of Jaccard that catches near-SUPERSETS (a short
+    document quoted or boiler-plated inside a longer one), which symmetric
+    Jaccard misses because the union term punishes the size gap. This is
+    the Broder containment measure crawl pipelines run alongside resemblance
+    to drop wrapper pages and quote-inflated rewrites.
+
+    Same inverted-index shape as ``dedup_ngram_jaccard`` (shuffle on the
+    shingle hash, pair counts, threshold post-filter) — only the
+    normalizer changes, so the two operators share the scale path (MinHash
+    banding for candidates; containment then rescored exactly on
+    candidates). Reported with which side is the contained one.
+    """
+    sh = _shingles_spark(spark, sf_dir).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "h")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "h")
+    inter = (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    contain = F.col("n_common").cast("double") / F.least("na", "nb")
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn("containment", contain)
+        .filter(F.col("containment") >= _CONTAIN_T)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            "containment",
+            (F.col("na") <= F.col("nb")).alias("a_is_contained"),
+        )
+    )

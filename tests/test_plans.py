@@ -519,3 +519,13 @@ def test_interval_overlap_grid_join_no_nested_loop(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Generate explode" in plan or "Generate" in plan
+
+
+def test_containment_sizes_broadcast_to_pair_counts(spark):
+    """Containment rescoring joins the per-doc shingle-set sizes onto the
+    pair counts; the sizes table is O(docs) rows and must broadcast — a
+    shuffle there would re-partition the (already shuffled) pair counts
+    twice for no reason."""
+    plan = plan_of(spark, "dedup_shingle_containment")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
