@@ -70,6 +70,7 @@ _CERT_ORDER = [
     "dedup_semantic_cluster", "window_gap_fill",
     "dedup_url_canonical", "text_rare_token_score", "window_active_users",
     "join_interval_overlap", "dedup_shingle_containment",
+    "dedup_repeated_ngrams", "pipeline_shard_assignment",
     "text_lang_id", "text_quality_score", "text_token_count",
     "text_fingerprint", "text_tfidf_topterms",
     "event_funnel", "pipeline_corpus_clean",

@@ -436,3 +436,78 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("na") <= F.col("nb")).alias("a_is_contained"),
         )
     )
+
+
+_SPAN_N = 5  # repeated-substring span length in tokens
+
+
+@query(
+    "dedup_repeated_ngrams",
+    oracle=f"""
+    WITH grams AS (
+        SELECT d.doc_id,
+               CAST(('0x' || substr(md5(array_to_string(
+                   (string_split(d.text, ' '))[g.i:g.i + {_SPAN_N - 1}], ' ')), 1, 8))
+                   AS BIGINT) AS h
+        FROM documents d,
+             LATERAL (
+                SELECT unnest(generate_series(
+                    1, greatest(len(string_split(d.text, ' ')) - {_SPAN_N - 1}, 0))) AS i
+             ) g
+    ),
+    occ AS (SELECT doc_id, h, count(*) AS cnt FROM grams GROUP BY 1, 2),
+    dh AS (SELECT h, count(*) AS n_docs FROM occ GROUP BY 1)
+    SELECT o.doc_id,
+           CAST(sum(o.cnt) AS BIGINT) AS n_spans,
+           CAST(sum(CASE WHEN dh.n_docs >= 2 THEN o.cnt ELSE 0 END) AS BIGINT)
+               AS n_dup_spans,
+           CAST(sum(CASE WHEN dh.n_docs >= 2 THEN o.cnt ELSE 0 END) AS DOUBLE)
+               / sum(o.cnt) AS dup_frac
+    FROM occ o JOIN dh ON dh.h = o.h
+    GROUP BY 1
+    """,
+)
+def dedup_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-span statistics: for every doc, how many of
+    its {N}-token spans also occur in at least one OTHER document, and the
+    duplicated fraction. This is the per-doc accounting behind
+    substring-level dedup (the "remove any 50-gram seen elsewhere" pass
+    training-corpus pipelines run after document-level dedup) — pair-level
+    Jaccard/containment can't see a boilerplate paragraph shared by 10 000
+    docs, the span-occurrence index can.
+
+    Shape: positional spans (NOT set-semantics shingles — a span repeated
+    inside one doc counts each time) → per-(doc, span-hash) occurrence
+    counts → per-hash distinct-doc counts → join back and fold per doc. Two
+    hash shuffles (span hash, then doc_id), all JVM expressions; the span
+    index is the same inverted-index hot spot as the Jaccard pass and
+    shares its scale treatment (stop-span removal above a doc-frequency
+    ceiling caps skew; the per-hash side never broadcasts — it is O(corpus
+    vocabulary) at 100 TB, the join shuffles on h co-partitioned with occ).
+    dup_frac is an exact-integer ratio, so it is bit-identical cross-engine.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    grams = F.expr(
+        f"transform(sequence(1, size(split(text, ' ')) - {_SPAN_N - 1}),"
+        f" i -> concat_ws(' ', slice(split(text, ' '), i, {_SPAN_N})))"
+    )
+    spans = (
+        d.filter(F.size(toks) >= _SPAN_N)
+        .select("doc_id", F.explode(grams).alias("gram"))
+        .select("doc_id", _h32_spark(F.col("gram")).alias("h"))
+    )
+    occ = spans.groupBy("doc_id", "h").agg(F.count(F.lit(1)).alias("cnt"))
+    dh = occ.groupBy("h").agg(F.count(F.lit(1)).alias("n_docs"))
+    dup_cnt = F.sum(
+        F.when(F.col("n_docs") >= 2, F.col("cnt")).otherwise(F.lit(0))
+    )
+    return (
+        occ.join(dh, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_spans"),
+            dup_cnt.alias("n_dup_spans"),
+            (dup_cnt.cast("double") / F.sum("cnt")).alias("dup_frac"),
+        )
+    )

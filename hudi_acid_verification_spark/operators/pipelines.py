@@ -149,3 +149,71 @@ def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("docs_kept"),
         F.sum("n_tokens").cast("bigint").alias("tokens_total"),
     )
+
+
+_N_SHARDS = 16
+_SHARD_SALT = "shard-v1"
+
+
+@query(
+    "pipeline_shard_assignment",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT doc_id, source,
+               len(string_split(text, ' ')) AS n_tokens,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '{_SHARD_SALT}'),
+                     1, 8)) AS BIGINT) % {_N_SHARDS} AS shard_id
+        FROM documents
+    )
+    SELECT shard_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           min(doc_id) AS first_doc_id
+    FROM assigned
+    GROUP BY shard_id
+    """,
+)
+def pipeline_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic output sharding — the last step of a training-data
+    pipeline: every doc is assigned to one of N shards by a salted content
+    hash, and the per-shard balance audit (doc count, token mass, source
+    diversity) verifies the assignment is level before the shards are
+    written out as training files.
+
+    Why hash, not round-robin or ntile: a salted md5 assignment is (a)
+    reproducible run-to-run and engine-to-engine — re-running the pipeline
+    or appending docs never reassigns an existing doc, so downstream
+    training-data caches stay valid; (b) embarrassingly parallel — no
+    global sort or single-partition window, each task computes its rows'
+    shards locally, so at 100 TB this is one narrow map plus one
+    O(N_SHARDS)-group aggregation (map-side partial, ~nothing shuffled).
+    Changing the salt re-deals the whole corpus — that is the epoch-reshuffle
+    lever. In production the same column feeds
+    ``df.repartition(N, "shard_id").write.partitionBy("shard_id")``.
+    """
+    d = load(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(_SHARD_SALT))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        d.select(
+            (h % _N_SHARDS).alias("shard_id"),
+            "doc_id",
+            "source",
+            F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("tokens_total"),
+            F.countDistinct("source").alias("n_sources"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+    )

@@ -529,3 +529,24 @@ def test_containment_sizes_broadcast_to_pair_counts(spark):
     plan = plan_of(spark, "dedup_shingle_containment")
     assert plan.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_repeated_ngrams_no_broadcast_of_span_index(spark):
+    """The per-hash doc-frequency side is O(corpus vocabulary) — it must
+    join by shuffle co-partitioned on h, never broadcast, and the span
+    explode stays a Generate (narrow map)."""
+    plan = plan_of(spark, "dedup_repeated_ngrams")
+    assert "Generate" in plan
+    assert "CartesianProduct" not in plan
+    # both aggregations must have a map-side partial phase
+    assert "partial_count" in plan or "partial_" in plan
+
+
+def test_shard_assignment_is_narrow_map_plus_one_agg(spark):
+    """Shard assignment must be embarrassingly parallel: a narrow md5 map
+    and an O(N_SHARDS)-group aggregation — no global sort, no window, no
+    join anywhere in the plan."""
+    plan = plan_of(spark, "pipeline_shard_assignment")
+    for bad in ("Window", "CartesianProduct", "SortMergeJoin", "BroadcastHashJoin"):
+        assert bad not in plan, f"{bad} leaked into shard assignment"
+    assert "HashAggregate" in plan
