@@ -49,7 +49,9 @@ is unchanged.
 
 from __future__ import annotations
 
+import base64
 import fcntl
+import hashlib
 import json
 import os
 import time
@@ -484,6 +486,61 @@ class AcidTable:
 
     _MAX_STAT_COLS = 12  # manifest col-stats index width cap
 
+    # pk bloom-filter index (Hudi BLOOM index analog). ~10 bits/key with
+    # k=7 double-hashed probes ≈ 0.8% false-positive rate. Built only for
+    # files up to _BLOOM_MAX_KEYS rows: the filter lives in the JSON
+    # manifest, so its size must stay bounded — at cluster scale the blooms
+    # move into the parquet footers / a metadata table (exactly where Hudi
+    # keeps them) and the cap goes away; the probe protocol is identical.
+    _BLOOM_BITS_PER_KEY = 10
+    _BLOOM_K = 7
+    _BLOOM_MAX_KEYS = 20000
+
+    @staticmethod
+    def _bloom_hash_pair(key) -> tuple[int, int]:
+        """(h1, h2) for double hashing: probe_i = (h1 + i*h2) mod m.
+        Keys hash via str() so int and str pks normalize identically at
+        build and probe time; h2 is forced odd so probes cycle all of m."""
+        d = hashlib.md5(str(key).encode("utf-8")).digest()
+        return int.from_bytes(d[:8], "big"), int.from_bytes(d[8:], "big") | 1
+
+    @classmethod
+    def _bloom_build(cls, values) -> dict | None:
+        vals = [v for v in values if v is not None]
+        if not vals or len(vals) > cls._BLOOM_MAX_KEYS:
+            return None
+        # str()-normalization is only provably identical at build and probe
+        # time for string/int keys (bytes decode to the str the user would
+        # pass); anything else (timestamps, floats) renders ambiguously and
+        # a mismatch would be a FALSE NEGATIVE — no bloom is always correct.
+        if not all(isinstance(v, (str, int, bytes)) for v in vals):
+            return None
+        m_bits = max(64, len(vals) * cls._BLOOM_BITS_PER_KEY)
+        arr = bytearray((m_bits + 7) // 8)
+        for v in vals:
+            if isinstance(v, bytes):
+                v = v.decode("utf-8", "replace")
+            h1, h2 = cls._bloom_hash_pair(v)
+            for i in range(cls._BLOOM_K):
+                idx = (h1 + i * h2) % m_bits
+                arr[idx >> 3] |= 1 << (idx & 7)
+        return {
+            "m": m_bits,
+            "k": cls._BLOOM_K,
+            "b64": base64.b64encode(bytes(arr)).decode("ascii"),
+        }
+
+    @classmethod
+    def _bloom_contains(cls, bloom: dict, key) -> bool:
+        m_bits, k = bloom["m"], bloom["k"]
+        arr = base64.b64decode(bloom["b64"])
+        h1, h2 = cls._bloom_hash_pair(key)
+        for i in range(k):
+            idx = (h1 + i * h2) % m_bits
+            if not (arr[idx >> 3] >> (idx & 7)) & 1:
+                return False
+        return True
+
     @staticmethod
     def _pk_stats(path: str, pk: str) -> dict:
         """Per-file column min/max from the parquet footer — the manifest's
@@ -532,6 +589,16 @@ class AcidTable:
                     stats[name] = rng
             if stats:
                 out["stats"] = stats
+            # pk bloom: one columnar read of the key column of the file this
+            # commit just wrote (what Hudi's write path does to seed its
+            # bloom index). Range stats prune by locality; the bloom prunes
+            # when ranges interleave (post-z-order layouts, hash-ish keys).
+            if md.num_rows <= AcidTable._BLOOM_MAX_KEYS:
+                bloom = AcidTable._bloom_build(
+                    pq.read_table(path, columns=[pk]).column(0).to_pylist()
+                )
+                if bloom is not None:
+                    out["pk_bloom"] = bloom
             return out
         except Exception:
             return {}  # stats are an optimization; never fail a commit
@@ -548,6 +615,13 @@ class AcidTable:
         stats are conservative, so resolution over the candidate set gives
         exactly the live rows. Files from manifests written before the
         stats existed have no range and are conservatively kept.
+
+        Two pruning levels, both from the manifest, no file I/O: the pk
+        [min, max] range first, then the per-file pk bloom filter for files
+        whose range overlaps a probe key (Hudi bloom-index analog — decisive
+        when file key ranges interleave, where min/max alone keeps
+        everything). Blooms have no false negatives, so pruning is exact;
+        a false positive only reads one extra file.
         """
         if isinstance(keys, (str, int)):
             keys = [keys]
@@ -556,12 +630,18 @@ class AcidTable:
 
         def may_contain(f: dict) -> bool:
             lo, hi = f.get("pk_min"), f.get("pk_max")
-            if lo is None or hi is None:
-                return True
-            try:
-                return any(lo <= k <= hi for k in keys)
-            except TypeError:
-                return True  # incomparable stats: keep conservatively
+            in_range = keys
+            if lo is not None and hi is not None:
+                try:
+                    in_range = [k for k in keys if lo <= k <= hi]
+                except TypeError:
+                    in_range = keys  # incomparable stats: keep conservatively
+                if not in_range:
+                    return False
+            bloom = f.get("pk_bloom")
+            if bloom is not None:
+                return any(self._bloom_contains(bloom, k) for k in in_range)
+            return True
 
         cand = [f for f in m.files if may_contain(f)]
         if m.mode == "mor":
@@ -569,6 +649,38 @@ class AcidTable:
         else:
             df = self._df_for_files(m, cand)
         return df.filter(F.col(m.pk).isin(keys))
+
+    def lookup_stats(self, keys) -> dict:
+        """Observability for the point-read index: how many manifest files a
+        :meth:`lookup` of ``keys`` would read under (a) no index, (b) the pk
+        range stats only, (c) range + bloom. The bloom-index unit tests
+        assert (c) < (b) on interleaved-key layouts."""
+        if isinstance(keys, (str, int)):
+            keys = [keys]
+        keys = list(keys)
+        m = self._read_manifest()
+
+        def in_range(f: dict) -> list:
+            lo, hi = f.get("pk_min"), f.get("pk_max")
+            if lo is None or hi is None:
+                return keys
+            try:
+                return [k for k in keys if lo <= k <= hi]
+            except TypeError:
+                return keys
+
+        range_cand = [f for f in m.files if in_range(f)]
+        bloom_cand = [
+            f
+            for f in range_cand
+            if f.get("pk_bloom") is None
+            or any(self._bloom_contains(f["pk_bloom"], k) for k in in_range(f))
+        ]
+        return {
+            "total_files": len(m.files),
+            "range_candidates": len(range_cand),
+            "bloom_candidates": len(bloom_cand),
+        }
 
     @staticmethod
     def _may_overlap(f: dict, col: str, lo, hi, pk: str | None = None) -> bool:
@@ -688,7 +800,12 @@ class AcidTable:
         )
 
     def _partition_scoped_rewrite(
-        self, m: _Manifest, changed, rewrite, scope_keys: DataFrame | None = None
+        self,
+        m: _Manifest,
+        changed,
+        rewrite,
+        scope_keys: DataFrame | None = None,
+        scope_key_list: list | None = None,
     ) -> list[dict]:
         """COW scoped by partition, then by file: only files whose partition
         value appears in ``changed`` — and, when ``scope_keys`` is given,
@@ -712,6 +829,13 @@ class AcidTable:
         nothing (single-file partitions must rewrite regardless), so small
         fresh tables pay zero extra latency.
 
+        ``scope_key_list`` is the same key set as a driver-side Python list
+        when the caller already has one (DELETE with an IN-list): then each
+        range-overlapping file is additionally probed against its manifest
+        pk bloom — zero Spark jobs — and carries over untouched when every
+        key misses. Blooms never false-negative, so this only ever shrinks
+        the rewrite set; a false positive merely rewrites one extra file.
+
         ``rewrite(old_rows_df) -> new_rows_df`` receives the current rows of
         the files being rewritten only.
         """
@@ -725,6 +849,15 @@ class AcidTable:
         keep = [f for f in m.files if f["partition"] not in affected]
         touch = [f for f in m.files if f["partition"] in affected]
         multi_file = len({f["partition"] for f in touch}) < len(touch)
+        if scope_key_list and multi_file:
+            def bloom_free(f: dict) -> bool:
+                bloom = f.get("pk_bloom")
+                return bloom is not None and not any(
+                    self._bloom_contains(bloom, k) for k in scope_key_list
+                )
+
+            keep.extend(f for f in touch if bloom_free(f))
+            touch = [f for f in touch if not bloom_free(f)]
         if scope_keys is not None and multi_file:
             lo, hi = scope_keys.agg(
                 F.min(m.pk), F.max(m.pk)
@@ -955,11 +1088,18 @@ class AcidTable:
                 else:
                     live = self._df_for(m)
                     changed = live.join(kdf, m.pk, "left_semi").select(m.partition_col)
+                key_list = None
+                if not isinstance(keys, DataFrame):
+                    key_list = [
+                        k[0] if isinstance(k, (tuple, list)) else k
+                        for k in keys
+                    ]
                 return self._partition_scoped_rewrite(
                     m,
                     changed,
                     lambda old: old.join(F.broadcast(kdf), m.pk, "left_anti"),
                     scope_keys=kdf,
+                    scope_key_list=key_list,
                 )
             finally:
                 kdf.unpersist()

@@ -113,3 +113,66 @@ def test_scan_range_open_ended_and_pk(spark, tmp_path):
     got = {r["pk"] for r in t.scan_range("pk", lo="k2_0").collect()}
     exp = {r["pk"] for r in t.snapshot().filter(F.col("pk") >= "k2_0").collect()}
     assert got == exp
+
+
+# ---------------------------------------------------------------- bloom index
+
+
+def test_manifest_carries_pk_bloom(spark, tmp_path):
+    t = _mk(spark, tmp_path, "cow")
+    m = t._read_manifest()
+    blooms = [f["pk_bloom"] for f in m.files if f.get("pk_bloom")]
+    assert blooms, "no file carries a pk bloom"
+    b = blooms[0]
+    assert b["m"] >= 64 and b["k"] >= 1 and b["b64"]
+
+
+def test_bloom_prunes_interleaved_lookup(spark, tmp_path):
+    """After z-order clustering, per-file pk ranges interleave — min/max
+    alone keeps nearly everything; the bloom must prune further, and the
+    lookup result must stay exact."""
+    t = _mk(spark, tmp_path, "cow")
+    t.cluster(files_per_partition=16, zorder_cols=["val", "score"])
+    s = t.lookup_stats("k1_3")
+    assert s["bloom_candidates"] < s["range_candidates"], s
+    rows = t.lookup("k1_3").collect()
+    assert len(rows) == 1 and rows[0]["pk"] == "k1_3"
+
+
+def test_bloom_no_false_negatives_over_sample(spark, tmp_path):
+    t = _mk(spark, tmp_path, "cow")
+    t.cluster(files_per_partition=16, zorder_cols=["val", "score"])
+    for c in range(3):
+        for i in range(0, 200, 23):
+            k = f"k{c}_{i}"
+            rows = t.lookup(k).collect()
+            assert len(rows) == 1 and rows[0]["pk"] == k, k
+
+
+def test_bloom_absent_key_reads_nothing(spark, tmp_path):
+    t = _mk(spark, tmp_path, "cow")
+    t.cluster(files_per_partition=16, zorder_cols=["val", "score"])
+    s = t.lookup_stats("definitely_absent_9999")
+    # deterministic for a fixed key/layout; FPs allowed but must stay rare
+    assert s["bloom_candidates"] <= 2, s
+    assert t.lookup("definitely_absent_9999").count() == 0
+
+
+def test_delete_bloom_scopes_cow_rewrite(spark, tmp_path):
+    """An IN-list DELETE on an interleaved (z-ordered) layout must rewrite
+    only files whose bloom can contain a deleted key — the rest carry over
+    byte-identical (same manifest file entries)."""
+    t = _mk(spark, tmp_path, "cow")
+    t.cluster(files_per_partition=16, zorder_cols=["val", "score"])
+    before = {f["file"] for f in t._read_manifest().files}
+    assert len(before) > 8  # layout actually split into many files
+    expect = t.snapshot().count() - 2
+    t.delete(["k0_7", "k2_190"])
+    m = t._read_manifest()
+    after = {f["file"] for f in m.files}
+    carried = before & after
+    # strictly more files carried over than partitions merely require
+    assert len(carried) >= len(before) - 6, (len(before), len(carried))
+    assert t.snapshot().count() == expect
+    assert t.lookup("k0_7").count() == 0
+    assert t.lookup("k2_190").count() == 0
