@@ -594,3 +594,76 @@ def acid_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dim string, cand_before int, files_before int, cand_after int, "
         "files_after int, n_rows int, scan_matches_full boolean",
     )
+
+
+@query("acid_bloom_lookup")  # rows-only: file-pruning lifecycle, no SQL oracle
+def acid_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-read index lifecycle: pk range stats vs the per-file pk bloom
+    filter (Hudi BLOOM index analog). Builds a COW table over a slice of
+    ``orders``, z-order-clusters it on two non-pk dimensions — which
+    deliberately INTERLEAVES per-file pk ranges, the layout where min/max
+    pruning degenerates — then probes point lookups and reports, per probe,
+    how many files (a) no index, (b) range stats, (c) range + bloom would
+    read, plus a correctness witness (the lookup found exactly the live
+    row; an absent probe found none).
+
+    The 100 TB story: a keyed point read must touch O(1) files out of
+    millions. Range stats give that only while the clustering is pk-
+    aligned; any layout optimized for OTHER predicates (z-order, partition
+    evolution) breaks pk locality, and the bloom — harvested at commit
+    time from the file the writer just produced, probed driver-side from
+    the manifest with zero file I/O — restores it.
+    """
+    from hudi_acid_verification_spark.acid import AcidTable
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "hudi_acid_verification_spark",
+        f"acid_bloom_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType(), False),
+            T.StructField("o_orderpriority", T.StringType(), False),
+            T.StructField("o_totalprice", T.DoubleType(), True),
+            T.StructField("o_custkey", T.LongType(), True),
+        ]
+    )
+    table = AcidTable.create(
+        spark, base, schema,
+        pk="o_orderkey", partition_col="o_orderpriority",
+        precombine_col=None,
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority",
+        F.col("o_totalprice").cast("double"), "o_custkey",
+    ).filter(F.col("o_orderkey") % 10 == 0)  # slice: lifecycle, not volume
+    table.upsert(orders)
+    table.cluster(
+        files_per_partition=8, zorder_cols=["o_totalprice", "o_custkey"]
+    )
+
+    present = [
+        r[0]
+        for r in orders.orderBy("o_orderkey").limit(500).collect()[::100]
+    ]
+    probes = [(k, 1) for k in present] + [(3, 0), (7, 0)]  # %10!=0 ⇒ absent
+    rows = []
+    for key, expect in probes:
+        s = table.lookup_stats(key)
+        rows.append(
+            (
+                int(key),
+                int(s["total_files"]),
+                int(s["range_candidates"]),
+                int(s["bloom_candidates"]),
+                bool(table.lookup(key).count() == expect),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "probe_key long, total_files int, range_candidates int, "
+        "bloom_candidates int, lookup_exact boolean",
+    )

@@ -140,3 +140,14 @@ def test_certification_order_invariants():
         : min(50, n_pending_oracled)
     ]
     assert set(expect_in_window) <= window
+
+
+def test_acid_bloom_lookup_prunes_and_stays_exact(spark):
+    """Every probe's lookup must be exact, the bloom candidate set must
+    never exceed the range candidate set, and on the z-ordered layout it
+    must genuinely prune (strictly fewer files for at least one probe)."""
+    rows = ops.QUERIES["acid_bloom_lookup"](spark, SF_SMALL).collect()
+    assert rows
+    assert all(r["lookup_exact"] for r in rows)
+    assert all(r["bloom_candidates"] <= r["range_candidates"] for r in rows)
+    assert any(r["bloom_candidates"] < r["range_candidates"] for r in rows)
