@@ -71,7 +71,8 @@ _CERT_ORDER = [
     "dedup_url_canonical", "text_rare_token_score", "window_active_users",
     "join_interval_overlap", "dedup_shingle_containment",
     "dedup_repeated_ngrams", "pipeline_shard_assignment",
-    "acid_bloom_lookup",
+    "acid_bloom_lookup", "text_quality_model", "agg_weighted_median",
+    "join_bloom_prefilter",
     "text_lang_id", "text_quality_score", "text_token_count",
     "text_fingerprint", "text_tfidf_topterms",
     "event_funnel", "pipeline_corpus_clean",

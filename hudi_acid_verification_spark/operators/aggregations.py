@@ -419,3 +419,80 @@ def agg_arg_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_customers"),
         )
     )
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+    WITH pre AS (
+        SELECT l_returnflag,
+               CAST(l_quantity AS BIGINT) AS qty,
+               CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS w
+        FROM lineitem
+        GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT l_returnflag, qty, w,
+               sum(w) OVER (PARTITION BY l_returnflag ORDER BY qty
+                            ROWS UNBOUNDED PRECEDING) AS cw,
+               sum(w) OVER (PARTITION BY l_returnflag) AS total
+        FROM pre
+    )
+    SELECT l_returnflag,
+           CAST(max(total) AS BIGINT) AS total_weight_cents,
+           CAST(min(CASE WHEN 2 * cw >= total THEN qty END) AS BIGINT)
+               AS weighted_median_qty
+    FROM cum
+    GROUP BY 1
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median (revenue-weighted order quantity per return
+    flag): the smallest value whose cumulative weight reaches half the
+    group's total — "what quantity splits the money in half", the
+    distribution summary a mixture/packing policy reads instead of the
+    unweighted median.
+
+    Scale shape — the reason this is NOT a naive per-group sort: weights
+    first collapse onto the (group, value) domain with one partial-
+    aggregated groupBy (the fact table's contribution is map-side
+    combined), and only the collapsed frame — O(groups × distinct values),
+    3×50 here, bounded by the value domain at any corpus size — flows into
+    the cumulative window. Integer cents make the half-total comparison
+    (2·cum ≥ total) exact in both engines; when the value domain is
+    unbounded-continuous the same plan runs over bucketized values and
+    becomes the standard mergeable-quantile approximation.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    from pyspark.sql import Window
+
+    pre = (
+        li.select(
+            "l_returnflag",
+            F.col("l_quantity").cast("bigint").alias("qty"),
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .groupBy("l_returnflag", "qty")
+        .agg(F.sum("cents").alias("w"))
+    )
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("qty")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("l_returnflag")
+    cum = pre.select(
+        "l_returnflag",
+        "qty",
+        F.sum("w").over(w_cum).alias("cw"),
+        F.sum("w").over(w_all).alias("total"),
+    )
+    return cum.groupBy("l_returnflag").agg(
+        F.max("total").cast("bigint").alias("total_weight_cents"),
+        F.min(F.when(2 * F.col("cw") >= F.col("total"), F.col("qty")))
+        .cast("bigint")
+        .alias("weighted_median_qty"),
+    )

@@ -308,3 +308,97 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= _TFIDF_TOP_K)
     )
+
+
+_QM_BUCKETS = 256      # hashing-trick feature space
+_QM_BIAS = -3          # model bias term (pseudo-trained, deterministic)
+
+
+@query(
+    "text_quality_model",
+    oracle=f"""
+    WITH weights AS (
+        SELECT b.bucket,
+               (CAST(('0x' || substr(md5('w' || CAST(b.bucket AS VARCHAR)), 1, 8))
+                     AS BIGINT) % 41) - 20 AS weight
+        FROM (SELECT unnest(generate_series(0, {_QM_BUCKETS - 1})) AS bucket) b
+    ),
+    feats AS (
+        SELECT d.doc_id,
+               CAST(('0x' || substr(md5(u.tok), 1, 8)) AS BIGINT)
+                   % {_QM_BUCKETS} AS bucket,
+               count(*) AS tf
+        FROM documents d,
+             LATERAL (SELECT unnest(string_split(d.text, ' ')) AS tok) u
+        WHERE u.tok <> ''
+        GROUP BY 1, 2
+    )
+    SELECT f.doc_id,
+           CAST(sum(f.tf) AS BIGINT) AS n_tokens,
+           CAST(sum(f.tf * w.weight) + {_QM_BIAS} AS BIGINT) AS score_sum,
+           CAST(sum(f.tf * w.weight) + {_QM_BIAS} AS DOUBLE) / sum(f.tf)
+               AS mean_margin,
+           (sum(f.tf * w.weight) + {_QM_BIAS} >= 0) AS keep
+    FROM feats f JOIN weights w ON w.bucket = f.bucket
+    GROUP BY 1
+    """,
+)
+def text_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier serving via the hashing trick — the
+    fastText-style "does this page look like reference text" filter every
+    pretraining pipeline runs. Tokens hash into a fixed {B}-bucket feature
+    space (no vocabulary dictionary — the property that makes the model
+    servable on an unbounded corpus), each bucket carries a weight from the
+    model table, a doc's score is Σ tf·w + bias and the keep/drop label is
+    its sign. Weights here are pseudo-trained (derived deterministically
+    from the bucket id) so both engines serve the identical model; swapping
+    in real trained weights changes one small table, not the plan.
+
+    Scale shape: per-doc feature extraction is a narrow map (split +
+    hash + local count), the weight table is O(B) rows and BROADCASTS, and
+    the score is one partial-aggregated groupBy(doc_id) — so the whole
+    classifier costs one corpus scan plus an O(docs) shuffle, with no
+    driver state. This is how a logistic-regression-style gate actually
+    runs inside Spark at 100 TB (the sigmoid is monotone, so thresholding
+    the raw margin is the same decision boundary).
+    """
+    d = load(spark, sf_dir, "documents")
+    weights = (
+        spark.range(_QM_BUCKETS)
+        .select(
+            F.col("id").cast("int").alias("bucket"),
+            (
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit("w"), F.col("id").cast("string"))), 1, 8),
+                    16,
+                    10,
+                ).cast("bigint")
+                % 41
+                - 20
+            ).alias("weight"),
+        )
+    )
+    feats = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .select(
+            "doc_id",
+            (
+                F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
+                % _QM_BUCKETS
+            ).cast("int").alias("bucket"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    raw = F.sum(F.col("tf") * F.col("weight")) + F.lit(_QM_BIAS)
+    return (
+        feats.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            raw.cast("bigint").alias("score_sum"),
+            (raw.cast("double") / F.sum("tf")).alias("mean_margin"),
+            (raw >= 0).alias("keep"),
+        )
+    )

