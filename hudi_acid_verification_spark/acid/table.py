@@ -122,9 +122,14 @@ class AcidTable:
     latest-per-key at read time (fast writes, read amplification bounded by
     ``compact()``)."""
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession, path: str, occ: bool = False):
         self.spark = spark
         self.path = path
+        # Writer-side concurrency mode (Hudi write.concurrency.mode analog):
+        # occ=True lets COW DML write data lock-free and conflict-check at
+        # publish — see _commit. Per-writer, like Hudi's: readers and
+        # pessimistic writers interoperate unchanged on the same table.
+        self.occ = occ
         self._manifest_dir = os.path.join(path, "_manifests")
         self._latest_ptr = os.path.join(path, "_latest")
         self._lock_path = os.path.join(path, "_lock")
@@ -758,10 +763,36 @@ class AcidTable:
         finally:
             self._release_lock(fd)
 
-    def _commit(self, mutate, timeout: float = 60.0) -> int:
-        """Run ``mutate(manifest) -> new_files`` under the writer lock and
-        atomically publish the next manifest version (metadata carried
-        over unchanged)."""
+    def _commit(self, mutate, timeout: float = 60.0, occ: bool = False) -> int:
+        """Run ``mutate(manifest) -> new_files`` and atomically publish the
+        next manifest version (metadata carried over unchanged).
+
+        ``occ=False`` (default): pessimistic — the writer lock is held
+        across the whole mutation, including the Spark data-write jobs.
+
+        ``occ=True`` (COW only): optimistic concurrency (Hudi
+        ``optimistic_concurrency_control`` analog). The expensive phase —
+        reading the snapshot and writing new parquet — runs LOCK-FREE
+        against a pinned manifest; the lock is taken only for the
+        millisecond-scale publish. At publish time, if other writers
+        committed in between, their per-commit file deltas are replayed:
+        commits touching only OTHER partitions rebase cleanly (this
+        writer's delta applies on top of theirs — both commits survive,
+        which is the throughput win: N writers on disjoint partitions
+        stream commits in parallel instead of serializing their write
+        jobs); any intermediate commit touching one of this writer's
+        partitions raises :class:`CommitConflictError` (orphaned files are
+        cleaned up), and the caller retries against the fresh snapshot —
+        the reference harness's retry loop (TransactionWriter.java:104-119
+        intent, defect D4 fixed).
+
+        MOR always takes the pessimistic path: a MOR DML bakes its
+        resolution sequence number into the delta rows it writes
+        (``__seq = version+1``), so its ordering is only correct for the
+        exact version it observed — rebasing would create seq ties between
+        concurrent appends. (Hudi draws the same line: its delta ordering
+        comes from the instant time granted under the timeline lock.)
+        """
 
         def make(m: _Manifest) -> _Manifest:
             return _Manifest(
@@ -769,13 +800,65 @@ class AcidTable:
                 m.precombine_col, mutate(m), m.mode, m.compact_every,
             )
 
-        return self._commit_with(make, timeout)
+        cur0 = self._read_manifest()
+        if not occ or cur0.mode != "cow":
+            return self._commit_with(make, timeout)
+
+        files1 = mutate(cur0)  # lock-free: snapshot read + data write
+        before = {f["file"]: f for f in cur0.files}
+        after_names = {f["file"] for f in files1}
+        removed = set(before) - after_names
+        added = [f for f in files1 if f["file"] not in before]
+        my_parts = {f["partition"] for f in added} | {
+            before[fn]["partition"] for fn in removed
+        }
+
+        fd = self._acquire_lock(timeout)
+        try:
+            cur_n = self._read_manifest()
+            if cur_n.version == cur0.version:
+                files_out = files1
+            else:
+                prev = cur0
+                for v in range(cur0.version + 1, cur_n.version + 1):
+                    mv = self._read_manifest(version=v)
+                    pf = {f["file"]: f for f in prev.files}
+                    nf = {f["file"]: f for f in mv.files}
+                    delta_parts = {
+                        (pf.get(fn) or nf.get(fn))["partition"]
+                        for fn in set(pf) ^ set(nf)
+                    }
+                    if delta_parts & my_parts:
+                        for f in added:  # best-effort orphan cleanup
+                            try:
+                                os.remove(
+                                    os.path.join(self._data_dir, f["file"])
+                                )
+                            except OSError:
+                                pass
+                        raise CommitConflictError(
+                            f"OCC conflict: commit v{v} touched partitions "
+                            f"{sorted(delta_parts & my_parts)}"
+                        )
+                    prev = mv
+                files_out = [
+                    f for f in cur_n.files if f["file"] not in removed
+                ] + added
+            nm = _Manifest(
+                cur_n.version + 1, cur_n.schema, cur_n.pk,
+                cur_n.partition_col, cur_n.precombine_col, files_out,
+                cur_n.mode, cur_n.compact_every,
+            )
+            self._write_manifest_and_swap(nm)
+            return nm.version
+        finally:
+            self._release_lock(fd)
 
     def _commit_dml(self, mutate, timeout: float) -> int:
         """Commit a DML mutation, then fire inline compaction when the table
         asks for it (mor + compact_every). Compaction is its own commit; if
         another writer holds the lock, skip — a later trigger will fold."""
-        v = self._commit(mutate, timeout)
+        v = self._commit(mutate, timeout, occ=self.occ)
         m = self._read_manifest()
         if m.mode == "mor" and m.compact_every and v % m.compact_every == 0:
             try:

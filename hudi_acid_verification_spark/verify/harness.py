@@ -69,6 +69,10 @@ class HarnessConfig:
     # of the DataFrame API — API-parity mode; INSERT stays the write-path
     # upsert, as in the reference (:121-141)
     sql_mode: bool = False
+    # writer-side optimistic concurrency (COW): data writes run lock-free,
+    # conflicts surface as CommitConflictError and take the retry path —
+    # exercises AcidTable's OCC rebase under the real concurrent workload
+    occ: bool = False
 
 
 @dataclass
@@ -236,7 +240,9 @@ class TransactionHarness:
         # size shuffles to the workload: recordsPerTransaction-row batches
         # over a 4-partition table make 32-way shuffles pure task overhead
         session.conf.set("spark.sql.shuffle.partitions", "8")
-        table = AcidTable(session, self.config.table_path)
+        table = AcidTable(
+            session, self.config.table_path, occ=self.config.occ
+        )
         try:
             while not self._stop.is_set():
                 txn = self._next_transaction()

@@ -867,3 +867,138 @@ def test_incremental_agg_maintenance_matches_recompute(spark):
     }
     assert maintained == direct
     assert "HOUSEHOLD" not in maintained
+
+
+# ------------------------------------------------------------------ OCC
+
+
+def _occ_pair(spark, tmp_path):
+    """Two writer handles on one COW table, seeded with one row per
+    partition; writer A has OCC on."""
+    path = str(tmp_path / "occ_tbl")
+    t_seed = AcidTable.create(
+        spark, path, SCHEMA, pk="primaryKeyValue",
+        partition_col="partitionKeyValue", precombine_col="dataValue",
+    )
+    t_seed.upsert(rows(spark, [("k1", "p1", "v1"), ("k2", "p2", "v2")]))
+    a = AcidTable(spark, path, occ=True)
+    b = AcidTable(spark, path, occ=True)
+    return a, b
+
+
+def _interleave(a, b, b_action):
+    """Run ``b_action`` after A's data files land but before A publishes —
+    the deterministic OCC race: B commits a whole transaction inside A's
+    lock-free write phase."""
+    real = a._write_data
+    state = {"fired": False}
+
+    def hooked(df, m, preserve_layout=False):
+        entries = real(df, m, preserve_layout=preserve_layout)
+        if not state["fired"]:
+            state["fired"] = True
+            b_action()
+        return entries
+
+    a._write_data = hooked
+    return a
+
+
+def test_occ_disjoint_partitions_both_commit(spark, tmp_path):
+    a, b = _occ_pair(spark, tmp_path)
+    v0 = a.version()
+    _interleave(
+        a, b, lambda: b.upsert(rows(spark, [("k2", "p2", "v2b")]))
+    )
+    v = a.upsert(rows(spark, [("k1", "p1", "v1a")]))
+    assert v == v0 + 2  # B took v0+1, A rebased onto it
+    got = {
+        r["primaryKeyValue"]: r["dataValue"] for r in a.snapshot().collect()
+    }
+    assert got == {"k1": "v1a", "k2": "v2b"}
+    a.audit_unique()
+
+
+def test_occ_same_partition_conflicts_and_retry_succeeds(spark, tmp_path):
+    a, b = _occ_pair(spark, tmp_path)
+    _interleave(
+        a, b, lambda: b.upsert(rows(spark, [("k1", "p1", "v1B")]))
+    )
+    with pytest.raises(CommitConflictError):
+        a.upsert(rows(spark, [("k1", "p1", "v1A")]))
+    # loser left no trace: B's write is the visible state and it's clean
+    got = {
+        r["primaryKeyValue"]: r["dataValue"] for r in a.snapshot().collect()
+    }
+    assert got == {"k1": "v1B", "k2": "v2"}
+    # no orphaned manifest entries: every listed file exists
+    m = a._read_manifest()
+    for f in m.files:
+        assert os.path.exists(os.path.join(a._data_dir, f["file"]))
+    # retry against the fresh snapshot wins
+    a.upsert(rows(spark, [("k1", "p1", "v1A2")]))
+    got = {
+        r["primaryKeyValue"]: r["dataValue"] for r in a.snapshot().collect()
+    }
+    assert got["k1"] == "v1A2"
+    a.audit_unique()
+
+
+def test_occ_delete_rebases_over_disjoint_commit(spark, tmp_path):
+    a, b = _occ_pair(spark, tmp_path)
+    _interleave(
+        a, b, lambda: b.upsert(rows(spark, [("k2", "p2", "v2b")]))
+    )
+    a.delete(["k1"])
+    got = {
+        r["primaryKeyValue"]: r["dataValue"] for r in a.snapshot().collect()
+    }
+    assert got == {"k2": "v2b"}
+
+
+def test_occ_mor_falls_back_to_pessimistic(spark, tmp_path):
+    path = str(tmp_path / "occ_mor")
+    AcidTable.create(
+        spark, path, SCHEMA, pk="primaryKeyValue",
+        partition_col="partitionKeyValue", precombine_col="dataValue",
+        mode="mor",
+    )
+    t = AcidTable(spark, path, occ=True)
+    t.upsert(rows(spark, [("k1", "p1", "v1")]))
+    t.upsert(rows(spark, [("k1", "p1", "v2")]))
+    got = {r["primaryKeyValue"]: r["dataValue"] for r in t.snapshot().collect()}
+    assert got == {"k1": "v2"}
+
+
+def test_occ_threaded_disjoint_writers_all_commit(spark, tmp_path):
+    """4 OCC writers × 3 commits each, every writer owning its own
+    partition: all 12 commits must land (rebase, not conflict) and the
+    final state must hold every write."""
+    path = str(tmp_path / "occ_threads")
+    AcidTable.create(
+        spark, path, SCHEMA, pk="primaryKeyValue",
+        partition_col="partitionKeyValue", precombine_col="dataValue",
+    )
+    errs = []
+
+    def writer(i: int):
+        t = AcidTable(spark, path, occ=True)
+        try:
+            for j in range(3):
+                t.upsert(rows(spark, [(f"k{i}", f"p{i}", f"v{i}_{j}")]))
+        except Exception as ex:  # noqa: BLE001
+            errs.append((i, ex))
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs, errs
+    t = AcidTable(spark, path)
+    assert t.version() == 12
+    got = {
+        r["primaryKeyValue"]: r["dataValue"] for r in t.snapshot().collect()
+    }
+    assert got == {f"k{i}": f"v{i}_2" for i in range(4)}
+    t.audit_unique()
