@@ -72,7 +72,7 @@ _CERT_ORDER = [
     "join_interval_overlap", "dedup_shingle_containment",
     "dedup_repeated_ngrams", "pipeline_shard_assignment",
     "acid_bloom_lookup", "text_quality_model", "agg_weighted_median",
-    "join_bloom_prefilter",
+    "join_bloom_prefilter", "graph_pagerank_bipartite",
     "text_lang_id", "text_quality_score", "text_token_count",
     "text_fingerprint", "text_tfidf_topterms",
     "event_funnel", "pipeline_corpus_clean",

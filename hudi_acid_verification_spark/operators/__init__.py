@@ -78,6 +78,7 @@ def _import_all() -> None:
         composite3,
         corpus,
         dedup,
+        graph,
         joins,
         multimodal,
         pipelines,

@@ -584,3 +584,13 @@ def test_bloom_prefilter_tests_bits_before_join(spark):
     assert "CartesianProduct" not in plan
     # the bit-test filter must appear before (deeper than) the equi-join
     assert plan.find("element_at") != -1
+
+
+def test_pagerank_contributions_partial_agg_and_cached_edges(spark):
+    """Each PageRank half-step must partial-aggregate contributions before
+    the exchange (shuffle volume O(nodes), not O(edges)) and iterate over
+    the cached edge relation, never re-deriving it from the base scans."""
+    plan = plan_of(spark, "graph_pagerank_bipartite")
+    assert "partial_" in plan
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+    assert "CartesianProduct" not in plan
