@@ -73,6 +73,7 @@ _CERT_ORDER = [
     "dedup_repeated_ngrams", "pipeline_shard_assignment",
     "acid_bloom_lookup", "text_quality_model", "agg_weighted_median",
     "join_bloom_prefilter", "graph_pagerank_bipartite",
+    "window_cumulative_users",
     "text_lang_id", "text_quality_score", "text_token_count",
     "text_fingerprint", "text_tfidf_topterms",
     "event_funnel", "pipeline_corpus_clean",
@@ -81,7 +82,7 @@ _CERT_ORDER = [
     "udtf_token_spans", "udaf_pandas_grouped",
     "multimodal_metadata_agg",
     # tier 4 — rows-only by design
-    "pipeline_bpe_merges",
+    "pipeline_bpe_merges", "pipeline_bpe_encode",
     "agg_approx_distinct", "multimodal_decode_features",
     "multimodal_frame_sample", "stream_watermark_late",
     "stream_stateful_fold", "stream_transform_with_state",

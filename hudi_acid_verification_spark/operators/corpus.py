@@ -530,9 +530,12 @@ _PAIR_SEP = "\x1e"  # record separator: joins the two symbols of a counted
                     # are themselves merge products still splits in two
 
 
-@query("pipeline_bpe_merges")  # iterative argmax+rewrite: no single-pass oracle
-def pipeline_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE-style merge induction over the token stream: for each of
+def _bpe_train(spark: SparkSession, sf_dir: str):
+    """Run the merge-induction loop; return (per-round stat rows, ordered
+    merge rules [(a, b, merged), ...]) — the rules feed pipeline_bpe_encode
+    exactly as a trained tokenizer's merges.txt would.
+
+    BPE-style merge induction over the token stream: for each of
     4 rounds, count all adjacent symbol pairs in the corpus, pick the most
     frequent (ties broken lexicographically on the pair), and rewrite
     every document by greedily merging that pair left-to-right — exactly
@@ -570,6 +573,7 @@ def pipeline_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     out_rows = []
+    merge_rules: list[tuple[str, str, str]] = []
     total_before = docs.agg(
         F.sum(F.size("syms")).cast("bigint").alias("t")
     ).collect()[0]["t"]
@@ -595,6 +599,7 @@ def pipeline_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         pair, cnt = top[0]["pair"], top[0]["cnt"]
         a, b = pair.split(_PAIR_SEP)
         merged = f"{a}{_BPE_SEP}{b}"
+        merge_rules.append((a, b, merged))
         # Greedy left-to-right merge as a JVM fold: append t, except when
         # the accumulator ends with `a` and t == b — then replace the tail
         # with the merged symbol. A fresh merge leaves `merged` (≠ a: the
@@ -625,8 +630,73 @@ def pipeline_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         total_before = total_after  # next round's baseline, no extra agg
+    return out_rows, merge_rules
+
+
+@query("pipeline_bpe_merges")  # iterative argmax+rewrite: no single-pass oracle
+def pipeline_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style merge induction over the token stream — see _bpe_train for
+    the loop; this operator surfaces the per-round training statistics.
+    (Docstring of record: the original full description lives on the module
+    and in _bpe_train's body comments; correctness is pinned by the pure-
+    Python replay test, tests/test_corpus_invariants.py.)
+    """
+    out_rows, _ = _bpe_train(spark, sf_dir)
     return spark.createDataFrame(
         out_rows,
         "merge_round int, merged_pair string, pair_count bigint, "
         "n_merges bigint, tokens_after bigint",
+    )
+
+
+@query("pipeline_bpe_encode")  # serves the trained merges: replay-tested
+def pipeline_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE — the serving half of the tokenizer: train the merge
+    table with :func:`_bpe_train`, then encode the whole corpus by applying
+    the merges in rank order and report per-source compression (docs, raw
+    tokens, encoded tokens, saved fraction). This is the
+    induce-merges → tokenize-corpus loop every pretraining pipeline runs;
+    the merge list is exactly a tokenizer's ``merges.txt``.
+
+    Shape — the deliberate contrast with training: induction needs R
+    materialized rounds (each round's counts depend on the previous
+    rewrite), but ENCODING is rank-ordered greedy folds with no data
+    dependence between documents, so all R merge rules chain lazily into
+    ONE corpus scan — R nested JVM ``aggregate`` folds fused by codegen,
+    zero shuffles until the final O(sources) rollup. At 100 TB: training
+    cost is R passes once; encoding cost is one pass per corpus, which is
+    why real pipelines train on a sample and encode everything. The merge
+    rules are driver state (≤ R tiny rows) inlined into the expression —
+    the broadcast-free analog of a broadcast join against merges.txt.
+
+    No SQL oracle (the rules come from an iterative train); the pure-
+    Python replay test encodes the collected corpus with the same rules
+    and compares every per-source count bit-for-bit.
+    """
+    _, merges = _bpe_train(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.split("text", " ").alias("syms"),
+        F.size(F.split("text", " ")).alias("n_raw"),
+    )
+    expr = "syms"
+    for a, b, merged in merges:
+        step = (
+            "(acc, t) -> CASE WHEN size(acc) > 0"
+            f" AND element_at(acc, -1) = '{a}' AND t = '{b}'"
+            f" THEN concat(slice(acc, 1, size(acc) - 1), array('{merged}'))"
+            " ELSE concat(acc, array(t)) END"
+        )
+        expr = f"aggregate({expr}, CAST(array() AS ARRAY<STRING>), {step})"
+    enc = docs.select(
+        "source", "n_raw", F.size(F.expr(expr)).alias("n_enc")
+    )
+    return enc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_raw").cast("bigint").alias("tokens_raw"),
+        F.sum("n_enc").cast("bigint").alias("tokens_encoded"),
+        (
+            (F.sum("n_raw") - F.sum("n_enc")).cast("double") / F.sum("n_raw")
+        ).alias("saved_frac"),
     )

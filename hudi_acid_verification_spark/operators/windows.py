@@ -346,3 +346,51 @@ def window_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("dau").cast("double") / F.col("wau_7d")).alias("stickiness"),
         )
     )
+
+
+@query(
+    "window_cumulative_users",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events GROUP BY 1
+    ),
+    daily AS (
+        SELECT day, CAST(count(*) AS BIGINT) AS new_users
+        FROM first_seen GROUP BY 1
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, new_users,
+           CAST(sum(new_users) OVER (ORDER BY day
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS users_to_date
+    FROM daily
+    """,
+)
+def window_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users to date (the growth-curve companion of
+    DAU/WAU): per day, how many users appeared for the FIRST time and the
+    running total of distinct users ever seen. A naive COUNT(DISTINCT)
+    over an unbounded window rescans history per day; the identity
+    "cumulative distinct = cumulative sum of first-occurrences" collapses
+    it to one exact pass.
+
+    Shape: min-date per user (one partial-aggregated shuffle on user_id,
+    the only pass over raw events), collapse to per-day counts (O(days)
+    rows), then the running sum windows over that already-tiny frame — the
+    same collapse-then-window discipline as agg_weighted_median. At 100 TB
+    the cumulative window touches a few thousand rows regardless of event
+    volume.
+    """
+    e = load(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("user_id")
+        .agg(F.min(F.to_date("ts")).alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("new_users"))
+    )
+    w_cum = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("new_users").cast("bigint").alias("new_users"),
+        F.sum("new_users").over(w_cum).cast("bigint").alias("users_to_date"),
+    )

@@ -195,3 +195,43 @@ def test_bpe_merges_match_pure_python_replay(spark):
             (rnd, (a + " " + b).replace(_BPE_SEP, " "), cnt, before - after, after)
         )
     assert got == expected
+
+
+def test_bpe_encode_matches_pure_python_replay(spark):
+    """pipeline_bpe_encode serves the trained merges; replay train + encode
+    in pure Python and compare every per-source rollup bit-for-bit."""
+    from hudi_acid_verification_spark.operators.corpus import (
+        _bpe_train,
+    )
+
+    got = {
+        r["source"]: (
+            r["n_docs"], r["tokens_raw"], r["tokens_encoded"], r["saved_frac"]
+        )
+        for r in ops.QUERIES["pipeline_bpe_encode"](spark, SF_SMALL).collect()
+    }
+    _, merges = _bpe_train(spark, SF_SMALL)
+
+    rows = (
+        load(spark, SF_SMALL, "documents").select("source", "text").collect()
+    )
+    agg: dict[str, list[int]] = {}
+    for r in rows:
+        syms = r["text"].split(" ")
+        enc = list(syms)
+        for a, b, merged in merges:
+            acc: list[str] = []
+            for t in enc:
+                if acc and acc[-1] == a and t == b:
+                    acc[-1] = merged
+                else:
+                    acc.append(t)
+            enc = acc
+        st = agg.setdefault(r["source"], [0, 0, 0])
+        st[0] += 1
+        st[1] += len(syms)
+        st[2] += len(enc)
+    expected = {
+        src: (n, raw, e, (raw - e) / raw) for src, (n, raw, e) in agg.items()
+    }
+    assert got == expected

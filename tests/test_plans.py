@@ -594,3 +594,19 @@ def test_pagerank_contributions_partial_agg_and_cached_edges(spark):
     assert "partial_" in plan
     assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_cumulative_users_collapses_before_window(spark):
+    """Raw events collapse to per-user min then per-day counts before the
+    cumulative window — the window's input is O(days), not O(events)."""
+    plan = plan_of(spark, "window_cumulative_users")
+    assert "Window" in plan and "partial_" in plan
+
+
+def test_bpe_encode_is_single_fused_scan(spark):
+    """All merge folds chain lazily into one corpus scan: no shuffle until
+    the final per-source rollup (exactly one pair of agg exchanges), and
+    the fold runs as JVM aggregate expressions, not Python."""
+    plan = plan_of(spark, "pipeline_bpe_encode")
+    assert "aggregate(" in plan or "Aggregate" in plan
+    assert "PythonUDF" not in plan and "ArrowEval" not in plan
