@@ -1351,6 +1351,52 @@ class AcidTable:
 
     # ------------------------------------------------------------ maintenance
 
+    def repartition_table(
+        self, new_partition_col: str, timeout: float = 60.0
+    ) -> int:
+        """Partition evolution as ONE atomic commit: rewrite every live row
+        hive-partitioned on ``new_partition_col`` and publish a manifest
+        whose partition column is the new one. The Iceberg-style outcome —
+        change how the table partitions without downtime or a side copy —
+        delivered as a rewrite commit, which is the only honest form when
+        partition values are directory-encoded (Hudi cannot do this at all;
+        Iceberg keeps both layouts live because its manifests carry
+        per-file partition tuples — ours do too, so readers of RETAINED
+        older manifests keep resolving the old layout untouched).
+
+        MOR tables resolve first (deltas and tombstones are keyed to the
+        old partitions), so the new layout starts from fresh base files.
+        The changefeed stays clean: live rows are rewritten verbatim, so
+        read_incremental's exceptAll cancels them out.
+        """
+
+        def make(m: _Manifest) -> _Manifest:
+            if new_partition_col not in m.schema.names:
+                raise ValueError(
+                    f"{new_partition_col!r} is not a schema column"
+                )
+            if new_partition_col == m.partition_col:
+                raise ValueError(
+                    f"table is already partitioned by {new_partition_col!r}"
+                )
+            layout = _Manifest(
+                m.version + 1, m.schema, m.pk, new_partition_col,
+                m.precombine_col, [], m.mode, m.compact_every,
+            )  # write-target: only partition_col/schema/pk are read
+            rows = self._df_for(m).select(*m.schema.names)
+            if m.mode == "mor":
+                files = self._write_delta(
+                    rows, layout, op="upsert", seq=m.version + 1, kind="base"
+                )
+            else:
+                files = self._write_data(rows, layout)
+            return _Manifest(
+                m.version + 1, m.schema, m.pk, new_partition_col,
+                m.precombine_col, files, m.mode, m.compact_every,
+            )
+
+        return self._commit_with(make, timeout)
+
     def compact(self, max_files_per_partition: int = 1, timeout: float = 60.0) -> int:
         """Rewrite partitions holding more than ``max_files_per_partition``
         live files into one file each (Hudi inline compaction / clustering

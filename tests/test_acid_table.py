@@ -1002,3 +1002,69 @@ def test_occ_threaded_disjoint_writers_all_commit(spark, tmp_path):
     }
     assert got == {f"k{i}": f"v{i}_2" for i in range(4)}
     t.audit_unique()
+
+
+# ------------------------------------------------------- partition evolution
+
+
+def test_repartition_table_cow_preserves_rows_and_serves_dml(spark, tmp_path):
+    path = str(tmp_path / "repart_cow")
+    t = AcidTable.create(
+        spark, path, SCHEMA, pk="primaryKeyValue",
+        partition_col="partitionKeyValue", precombine_col="dataValue",
+    )
+    t.upsert(rows(spark, [("k1", "p1", "a"), ("k2", "p2", "b"),
+                          ("k3", "p1", "a")]))
+    v_old = t.version()
+    before = {(r[0], r[1], r[2]) for r in t.snapshot().collect()}
+    t.repartition_table("dataValue")
+    m = t._read_manifest()
+    assert m.partition_col == "dataValue"
+    assert {f["partition"] for f in m.files} == {"a", "b"}
+    assert {(r[0], r[1], r[2]) for r in t.snapshot().collect()} == before
+    # time travel to the pre-evolution layout still resolves
+    assert {(r[0], r[1], r[2])
+            for r in t.snapshot(version=v_old).collect()} == before
+    # DML under the new layout
+    t.upsert(rows(spark, [("k4", "p3", "b")]))
+    t.delete(["k1"])
+    got = {r["primaryKeyValue"] for r in t.snapshot().collect()}
+    assert got == {"k2", "k3", "k4"}
+    assert t.lookup("k4").count() == 1
+    t.audit_unique()
+
+
+def test_repartition_table_mor_resolves_then_evolves(spark, tmp_path):
+    path = str(tmp_path / "repart_mor")
+    t = AcidTable.create(
+        spark, path, SCHEMA, pk="primaryKeyValue",
+        partition_col="partitionKeyValue", precombine_col="dataValue",
+        mode="mor",
+    )
+    t.upsert(rows(spark, [("k1", "p1", "a"), ("k2", "p2", "b")]))
+    t.upsert(rows(spark, [("k1", "p1", "a2")]))  # delta shadows base
+    t.delete([("k2", "p2")])                      # tombstone
+    t.repartition_table("dataValue")
+    m = t._read_manifest()
+    assert m.partition_col == "dataValue"
+    got = {
+        r["primaryKeyValue"]: r["dataValue"] for r in t.snapshot().collect()
+    }
+    assert got == {"k1": "a2"}
+    # deltas/tombstones resolved away: new layout starts from base files
+    assert all(f.get("kind") == "base" for f in m.files)
+    t.upsert(rows(spark, [("k9", "p9", "z")]))
+    assert t.snapshot().count() == 2
+    t.audit_unique()
+
+
+def test_repartition_table_rejects_bad_column(spark, tmp_path):
+    path = str(tmp_path / "repart_bad")
+    t = AcidTable.create(
+        spark, path, SCHEMA, pk="primaryKeyValue",
+        partition_col="partitionKeyValue", precombine_col="dataValue",
+    )
+    with pytest.raises(ValueError, match="not a schema column"):
+        t.repartition_table("nope")
+    with pytest.raises(ValueError, match="already partitioned"):
+        t.repartition_table("partitionKeyValue")
