@@ -82,6 +82,7 @@ class _Manifest:
     files: list[dict]  # {"file", "partition"[, "kind": base|delta, "seq"]}
     mode: str = "cow"  # "cow" (rewrite on commit) | "mor" (delta + resolve)
     compact_every: int | None = None  # mor: inline-compact every N commits
+    op: str | None = None  # what produced this version (timeline action label)
 
     def to_json(self) -> str:
         return json.dumps(
@@ -94,6 +95,7 @@ class _Manifest:
                 "files": self.files,
                 "mode": self.mode,
                 "compact_every": self.compact_every,
+                "op": self.op,
                 "created_at": time.time(),
             }
         )
@@ -110,6 +112,7 @@ class _Manifest:
             files=d["files"],
             mode=d.get("mode", "cow"),
             compact_every=d.get("compact_every"),
+            op=d.get("op"),
         )
 
 
@@ -175,7 +178,7 @@ class AcidTable:
         open(t._lock_path, "a").close()
         m = _Manifest(
             0, schema, pk, partition_col, precombine_col, [], mode,
-            compact_every,
+            compact_every, op="create",
         )
         t._write_manifest_and_swap(m)
         return t
@@ -746,7 +749,7 @@ class AcidTable:
             pred = pred & (F.col(col) <= F.lit(hi))
         return df.filter(pred)
 
-    def _commit_with(self, make, timeout: float = 60.0) -> int:
+    def _commit_with(self, make, timeout: float = 60.0, op: str | None = None) -> int:
         """The one commit path: under the writer lock, derive the next
         manifest from the current one via ``make(current) -> _Manifest``
         and atomically publish it. Every commit — DML, compaction,
@@ -758,12 +761,19 @@ class AcidTable:
             cur = self._read_manifest()
             nm = make(cur)
             assert nm.version == cur.version + 1
+            if op is not None and nm.op is None:
+                from dataclasses import replace as _dc_replace
+
+                nm = _dc_replace(nm, op=op)
             self._write_manifest_and_swap(nm)
             return nm.version
         finally:
             self._release_lock(fd)
 
-    def _commit(self, mutate, timeout: float = 60.0, occ: bool = False) -> int:
+    def _commit(
+        self, mutate, timeout: float = 60.0, occ: bool = False,
+        op: str | None = None,
+    ) -> int:
         """Run ``mutate(manifest) -> new_files`` and atomically publish the
         next manifest version (metadata carried over unchanged).
 
@@ -802,7 +812,7 @@ class AcidTable:
 
         cur0 = self._read_manifest()
         if not occ or cur0.mode != "cow":
-            return self._commit_with(make, timeout)
+            return self._commit_with(make, timeout, op=op)
 
         files1 = mutate(cur0)  # lock-free: snapshot read + data write
         before = {f["file"]: f for f in cur0.files}
@@ -847,18 +857,18 @@ class AcidTable:
             nm = _Manifest(
                 cur_n.version + 1, cur_n.schema, cur_n.pk,
                 cur_n.partition_col, cur_n.precombine_col, files_out,
-                cur_n.mode, cur_n.compact_every,
+                cur_n.mode, cur_n.compact_every, op=op,
             )
             self._write_manifest_and_swap(nm)
             return nm.version
         finally:
             self._release_lock(fd)
 
-    def _commit_dml(self, mutate, timeout: float) -> int:
+    def _commit_dml(self, mutate, timeout: float, op: str | None = None) -> int:
         """Commit a DML mutation, then fire inline compaction when the table
         asks for it (mor + compact_every). Compaction is its own commit; if
         another writer holds the lock, skip — a later trigger will fold."""
-        v = self._commit(mutate, timeout, occ=self.occ)
+        v = self._commit(mutate, timeout, occ=self.occ, op=op)
         m = self._read_manifest()
         if m.mode == "mor" and m.compact_every and v % m.compact_every == 0:
             try:
@@ -1006,7 +1016,7 @@ class AcidTable:
             finally:
                 incoming.unpersist()
 
-        return self._commit_dml(mutate, timeout)
+        return self._commit_dml(mutate, timeout, op="upsert")
 
     def merge(
         self,
@@ -1103,7 +1113,7 @@ class AcidTable:
             finally:
                 src.unpersist()
 
-        return self._commit_dml(mutate, timeout)
+        return self._commit_dml(mutate, timeout, op="merge")
 
     def delete(self, keys, timeout: float = 60.0, partitions: list[str] | None = None) -> int:
         """DELETE WHERE pk IN (...) with the intended semantics
@@ -1187,7 +1197,7 @@ class AcidTable:
             finally:
                 kdf.unpersist()
 
-        return self._commit_dml(mutate, timeout)
+        return self._commit_dml(mutate, timeout, op="delete")
 
     # ------------------------------------------------- incremental / timeline
 
@@ -1204,7 +1214,12 @@ class AcidTable:
             for e in m.files:
                 parts[e["partition"]] = parts.get(e["partition"], 0) + 1
             out.append(
-                {"version": m.version, "n_files": len(m.files), "partitions": parts}
+                {
+                    "version": m.version,
+                    "op": m.op,
+                    "n_files": len(m.files),
+                    "partitions": parts,
+                }
             )
         return out
 
@@ -1336,7 +1351,7 @@ class AcidTable:
                 target.mode, target.compact_every,
             )
 
-        return self._commit_with(make, timeout)
+        return self._commit_with(make, timeout, op="restore")
 
     def _df_for_files(self, m: _Manifest, files: list[dict]) -> DataFrame:
         if not files:
@@ -1395,7 +1410,7 @@ class AcidTable:
                 m.precombine_col, files, m.mode, m.compact_every,
             )
 
-        return self._commit_with(make, timeout)
+        return self._commit_with(make, timeout, op="repartition")
 
     def compact(self, max_files_per_partition: int = 1, timeout: float = 60.0) -> int:
         """Rewrite partitions holding more than ``max_files_per_partition``
@@ -1439,7 +1454,7 @@ class AcidTable:
             )
             return keep + self._write_data(rows, m)
 
-        return self._commit(mutate, timeout)
+        return self._commit(mutate, timeout, op="compact")
 
     _Z_BITS = 12  # z-order grid resolution per dimension
 
@@ -1555,7 +1570,7 @@ class AcidTable:
                 )
             return self._write_data(out, m, preserve_layout=True)
 
-        return self._commit(mutate, timeout)
+        return self._commit(mutate, timeout, op="cluster")
 
     def vacuum(self, retain_versions: int = 10, timeout: float = 60.0) -> dict:
         """Cleaner service (Hudi `hoodie.cleaner.commits.retained` analog):
@@ -1624,4 +1639,4 @@ class AcidTable:
                 m.mode, m.compact_every,
             )
 
-        return self._commit_with(make, timeout)
+        return self._commit_with(make, timeout, op="add_column")

@@ -1068,3 +1068,19 @@ def test_repartition_table_rejects_bad_column(spark, tmp_path):
         t.repartition_table("nope")
     with pytest.raises(ValueError, match="already partitioned"):
         t.repartition_table("partitionKeyValue")
+
+
+def test_history_records_timeline_actions(spark, tmp_path):
+    """Every commit carries its action label (Hudi timeline analog):
+    create → upsert → merge → delete → compact/cluster → restore."""
+    path = str(tmp_path / "timeline")
+    t = AcidTable.create(
+        spark, path, SCHEMA, pk="primaryKeyValue",
+        partition_col="partitionKeyValue", precombine_col="dataValue",
+    )
+    t.upsert(rows(spark, [("k1", "p1", "a"), ("k2", "p2", "b")]))
+    t.merge(rows(spark, [("k1", "p1", "a2")]), update_cols=["dataValue"])
+    t.delete(["k2"])
+    t.restore(1)
+    got = [h["op"] for h in t.history()]
+    assert got == ["create", "upsert", "merge", "delete", "restore"]
