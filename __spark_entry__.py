@@ -101,6 +101,7 @@ _CERT_ORDER = [
     "acid_snapshot_read", "acid_incremental_read", "acid_stream_ingest",
     "acid_stream_merge_mor", "acid_mor_lifecycle", "acid_cdc_restore",
     "acid_incremental_agg_maintenance", "acid_zorder_skipping",
+    "acid_partition_evolution",
 ]
 
 

@@ -667,3 +667,76 @@ def acid_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "probe_key long, total_files int, range_candidates int, "
         "bloom_candidates int, lookup_exact boolean",
     )
+
+
+@query("acid_partition_evolution")  # rows-only: layout lifecycle, no SQL oracle
+def acid_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-evolution lifecycle: build a COW table partitioned by
+    order priority, run DML against it, then ``repartition_table`` onto
+    the order-status column in ONE atomic commit and keep serving reads
+    and DML under the new layout. Returns one row per lifecycle stage with
+    the manifest's partition column, partition count, row count, and an
+    exactness witness (row set preserved across the evolution; time travel
+    to the pre-evolution version still resolves the old layout).
+
+    The 100 TB story: partitioning choices rot as workloads shift, and
+    re-sharding a petabyte table must be (a) atomic — readers see either
+    the old layout or the new, never a mix, and (b) non-destructive —
+    retained manifests keep the old layout readable for time travel. The
+    rewrite itself is one partitionBy write job, linear in table size,
+    embarrassingly parallel.
+    """
+    from hudi_acid_verification_spark.acid import AcidTable
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "hudi_acid_verification_spark",
+        f"acid_repart_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType(), False),
+            T.StructField("o_orderpriority", T.StringType(), False),
+            T.StructField("o_orderstatus", T.StringType(), False),
+            T.StructField("o_totalprice", T.DoubleType(), True),
+        ]
+    )
+    table = AcidTable.create(
+        spark, base, schema,
+        pk="o_orderkey", partition_col="o_orderpriority",
+        precombine_col=None,
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderstatus",
+        F.col("o_totalprice").cast("double"),
+    ).filter(F.col("o_orderkey") % 5 == 0)
+    table.upsert(orders)
+    v_before = table.version()
+    n_before = table.snapshot().count()
+
+    def stage(name: str) -> tuple:
+        m = table._read_manifest()
+        return (
+            name,
+            m.partition_col,
+            len({f["partition"] for f in m.files}),
+            int(table.snapshot().count()),
+        )
+
+    s1 = stage("before")
+    table.repartition_table("o_orderstatus")
+    s2 = stage("evolved")
+    # DML under the new layout + time travel to the old one
+    table.delete([int(r[0]) for r in orders.limit(3).collect()])
+    s3 = stage("after_delete")
+    preserved = bool(
+        s2[3] == n_before
+        and table.snapshot(version=v_before).count() == n_before
+    )
+    rows = [s + (preserved,) for s in (s1, s2, s3)]
+    return spark.createDataFrame(
+        rows,
+        "stage string, partition_col string, n_partitions int, "
+        "n_rows int, evolution_exact boolean",
+    )

@@ -530,6 +530,10 @@ _PAIR_SEP = "\x1e"  # record separator: joins the two symbols of a counted
                     # are themselves merge products still splits in two
 
 
+_BPE_CACHE: dict[str, tuple] = {}  # sf_dir -> (rows, merges): training is
+# deterministic per corpus, so induce + encode share one training run
+
+
 def _bpe_train(spark: SparkSession, sf_dir: str):
     """Run the merge-induction loop; return (per-round stat rows, ordered
     merge rules [(a, b, merged), ...]) — the rules feed pipeline_bpe_encode
@@ -566,6 +570,8 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
     # every round's rewrite fold; spread it across cores (at scale the
     # input splits already provide this, so the repartition is a no-op
     # cost-wise — one shuffle of the corpus before R in-place rounds).
+    if sf_dir in _BPE_CACHE:
+        return _BPE_CACHE[sf_dir]
     docs = (
         load(spark, sf_dir, "documents")
         .select("doc_id", F.split("text", " ").alias("syms"))
@@ -630,6 +636,7 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
             )
         )
         total_before = total_after  # next round's baseline, no extra agg
+    _BPE_CACHE[sf_dir] = (out_rows, merge_rules)
     return out_rows, merge_rules
 
 
