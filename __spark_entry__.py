@@ -73,7 +73,7 @@ _CERT_ORDER = [
     "dedup_repeated_ngrams", "pipeline_shard_assignment",
     "acid_bloom_lookup", "text_quality_model", "agg_weighted_median",
     "join_bloom_prefilter", "graph_pagerank_bipartite",
-    "window_cumulative_users",
+    "window_cumulative_users", "similarity_recall_eval",
     "text_lang_id", "text_quality_score", "text_token_count",
     "text_fingerprint", "text_tfidf_topterms",
     "event_funnel", "pipeline_corpus_clean",

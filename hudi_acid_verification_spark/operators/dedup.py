@@ -487,15 +487,19 @@ def dedup_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup_frac is an exact-integer ratio, so it is bit-identical cross-engine.
     """
     d = load(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
+    # Materialize the token array as a column FIRST: referencing
+    # split(text) inside the transform lambda re-tokenizes the document
+    # once per span position (O(tokens²) splits/doc — observed 4× the
+    # whole operator's runtime at sf0.1); a column reference splits once.
+    toked = d.select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    ).filter(F.size("toks") >= _SPAN_N)
     grams = F.expr(
-        f"transform(sequence(1, size(split(text, ' ')) - {_SPAN_N - 1}),"
-        f" i -> concat_ws(' ', slice(split(text, ' '), i, {_SPAN_N})))"
+        f"transform(sequence(1, size(toks) - {_SPAN_N - 1}),"
+        f" i -> concat_ws(' ', slice(toks, i, {_SPAN_N})))"
     )
-    spans = (
-        d.filter(F.size(toks) >= _SPAN_N)
-        .select("doc_id", F.explode(grams).alias("gram"))
-        .select("doc_id", _h32_spark(F.col("gram")).alias("h"))
+    spans = toked.select("doc_id", F.explode(grams).alias("gram")).select(
+        "doc_id", _h32_spark(F.col("gram")).alias("h")
     )
     occ = spans.groupBy("doc_id", "h").agg(F.count(F.lit(1)).alias("cnt"))
     dh = occ.groupBy("h").agg(F.count(F.lit(1)).alias("n_docs"))

@@ -225,3 +225,187 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("vec_id").alias("min_vec_id"),
         F.max("vec_id").alias("max_vec_id"),
     )
+
+
+def _recall_oracle() -> str:
+    values = ", ".join(
+        f"({p}, {i + 1}, {_PLANES[p][i]})"
+        for p in range(_N_PLANES)
+        for i in range(_DIM)
+    )
+    return f"""
+    WITH planes(plane, i, w) AS (VALUES {values}),
+    {_ORACLE_ELEMS},
+    bits AS (
+        SELECT e.vec_id, p.plane,
+               CASE WHEN sum(e.x * p.w) > 0 THEN '1' ELSE '0' END AS bit
+        FROM elems e JOIN planes p ON p.i = e.i
+        GROUP BY 1, 2
+    ),
+    buckets AS (
+        SELECT vec_id, string_agg(bit, '' ORDER BY plane) AS bucket
+        FROM bits GROUP BY vec_id
+    ),
+    dots AS (
+        SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+               sum(q.x * v.x) AS dot
+        FROM elems q
+        JOIN elems v ON v.i = q.i
+        WHERE q.vec_id < {_N_QUERIES} AND v.vec_id != q.vec_id
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT d.query_id, d.neighbor_id,
+               CAST(d.dot AS DOUBLE) / (nq.nrm * nv.nrm) AS cosine
+        FROM dots d
+        JOIN norms nq ON nq.vec_id = d.query_id
+        JOIN norms nv ON nv.vec_id = d.neighbor_id
+    ),
+    exact_topk AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id) AS rnk
+            FROM scored
+        ) WHERE rnk <= {_TOP_K}
+    ),
+    ann_topk AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT s.query_id, s.neighbor_id,
+                   row_number() OVER (PARTITION BY s.query_id
+                       ORDER BY s.cosine DESC, s.neighbor_id) AS rnk
+            FROM scored s
+            JOIN buckets bq ON bq.vec_id = s.query_id
+            JOIN buckets bn ON bn.vec_id = s.neighbor_id
+                           AND bn.bucket = bq.bucket
+        ) WHERE rnk <= {_TOP_K}
+    ),
+    cands AS (
+        SELECT bq.vec_id AS query_id,
+               CAST(count(bn.vec_id) AS BIGINT) AS n_candidates
+        FROM buckets bq
+        LEFT JOIN buckets bn ON bn.bucket = bq.bucket
+                            AND bn.vec_id != bq.vec_id
+        WHERE bq.vec_id < {_N_QUERIES}
+        GROUP BY 1
+    )
+    SELECT c.query_id, c.n_candidates,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+           CAST(count(a.neighbor_id) AS DOUBLE) / {_TOP_K} AS recall_at_k
+    FROM cands c
+    LEFT JOIN exact_topk e ON e.query_id = c.query_id
+    LEFT JOIN ann_topk a ON a.query_id = e.query_id
+                        AND a.neighbor_id = e.neighbor_id
+    GROUP BY 1, 2
+    """
+
+
+@query("similarity_recall_eval", oracle=_recall_oracle())
+def similarity_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation IN-ENGINE: recall@k of the LSH-bucketed
+    search against the exact brute-force top-k, per query — the metric
+    that decides nprobe/band tuning before anyone ships an index. Reports
+    each query's candidate-pool size (its bucket population) and how many
+    of the exact top-{K} the bucket probe recovered.
+
+    Shape: the exact arm is the broadcast-queries × corpus-shard scan
+    (one pass, TakeOrdered heaps); the ANN arm reuses the same scored
+    pairs restricted by bucket equality — at 100 TB the ANN arm is the
+    cheap one (probes ~N/2^bits of the corpus) and the exact arm runs on
+    a SAMPLED query set, which is precisely how production recall
+    monitoring works (you can't afford exact search for every query, you
+    CAN for 1000 of them). All scoring is the quantized-int dot machinery
+    — bit-identical across engines, so even the recall ratios hash-match.
+    """
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _quant(F.col("embedding")).alias("qv")
+    )
+    emb = emb.withColumn(
+        "nrm", F.sqrt(_dot_q(F.col("qv"), F.col("qv")).cast("double"))
+    )
+    bit_cols = []
+    for p in range(_N_PLANES):
+        wvec = F.array(*[F.lit(w).cast("bigint") for w in _PLANES[p]])
+        bit_cols.append(
+            F.when(_dot_q(F.col("qv"), wvec) > 0, F.lit("1")).otherwise(
+                F.lit("0")
+            )
+        )
+    emb = emb.withColumn("bucket", F.concat(*bit_cols))
+
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("qq"),
+        F.col("nrm").alias("qn"),
+        F.col("bucket").alias("qbucket"),
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("qv").alias("vq"),
+        F.col("nrm").alias("vn"),
+        F.col("bucket").alias("vbucket"),
+    )
+    scored = (
+        F.broadcast(queries)
+        .join(corpus, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "qbucket",
+            "vbucket",
+            (
+                _dot_q(F.col("qq"), F.col("vq")).cast("double")
+                / (F.col("qn") * F.col("vn"))
+            ).alias("cosine"),
+        )
+    ).cache()
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    exact = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    in_bucket = scored.filter(F.col("qbucket") == F.col("vbucket"))
+    ann = (
+        in_bucket.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select(
+            F.col("query_id").alias("a_query"),
+            F.col("neighbor_id").alias("a_neighbor"),
+        )
+    )
+    cands = (
+        queries.join(
+            in_bucket.groupBy("query_id").agg(
+                F.count(F.lit(1)).alias("n_candidates")
+            ),
+            "query_id",
+            "left",
+        )
+        .select(
+            "query_id",
+            F.coalesce("n_candidates", F.lit(0)).cast("bigint").alias(
+                "n_candidates"
+            ),
+        )
+    )
+    hits = (
+        exact.join(
+            ann,
+            (F.col("query_id") == F.col("a_query"))
+            & (F.col("neighbor_id") == F.col("a_neighbor")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("a_neighbor").alias("n_hits"))
+    )
+    return cands.join(hits, "query_id", "left").select(
+        "query_id",
+        "n_candidates",
+        F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+        (
+            F.coalesce("n_hits", F.lit(0)).cast("double") / F.lit(_TOP_K)
+        ).alias("recall_at_k"),
+    )

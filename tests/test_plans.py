@@ -610,3 +610,11 @@ def test_bpe_encode_is_single_fused_scan(spark):
     plan = plan_of(spark, "pipeline_bpe_encode")
     assert "aggregate(" in plan or "Aggregate" in plan
     assert "PythonUDF" not in plan and "ArrowEval" not in plan
+
+
+def test_recall_eval_reuses_scored_pairs(spark):
+    """Both the exact and ANN arms must read the same cached scored-pair
+    relation (one broadcast queries × corpus pass), not score twice."""
+    plan = plan_of(spark, "similarity_recall_eval")
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
