@@ -515,3 +515,121 @@ def dedup_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             (dup_cnt.cast("double") / F.sum("cnt")).alias("dup_frac"),
         )
     )
+
+
+_SPLIT_SALT = "split-v1"
+
+
+def _split_sql(doc_col: str) -> str:
+    h = (
+        f"CAST(('0x' || substr(md5('{_SPLIT_SALT}' || CAST({doc_col} AS "
+        f"VARCHAR)), 1, 8)) AS BIGINT) % 100"
+    )
+    return (
+        f"CASE WHEN {h} < 80 THEN 'train' WHEN {h} < 90 THEN 'val' "
+        f"ELSE 'test' END"
+    )
+
+
+@query(
+    "dedup_split_leakage",
+    oracle=f"""
+    WITH {_SHINGLES_SQL},
+    sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM shingles a
+        JOIN shingles b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    dup_pairs AS (
+        SELECT i.doc_a, i.doc_b
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+        WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common)
+              >= {_JACCARD_T}
+    ),
+    labeled AS (
+        SELECT least({_split_sql('p.doc_a')}, {_split_sql('p.doc_b')})
+                   AS split_a,
+               greatest({_split_sql('p.doc_a')}, {_split_sql('p.doc_b')})
+                   AS split_b
+        FROM dup_pairs p
+    )
+    SELECT split_a, split_b,
+           CAST(count(*) AS BIGINT) AS n_dup_pairs,
+           (split_a != split_b) AS leaky
+    FROM labeled
+    GROUP BY 1, 2
+    """,
+)
+def dedup_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware train/val/test split audit: assign every doc to a split
+    by salted hash (80/10/10 — reproducible, append-stable, the same
+    assignment discipline as ``pipeline_shard_assignment``), then count
+    near-duplicate pairs (shingle Jaccard ≥ {_JACCARD_T}) WITHIN and
+    ACROSS splits. Cross-split rows are test-set contamination: a val/test
+    doc whose near-twin sits in train inflates eval scores — the audit
+    every serious pretraining pipeline runs before freezing a split, and
+    the reason naive random splits of crawled corpora overstate quality.
+
+    Shape: the pair scan is the shared inverted-index path (shuffle on
+    shingle hash); split labels are a narrow hash map over doc ids joined
+    onto the pair list. At 100 TB the same audit runs off the banded-LSH
+    candidate pairs (dedup_near_minhash) instead of the exact index — the
+    downstream matrix logic is identical. The fix for leaky pairs is
+    GROUP-aware splitting: hash the dup-cluster id (dedup_components), not
+    the doc id, so twins land in the same split by construction.
+    """
+    sh = _shingles_spark(spark, sf_dir).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "h")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "h")
+    inter = (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    pairs = (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(jac >= _JACCARD_T)
+        .select("doc_a", "doc_b")
+    )
+
+    def split_of(col: str) -> F.Column:
+        h = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.lit(_SPLIT_SALT), F.col(col).cast("string"))
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 100
+        )
+        return (
+            F.when(h < 80, F.lit("train"))
+            .when(h < 90, F.lit("val"))
+            .otherwise(F.lit("test"))
+        )
+
+    labeled = pairs.select(
+        F.least(split_of("doc_a"), split_of("doc_b")).alias("split_a"),
+        F.greatest(split_of("doc_a"), split_of("doc_b")).alias("split_b"),
+    )
+    return labeled.groupBy("split_a", "split_b").agg(
+        F.count(F.lit(1)).alias("n_dup_pairs"),
+        (F.col("split_a") != F.col("split_b")).alias("leaky"),
+    )

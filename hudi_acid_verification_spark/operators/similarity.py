@@ -409,3 +409,79 @@ def similarity_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_hits", F.lit(0)).cast("double") / F.lit(_TOP_K)
         ).alias("recall_at_k"),
     )
+
+
+_Q8 = 127  # int8 quantization range
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle=f"""
+    WITH mx AS (
+        SELECT vec_id,
+               list_max(list_transform(embedding,
+                        x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+        FROM embeddings
+    ),
+    q AS (
+        SELECT e.vec_id, m.maxabs,
+               CAST(floor(CAST(u.x AS DOUBLE) * {_Q8} / m.maxabs + 0.5)
+                    AS BIGINT) AS qv
+        FROM embeddings e
+        JOIN mx m ON m.vec_id = e.vec_id,
+             LATERAL (SELECT unnest(e.embedding) AS x) u
+        WHERE m.maxabs > 0
+    )
+    SELECT vec_id, maxabs,
+           CAST(count(*) AS BIGINT) AS dim,
+           CAST(sum(CASE WHEN qv != 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_nonzero,
+           CAST(sum(qv) AS BIGINT) AS q_sum,
+           CAST(sum(qv * qv) AS BIGINT) AS q_sq_sum
+    FROM q
+    GROUP BY 1, 2
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization with per-vector max-abs scaling — the
+    4× storage/bandwidth compression every large vector store applies
+    before ANN serving (float32 → int8 + one scale per vector). Emits the
+    audit a pipeline wants after quantizing: the scale, the live-dimension
+    count, and integer checksums (Σq, Σq²) that pin the exact quantized
+    payload — order-independent int64 sums, so the audit hash-matches the
+    oracle bit-for-bit, which float reconstruction error never could.
+
+    Shape: per-row array math (max-abs, transform, two integer folds) —
+    a narrow map fused into the scan; no shuffle at all until the emit.
+    100 TB: this is the canonical "cheap pass over everything" — IO-bound,
+    zero exchange; the quantized vectors would be written back as
+    array<tinyint> + float scale columns.
+    """
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("v")
+    )
+    maxabs = F.array_max(F.transform("v", lambda x: F.abs(x.cast("double"))))
+    emb = emb.withColumn("maxabs", maxabs).filter(F.col("maxabs") > 0)
+    qarr = F.transform(
+        "v",
+        lambda x: F.floor(
+            x.cast("double") * F.lit(float(_Q8)) / F.col("maxabs") + F.lit(0.5)
+        ).cast("bigint"),
+    )
+    emb = emb.withColumn("q", qarr)
+
+    def fold(expr) -> F.Column:
+        return F.aggregate(
+            expr, F.lit(0).cast("bigint"), lambda acc, z: acc + z
+        )
+
+    return emb.select(
+        "vec_id",
+        "maxabs",
+        F.size("q").cast("bigint").alias("dim"),
+        fold(F.transform("q", lambda q: (q != 0).cast("bigint"))).alias(
+            "n_nonzero"
+        ),
+        fold(F.col("q")).alias("q_sum"),
+        fold(F.transform("q", lambda q: q * q)).alias("q_sq_sum"),
+    )

@@ -618,3 +618,19 @@ def test_recall_eval_reuses_scored_pairs(spark):
     plan = plan_of(spark, "similarity_recall_eval")
     assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_quantize_int8_is_shuffle_free(spark):
+    """Quantization is a narrow per-row map fused into the scan — the plan
+    must contain no Exchange at all."""
+    plan = plan_of(spark, "embedding_quantize_int8")
+    assert "Exchange" not in plan
+    # higher-order array lambdas run as interpreted JVM expressions (no
+    # codegen span), but still fully JVM-side: no Python boundary
+    assert "PythonUDF" not in plan and "ArrowEval" not in plan
+
+
+def test_split_leakage_broadcasts_sizes_no_cartesian(spark):
+    plan = plan_of(spark, "dedup_split_leakage")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
