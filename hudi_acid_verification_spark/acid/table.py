@@ -796,12 +796,20 @@ class AcidTable:
         the reference harness's retry loop (TransactionWriter.java:104-119
         intent, defect D4 fixed).
 
-        MOR always takes the pessimistic path: a MOR DML bakes its
-        resolution sequence number into the delta rows it writes
-        (``__seq = version+1``), so its ordering is only correct for the
-        exact version it observed — rebasing would create seq ties between
-        concurrent appends. (Hudi draws the same line: its delta ordering
-        comes from the instant time granted under the timeline lock.)
+        ``occ=True`` (MOR): MOR DML appends never remove files, so
+        concurrent appends NEVER hard-conflict — the only hazard is the
+        resolution sequence number baked into the delta rows
+        (``__seq = version+1`` against the pinned snapshot; rebasing
+        as-is would tie with a concurrent append's seq and make
+        latest-wins ambiguous). The rebase therefore REWRITES the freshly
+        appended delta files' ``__seq`` column to the version actually
+        granted at publish (a driver-side pyarrow column swap over
+        batch-sized files — no Spark job, microseconds of work) and
+        appends onto the winner's manifest. Every MOR writer streams
+        commits with zero retries; this is the analog of Hudi granting the
+        instant time under the timeline lock, done as fix-up instead of
+        up-front. A MOR mutation that removes files (never a DML append)
+        conflicts outright when raced.
         """
 
         def make(m: _Manifest) -> _Manifest:
@@ -811,7 +819,7 @@ class AcidTable:
             )
 
         cur0 = self._read_manifest()
-        if not occ or cur0.mode != "cow":
+        if not occ:
             return self._commit_with(make, timeout, op=op)
 
         files1 = mutate(cur0)  # lock-free: snapshot read + data write
@@ -828,6 +836,21 @@ class AcidTable:
             cur_n = self._read_manifest()
             if cur_n.version == cur0.version:
                 files_out = files1
+            elif cur_n.mode == "mor":
+                if removed:
+                    for f in added:  # best-effort orphan cleanup
+                        try:
+                            os.remove(
+                                os.path.join(self._data_dir, f["file"])
+                            )
+                        except OSError:
+                            pass
+                    raise CommitConflictError(
+                        "OCC conflict: raced MOR mutation removes files "
+                        f"({len(removed)}) and cannot rebase"
+                    )
+                added = self._rebase_delta_seq(added, cur_n.version + 1)
+                files_out = list(cur_n.files) + added
             else:
                 prev = cur0
                 for v in range(cur0.version + 1, cur_n.version + 1):
@@ -863,6 +886,48 @@ class AcidTable:
             return nm.version
         finally:
             self._release_lock(fd)
+
+    def _rebase_delta_seq(self, entries: list[dict], new_seq: int) -> list[dict]:
+        """OCC seq fix-up for MOR rebases: rewrite each appended file's
+        ``__seq`` column (and manifest tag) to the publish-time version.
+        Driver-side pyarrow column swap — delta files are batch-sized, so
+        this is microseconds and needs no Spark job. On any failure the
+        caller's files are orphaned and a CommitConflictError sends the
+        writer down the ordinary retry path (no partial state: the new
+        manifest is not yet written)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        try:
+            out = []
+            for e in entries:
+                if e.get("seq") is None:
+                    out.append(e)
+                    continue
+                src = os.path.join(self._data_dir, e["file"])
+                t = pq.read_table(src)
+                idx = t.schema.get_field_index("__seq")
+                t = t.set_column(
+                    idx,
+                    t.schema.field(idx),
+                    pa.array([new_seq] * t.num_rows, type=pa.int64()),
+                )
+                dirn, base = os.path.split(e["file"])
+                new_rel = os.path.join(dirn, f"r{new_seq}-{base}")
+                pq.write_table(t, os.path.join(self._data_dir, new_rel))
+                os.remove(src)
+                ne = dict(e)
+                ne["file"] = new_rel
+                ne["seq"] = new_seq
+                out.append(ne)
+            return out
+        except Exception as exc:  # pragma: no cover - defensive
+            for e in entries:
+                try:
+                    os.remove(os.path.join(self._data_dir, e["file"]))
+                except OSError:
+                    pass
+            raise CommitConflictError(f"OCC seq rebase failed: {exc!r}")
 
     def _commit_dml(self, mutate, timeout: float, op: str | None = None) -> int:
         """Commit a DML mutation, then fire inline compaction when the table

@@ -956,18 +956,51 @@ def test_occ_delete_rebases_over_disjoint_commit(spark, tmp_path):
     assert got == {"k2": "v2b"}
 
 
-def test_occ_mor_falls_back_to_pessimistic(spark, tmp_path):
+def _occ_mor_pair(spark, tmp_path):
     path = str(tmp_path / "occ_mor")
-    AcidTable.create(
+    t_seed = AcidTable.create(
         spark, path, SCHEMA, pk="primaryKeyValue",
-        partition_col="partitionKeyValue", precombine_col="dataValue",
+        partition_col="partitionKeyValue", precombine_col=None,
         mode="mor",
     )
-    t = AcidTable(spark, path, occ=True)
-    t.upsert(rows(spark, [("k1", "p1", "v1")]))
-    t.upsert(rows(spark, [("k1", "p1", "v2")]))
-    got = {r["primaryKeyValue"]: r["dataValue"] for r in t.snapshot().collect()}
+    t_seed.upsert(rows(spark, [("k1", "p1", "v0")]))
+    return AcidTable(spark, path, occ=True), AcidTable(spark, path, occ=True)
+
+
+def test_occ_mor_sequential_works(spark, tmp_path):
+    a, _ = _occ_mor_pair(spark, tmp_path)
+    a.upsert(rows(spark, [("k1", "p1", "v2")]))
+    got = {r["primaryKeyValue"]: r["dataValue"] for r in a.snapshot().collect()}
     assert got == {"k1": "v2"}
+
+
+def test_occ_mor_raced_append_rebases_seq_and_wins(spark, tmp_path):
+    """Two MOR writers race on the SAME key: B commits inside A's write
+    phase; A rebases by rewriting its delta's __seq to the granted
+    version, so A — the later commit — wins latest-per-key resolution.
+    Zero conflicts, both transactions land."""
+    a, b = _occ_mor_pair(spark, tmp_path)
+    v0 = a.version()
+    _interleave(
+        a, b, lambda: b.upsert(rows(spark, [("k1", "p1", "vB")]))
+    )
+    v = a.upsert(rows(spark, [("k1", "p1", "vA")]))
+    assert v == v0 + 2
+    got = {r["primaryKeyValue"]: r["dataValue"] for r in a.snapshot().collect()}
+    assert got == {"k1": "vA"}  # publish order decides latest-wins
+    a.audit_unique()
+    # the rebased delta carries the granted seq in manifest and rows
+    m = a._read_manifest()
+    assert max(f.get("seq", 0) for f in m.files) == v
+
+
+def test_occ_mor_raced_delete_rebases(spark, tmp_path):
+    a, b = _occ_mor_pair(spark, tmp_path)
+    _interleave(
+        a, b, lambda: b.upsert(rows(spark, [("k1", "p1", "vB")]))
+    )
+    a.delete([("k1", "p1")])
+    assert a.snapshot().count() == 0  # delete published later, wins
 
 
 def test_occ_threaded_disjoint_writers_all_commit(spark, tmp_path):

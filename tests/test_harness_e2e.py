@@ -91,3 +91,30 @@ def test_concurrent_harness_passes_occ(spark, tmp_path):
     assert not report.writer_errors, report.writer_errors[:3]
     assert not report.reader_errors, report.reader_errors[:3]
     assert 0 < report.final_row_count <= 40
+
+
+@pytest.mark.slow
+def test_concurrent_harness_passes_mor_occ(spark, tmp_path):
+    """MOR + optimistic writers: appends rebase their __seq at publish and
+    NEVER hard-conflict — the whole seeded workload must commit with the
+    same ACID verdict."""
+    cfg = HarnessConfig(
+        table_path=str(tmp_path / "acid_tbl_mor_occ"),
+        number_of_writers=2,
+        number_of_readers=2,
+        total_transactions=30,
+        records_per_transaction=3,
+        maximum_number_of_records=40,
+        maximum_number_of_partitions=4,
+        seed=1234,
+        table_mode="mor",
+        occ=True,
+    )
+    report = TransactionHarness(spark, cfg).run()
+
+    assert report.committed_transactions == 30
+    assert report.failed_transactions == 0
+    assert report.verification_failures == 0, report.failure_details[:3]
+    assert not report.writer_errors, report.writer_errors[:3]
+    assert not report.reader_errors, report.reader_errors[:3]
+    assert 0 < report.final_row_count <= 40
