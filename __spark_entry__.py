@@ -74,7 +74,7 @@ _CERT_ORDER = [
     "acid_bloom_lookup", "text_quality_model", "agg_weighted_median",
     "join_bloom_prefilter", "graph_pagerank_bipartite",
     "window_cumulative_users", "similarity_recall_eval",
-    "embedding_quantize_int8", "dedup_split_leakage",
+    "embedding_quantize_int8", "dedup_split_leakage", "dedup_group_split",
     "text_lang_id", "text_quality_score", "text_token_count",
     "text_fingerprint", "text_tfidf_topterms",
     "event_funnel", "pipeline_corpus_clean",

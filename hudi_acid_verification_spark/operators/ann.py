@@ -720,7 +720,7 @@ def _lsh_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _components_oracle() -> str:
+def _components_cte() -> str:
     """Recursive-CTE closure over the SAME banded-LSH candidate pairs the
     operator consumes (the scale-path edge set — identical and
     deterministic in both engines), not the all-pairs scan."""
@@ -785,11 +785,18 @@ def _components_oracle() -> str:
     comp AS (
         SELECT node AS vec_id, min(lab) AS component_id
         FROM reach GROUP BY node
-    )
+    )"""
+
+
+def _components_oracle() -> str:
+    return (
+        _components_cte()
+        + """
     SELECT vec_id, component_id,
            count(*) OVER (PARTITION BY component_id) AS cluster_size
     FROM comp
     """
+    )
 
 
 @query("dedup_components", oracle=_components_oracle())
@@ -1002,4 +1009,127 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("cluster_id").alias("cluster_id"),
         F.min("lo").alias("dup_of"),
         F.max("cosine").alias("max_cosine"),
+    )
+
+
+_GSPLIT_SALT = "gsplit-v1"
+
+
+def _group_split_oracle() -> str:
+    h = (
+        f"CAST(('0x' || substr(md5('{_GSPLIT_SALT}' || "
+        "CAST(l.component_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+    )
+    return (
+        _components_cte()
+        + f""",
+    labeled AS (
+        SELECT l.vec_id, l.component_id,
+               CASE WHEN {h} < 80 THEN 'train'
+                    WHEN {h} < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM comp l
+    ),
+    leaks AS (
+        SELECT la.split AS sa, lb.split AS sb
+        FROM pairs p
+        JOIN labeled la ON la.vec_id = p.lo
+        JOIN labeled lb ON lb.vec_id = p.hi
+        WHERE la.split != lb.split
+    ),
+    leak_counts AS (
+        SELECT split, CAST(count(*) AS BIGINT) AS n_leaky FROM (
+            SELECT sa AS split FROM leaks
+            UNION ALL
+            SELECT sb AS split FROM leaks
+        ) GROUP BY split
+    )
+    SELECT l.split,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(count(DISTINCT l.component_id) AS BIGINT) AS n_clusters,
+           CAST(coalesce(max(lc.n_leaky), 0) AS BIGINT) AS n_leaky_pairs
+    FROM labeled l
+    LEFT JOIN leak_counts lc ON lc.split = l.split
+    GROUP BY 1
+    """
+    )
+
+
+@query("dedup_group_split", oracle=_group_split_oracle())
+def dedup_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-aware train/val/test splitting — the fix for the leakage
+    ``dedup_split_leakage`` measures: hash the near-dup CLUSTER id (from
+    ``dedup_components``) instead of the item id, so every member of a
+    duplicate cluster lands in the same split BY CONSTRUCTION and the
+    cross-split dup-pair count is exactly zero. Reports, per split, the
+    vector count, cluster count, and the leaky-pair count (always 0 here —
+    and the oracle proves the zero rather than assuming it, by re-joining
+    the same dup-pair edge list against the assignment).
+
+    Shape on top of the components pass: one narrow hash map over the
+    O(N) label table plus one broadcast-joinable audit over the candidate
+    pairs — the split itself adds nothing to the dominant cost (the LSH
+    band rescore + label propagation it shares with dedup_components).
+    """
+    comp = dedup_components(spark, sf_dir).select("vec_id", "component_id")
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(_GSPLIT_SALT),
+                        F.col("component_id").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    labeled = comp.withColumn(
+        "split",
+        F.when(h < 80, F.lit("train"))
+        .when(h < 90, F.lit("val"))
+        .otherwise(F.lit("test")),
+    ).cache()
+    pairs = (
+        _lsh_band_pairs(spark, sf_dir)
+        .select("lo", "hi")
+        .dropDuplicates(["lo", "hi"])
+    )
+    la = labeled.select(
+        F.col("vec_id").alias("lo"), F.col("split").alias("sa")
+    )
+    lb = labeled.select(
+        F.col("vec_id").alias("hi"), F.col("split").alias("sb")
+    )
+    leaks = (
+        pairs.join(la, "lo")
+        .join(lb, "hi")
+        .filter(F.col("sa") != F.col("sb"))
+    )
+    leak_counts = (
+        leaks.select(F.col("sa").alias("split"))
+        .unionByName(leaks.select(F.col("sb").alias("split")))
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_leaky"))
+    )
+    return (
+        labeled.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.countDistinct("component_id").alias("n_clusters"),
+        )
+        .join(leak_counts, "split", "left")
+        .select(
+            "split",
+            "n_vecs",
+            "n_clusters",
+            F.coalesce("n_leaky", F.lit(0)).cast("bigint").alias(
+                "n_leaky_pairs"
+            ),
+        )
     )

@@ -634,3 +634,12 @@ def test_split_leakage_broadcasts_sizes_no_cartesian(spark):
     plan = plan_of(spark, "dedup_split_leakage")
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_group_split_has_zero_leaky_pairs(spark):
+    """Group-aware splitting must make cross-split dup pairs impossible —
+    the operator's own audit column proves it."""
+    rows = ops.QUERIES["dedup_group_split"](spark, SF_SMALL).collect()
+    assert rows
+    assert all(r["n_leaky_pairs"] == 0 for r in rows)
+    assert sum(r["n_vecs"] for r in rows) > 0
