@@ -1637,7 +1637,12 @@ class AcidTable:
 
         return self._commit(mutate, timeout, op="cluster")
 
-    def vacuum(self, retain_versions: int = 10, timeout: float = 60.0) -> dict:
+    def vacuum(
+        self,
+        retain_versions: int = 10,
+        timeout: float = 60.0,
+        orphan_grace_seconds: float = 3600.0,
+    ) -> dict:
         """Cleaner service (Hudi `hoodie.cleaner.commits.retained` analog):
         drop manifests older than the newest ``retain_versions`` and delete
         data files no retained manifest references — including orphans from
@@ -1648,6 +1653,14 @@ class AcidTable:
         versions are unaffected (their files stay); readers pinned to a
         vacuumed version fail fast on the missing manifest rather than
         silently reading a mix.
+
+        ``orphan_grace_seconds``: unreferenced files YOUNGER than this are
+        kept — an OPTIMISTIC writer's freshly written data is exactly an
+        unreferenced file until its publish takes the lock, so deleting
+        young orphans would destroy in-flight OCC commits (the same reason
+        Delta's VACUUM has a file-retention duration and Hudi's cleaner a
+        commits-retained horizon). Pass ``0`` for a cold table to reclaim
+        crashed-writer debris immediately.
         """
         fd = self._acquire_lock(timeout)
         try:
@@ -1666,14 +1679,22 @@ class AcidTable:
                 else:
                     live.update(e["file"] for e in m.files)
             removed_files = 0
+            now = time.time()
             for root, _dirs, files in os.walk(self._data_dir):
                 for fn in files:
                     if not fn.endswith(".parquet"):
                         continue
-                    rel = os.path.relpath(os.path.join(root, fn), self._data_dir)
-                    if rel not in live:
-                        os.remove(os.path.join(root, fn))
+                    full = os.path.join(root, fn)
+                    rel = os.path.relpath(full, self._data_dir)
+                    if rel in live:
+                        continue
+                    try:
+                        if now - os.path.getmtime(full) < orphan_grace_seconds:
+                            continue  # possibly an in-flight OCC write
+                        os.remove(full)
                         removed_files += 1
+                    except OSError:
+                        continue
             return {
                 "dropped_manifests": dropped_manifests,
                 "removed_files": removed_files,

@@ -541,7 +541,7 @@ def test_vacuum_removes_old_versions_and_orphans(spark, table):
         _glob.glob(os.path.join(orphan + ".tmp", "*.parquet"))[0], orphan
     )
 
-    stats = t.vacuum(retain_versions=2)
+    stats = t.vacuum(retain_versions=2, orphan_grace_seconds=0)
     assert stats["dropped_manifests"] >= 3
     assert stats["removed_files"] >= 1  # at least the orphan
     # current snapshot unharmed, time travel within retention works
@@ -1117,3 +1117,21 @@ def test_history_records_timeline_actions(spark, tmp_path):
     t.restore(1)
     got = [h["op"] for h in t.history()]
     assert got == ["create", "upsert", "merge", "delete", "restore"]
+
+
+def test_vacuum_grace_protects_inflight_occ_write(spark, tmp_path):
+    """A cleaner racing an optimistic writer must NOT delete the writer's
+    freshly staged (still-unreferenced) files: vacuum runs between A's
+    data write and A's publish, and A's commit must still succeed and
+    read back intact."""
+    a, b = _occ_pair(spark, tmp_path)
+    _interleave(a, b, lambda: b.vacuum(retain_versions=1))
+    a.upsert(rows(spark, [("k1", "p1", "v1a")]))
+    got = {
+        r["primaryKeyValue"]: r["dataValue"] for r in a.snapshot().collect()
+    }
+    assert got["k1"] == "v1a"
+    # every manifest-listed file exists (nothing was vacuumed from under us)
+    m = a._read_manifest()
+    for f in m.files:
+        assert os.path.exists(os.path.join(a._data_dir, f["file"]))
