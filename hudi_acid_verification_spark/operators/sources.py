@@ -20,6 +20,7 @@ import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from . import load, query
 
@@ -87,4 +88,31 @@ def source_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(path)
         .filter("lang = 'en'")
         .select("doc_id", "text", "source", "n_chars", "lang")
+    )
+
+
+@query("source_binaryfile_ingest")  # rows-only: path-templated oracle not
+# expressible through the driver's fixed view set; pinned instead by a local
+# DuckDB read_blob invariant test (tests/test_corpus_invariants.py)
+def source_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-binary ingestion source — the first step of every multimodal
+    pipeline: `spark.read.format("binaryFile")` over a directory of blobs
+    (here: the fixture's own parquet files standing in for media objects),
+    emitting (file_name, n_bytes, content fingerprint) per object. The
+    fingerprint is md5 over the UPPERCASE hex of the bytes — an encoding
+    both engines produce identically, so the local invariant test compares
+    byte-exactly against DuckDB's read_blob of the same directory.
+
+    Scale notes: binaryFile is a real FileFormat — Spark splits the
+    LISTING across the cluster (each task reads whole files; maxBytesPerFile
+    partitioning), predicate pushdown applies to path/length metadata, and
+    content never touches the driver. At 100 TB this is the pattern for
+    media: list object-store prefixes into (path, length) tasks, fetch
+    bytes per task, decode via mapInPandas (multimodal.py's plumbing).
+    """
+    bf = spark.read.format("binaryFile").load(f"{sf_dir}/*.parquet")
+    return bf.select(
+        F.regexp_extract(F.col("path"), "[^/]+$", 0).alias("file_name"),
+        F.col("length").cast("bigint").alias("n_bytes"),
+        F.md5(F.hex(F.col("content"))).alias("content_md5"),
     )

@@ -394,3 +394,68 @@ def window_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("new_users").cast("bigint").alias("new_users"),
         F.sum("new_users").over(w_cum).cast("bigint").alias("users_to_date"),
     )
+
+
+@query(
+    "window_retention_cohorts",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    cohort AS (
+        SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY 1
+    ),
+    sizes AS (
+        SELECT cohort_day, CAST(count(*) AS BIGINT) AS cohort_size
+        FROM cohort GROUP BY 1
+    )
+    SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
+           CAST(u.day - c.cohort_day AS BIGINT) AS day_offset,
+           CAST(count(*) AS BIGINT) AS n_active,
+           s.cohort_size,
+           CAST(count(*) AS DOUBLE) / s.cohort_size AS retention
+    FROM ud u
+    JOIN cohort c ON c.user_id = u.user_id
+    JOIN sizes s ON s.cohort_day = c.cohort_day
+    GROUP BY c.cohort_day, u.day - c.cohort_day, s.cohort_size
+    """,
+)
+def window_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle — the product-analytics staple: users are
+    grouped by first-seen day (their cohort); for each later day-offset,
+    how many of that cohort were active, as a count and a retention
+    fraction of the cohort's size. One row per (cohort, offset) cell of
+    the classic triangle.
+
+    Shape: one distinct (user, day) collapse of raw events, a min-date
+    aggregate for cohorts (both partial-aggregated shuffles on user_id —
+    AQE co-plans them off the same exchange), then the cell rollup groups
+    O(users × active-days) rows on a (cohort, offset) key whose
+    cardinality is days² — tiny forever. The cohort-size join broadcasts.
+    Exact-integer counts and count/size division keep every cell
+    hash-identical cross-engine.
+    """
+    e = load(spark, sf_dir, "events")
+    ud = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    cohort = ud.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    sizes = cohort.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return (
+        ud.join(cohort, "user_id")
+        .select(
+            "cohort_day", F.datediff("day", "cohort_day").alias("day_offset")
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .join(F.broadcast(sizes), "cohort_day")
+        .select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.col("day_offset").cast("bigint").alias("day_offset"),
+            "n_active",
+            F.col("cohort_size").cast("bigint").alias("cohort_size"),
+            (
+                F.col("n_active").cast("double") / F.col("cohort_size")
+            ).alias("retention"),
+        )
+    )

@@ -235,3 +235,28 @@ def test_bpe_encode_matches_pure_python_replay(spark):
         src: (n, raw, e, (raw - e) / raw) for src, (n, raw, e) in agg.items()
     }
     assert got == expected
+
+
+def test_binaryfile_ingest_matches_duckdb_read_blob(spark):
+    """source_binaryfile_ingest has no driver oracle (the fixed view set
+    can't template file paths); pin it locally byte-exactly against
+    DuckDB's read_blob over the same directory — name, size, and the
+    md5-over-uppercase-hex content fingerprint must all agree."""
+    import duckdb
+
+    got = {
+        r["file_name"]: (r["n_bytes"], r["content_md5"])
+        for r in ops.QUERIES["source_binaryfile_ingest"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    con = duckdb.connect()
+    exp = {
+        row[0]: (row[1], row[2])
+        for row in con.execute(
+            "SELECT regexp_extract(filename, '[^/]+$') AS f, "
+            "CAST(octet_length(content) AS BIGINT), md5(hex(content)) "
+            f"FROM read_blob('{SF_SMALL}/*.parquet')"
+        ).fetchall()
+    }
+    assert got == exp
