@@ -75,7 +75,7 @@ _CERT_ORDER = [
     "join_bloom_prefilter", "graph_pagerank_bipartite",
     "window_cumulative_users", "similarity_recall_eval",
     "embedding_quantize_int8", "dedup_split_leakage", "dedup_group_split",
-    "window_retention_cohorts",
+    "window_retention_cohorts", "join_asof_tolerance",
     "text_lang_id", "text_quality_score", "text_token_count",
     "text_fingerprint", "text_tfidf_topterms",
     "event_funnel", "pipeline_corpus_clean",
@@ -89,6 +89,7 @@ _CERT_ORDER = [
     "multimodal_frame_sample", "stream_watermark_late",
     "stream_stateful_fold", "stream_transform_with_state",
     "udf_cosine_pandas", "udf_state_fold", "source_binaryfile_ingest",
+    "udf_quality_model_pandas",
     # tier 5 — green in CORRECTNESS_r01
     "agg_distinct", "agg_percentiles", "agg_stats_moments",
     "agg_arg_extremes", "similarity_topk", "similarity_ann_lsh",

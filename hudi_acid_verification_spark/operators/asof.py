@@ -280,3 +280,76 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_overlapping_errors"),
         F.min("b_id").alias("first_error_id"),
     )
+
+
+_ASOF_TOL_US = 600_000_000  # 10-minute staleness bound, microseconds
+
+
+@query(
+    "join_asof_tolerance",
+    oracle=f"""
+    WITH carried AS (
+        SELECT event_id, user_id, event_type, ts_us,
+               last_value(CASE WHEN event_type = 'purchase' THEN value END
+                          IGNORE NULLS) OVER w AS pv,
+               last_value(CASE WHEN event_type = 'purchase' THEN ts_us END
+                          IGNORE NULLS) OVER w AS pt
+        FROM (SELECT event_id, user_id, event_type, value,
+                     epoch_us(ts) AS ts_us FROM events)
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, ts_us,
+           CASE WHEN pt IS NOT NULL AND ts_us - pt <= {_ASOF_TOL_US}
+                THEN pv END AS last_purchase_value,
+           CASE WHEN pt IS NOT NULL AND ts_us - pt <= {_ASOF_TOL_US}
+                THEN CAST(ts_us - pt AS BIGINT) END AS staleness_us
+    FROM carried
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a TOLERANCE bound (pandas ``merge_asof(tolerance=)``
+    / kdb ``wj`` semantics): the carried most-recent purchase only counts
+    while it is at most 10 minutes stale — older context must NOT leak
+    forward (feature-engineering correctness: a model served "last
+    purchase" from yesterday would train on a signal production won't
+    have). Same single-shuffle carry-forward window as ``join_asof_carry``
+    but carrying the matched TIMESTAMP alongside the value, then nulling
+    both outside the bound — still zero self-joins, zero range scans.
+    """
+    e = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.expr("ts_ns DIV 1000").alias("ts_us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_p = F.col("event_type") == "purchase"
+    carried = e.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.last(F.when(is_p, F.col("value")), ignorenulls=True)
+        .over(w)
+        .alias("pv"),
+        F.last(F.when(is_p, F.col("ts_us")), ignorenulls=True)
+        .over(w)
+        .alias("pt"),
+    )
+    fresh = F.col("pt").isNotNull() & (
+        F.col("ts_us") - F.col("pt") <= _ASOF_TOL_US
+    )
+    return carried.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.when(fresh, F.col("pv")).alias("last_purchase_value"),
+        F.when(fresh, (F.col("ts_us") - F.col("pt")).cast("bigint")).alias(
+            "staleness_us"
+        ),
+    )

@@ -201,3 +201,64 @@ def udaf_pandas_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_rows("c_acctbal").alias("n_customers"),
         )
     )
+
+
+@query("udf_quality_model_pandas")  # rows-only: pandas-UDF serving twin —
+# exact-parity invariant test vs the JVM text_quality_model instead
+def udf_quality_model_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch model inference through the Arrow/pandas path: the SAME
+    hashing-trick linear classifier as ``text_quality_model``, but served
+    by a ``mapInPandas`` batch scorer instead of JVM expressions — the
+    plumbing a real model (sklearn/torch) rides: weights materialized
+    once per task (stand-in for loading a checkpoint), whole Arrow
+    batches scored vectorized, schema declared up front. A pytest pins
+    EXACT output parity with the JVM twin, which is the property you want
+    before swapping a fast JVM approximation for a Python model or vice
+    versa.
+
+    Scale notes: mapInPandas streams batches at constant memory; the
+    weight table is built per task from the deterministic formula (a real
+    model would arrive via SparkFiles/broadcast once per executor, not
+    per batch). The JVM twin is ~the same speed here (tiny model) but
+    needs no Python workers — mapInPandas earns its cost only when the
+    per-batch work is a real model forward pass.
+    """
+    import hashlib
+    from collections.abc import Iterator
+
+    from .text import _QM_BIAS, _QM_BUCKETS
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    out_schema = (
+        "doc_id bigint, n_tokens bigint, score_sum bigint, "
+        "mean_margin double, keep boolean"
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = [
+            int(hashlib.md5(f"w{b}".encode()).hexdigest()[:8], 16) % 41 - 20
+            for b in range(_QM_BUCKETS)
+        ]
+
+        def doc_score(text: str) -> tuple:
+            toks = [t for t in text.split(" ") if t]
+            s = _QM_BIAS
+            for t in toks:
+                h = int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+                s += weights[h % _QM_BUCKETS]
+            n = len(toks)
+            return n, s, s / n if n else 0.0, s >= 0
+
+        for pdf in batches:
+            scored = [doc_score(t) for t in pdf["text"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_tokens": [x[0] for x in scored],
+                    "score_sum": [x[1] for x in scored],
+                    "mean_margin": [x[2] for x in scored],
+                    "keep": [x[3] for x in scored],
+                }
+            )
+
+    return d.mapInPandas(score, schema=out_schema)

@@ -260,3 +260,23 @@ def test_binaryfile_ingest_matches_duckdb_read_blob(spark):
         ).fetchall()
     }
     assert got == exp
+
+
+def test_pandas_quality_model_matches_jvm_twin(spark):
+    """The Arrow/pandas serving path must produce EXACTLY the JVM
+    expression path's classifications — the swap-safety property."""
+    jvm = {
+        r["doc_id"]: (
+            r["n_tokens"], r["score_sum"], r["mean_margin"], r["keep"]
+        )
+        for r in ops.QUERIES["text_quality_model"](spark, SF_SMALL).collect()
+    }
+    py = {
+        r["doc_id"]: (
+            r["n_tokens"], r["score_sum"], r["mean_margin"], r["keep"]
+        )
+        for r in ops.QUERIES["udf_quality_model_pandas"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    assert jvm == py

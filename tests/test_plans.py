@@ -643,3 +643,11 @@ def test_group_split_has_zero_leaky_pairs(spark):
     assert rows
     assert all(r["n_leaky_pairs"] == 0 for r in rows)
     assert sum(r["n_vecs"] for r in rows) > 0
+
+
+def test_asof_tolerance_no_self_join(spark):
+    """Tolerance-bounded as-of must stay the single-window shape — no
+    self-join, no range scan."""
+    plan = plan_of(spark, "join_asof_tolerance")
+    assert "Window" in plan
+    assert "Join" not in plan
