@@ -261,3 +261,96 @@ def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_false_positive"),
         )
     )
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_distinct_orders
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via bitmap aggregation — the roaring-bitmap
+    OLAP trick: integer keys set bits in per-(group, word) 32-bit words
+    (word = key DIV 32, OR-merged map-side), and the distinct count is the
+    popcount sum. The oracle is plain COUNT(DISTINCT) — the bitmap is a
+    pure physical strategy, semantically transparent.
+
+    Why it scales where COUNT(DISTINCT) hurts: Spark's exact distinct
+    expands to a two-phase aggregate carrying EVERY distinct key through
+    the exchange — O(distinct keys) shuffle rows. The bitmap shuffles at
+    most one row per (group, occupied word) with bit_or partial merge:
+    for dense integer domains that is 32× fewer rows, the merge is
+    associative O(1)-state, and downstream set algebra (union = OR,
+    intersection = AND — see agg_bitmap_overlap) stays in bitmap space.
+    This is exactly why warehouses keep bitmap indexes/aggregates beside
+    HLL: exact when the domain is integers, mergeable like a sketch.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    words = (
+        li.select(
+            "l_returnflag",
+            F.expr("l_orderkey DIV 32").alias("word"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(l_orderkey % 32 AS INT))"
+            ).alias("mask"),
+        )
+        .groupBy("l_returnflag", "word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+    return words.groupBy("l_returnflag").agg(
+        F.sum(F.bit_count("bits")).cast("bigint").alias("n_distinct_orders")
+    )
+
+
+@query(
+    "agg_bitmap_overlap",
+    oracle="""
+    WITH f AS (SELECT DISTINCT l_returnflag AS flag, l_orderkey AS k
+               FROM lineitem)
+    SELECT a.flag AS flag_a, b.flag AS flag_b,
+           CAST(count(*) AS BIGINT) AS n_common_orders
+    FROM f a JOIN f b ON b.k = a.k AND a.flag < b.flag
+    GROUP BY 1, 2
+    """,
+)
+def agg_bitmap_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-intersection cardinality in bitmap space (audience overlap):
+    how many orderkeys appear under BOTH return flags, computed as
+    popcount(bits_A AND bits_B) per word — never materializing the key
+    sets, never a key-level self-join. The oracle IS that self-join, which
+    is the point: the bitmap AND shuffles O(groups × occupied words) rows
+    where the join shuffles O(keys) twice. The standard audience-overlap /
+    funnel-intersection pattern at warehouse scale.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    words = (
+        li.select(
+            F.col("l_returnflag").alias("flag"),
+            F.expr("l_orderkey DIV 32").alias("word"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(l_orderkey % 32 AS INT))"
+            ).alias("mask"),
+        )
+        .groupBy("flag", "word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+    a = words.select(
+        F.col("flag").alias("flag_a"), "word", F.col("bits").alias("ba")
+    )
+    b = words.select(
+        F.col("flag").alias("flag_b"), "word", F.col("bits").alias("bb")
+    )
+    return (
+        a.join(b, "word")
+        .filter(F.col("flag_a") < F.col("flag_b"))
+        .groupBy("flag_a", "flag_b")
+        .agg(
+            F.sum(F.bit_count(F.col("ba").bitwiseAND(F.col("bb"))))
+            .cast("bigint")
+            .alias("n_common_orders")
+        )
+    )

@@ -651,3 +651,19 @@ def test_asof_tolerance_no_self_join(spark):
     plan = plan_of(spark, "join_asof_tolerance")
     assert "Window" in plan
     assert "Join" not in plan
+
+
+def test_bitmap_distinct_no_expand_partial_bitor(spark):
+    """The bitmap distinct must NOT use Spark's COUNT(DISTINCT) expand:
+    the plan carries bit_or partial aggregates and no Expand node."""
+    plan = plan_of(spark, "agg_bitmap_distinct")
+    assert "Expand" not in plan
+    assert "partial_bit_or" in plan or "bit_or" in plan
+
+
+def test_bitmap_overlap_joins_words_not_keys(spark):
+    """The overlap join key is the word index (O(domain/32) rows), never
+    the raw key set."""
+    plan = plan_of(spark, "agg_bitmap_overlap")
+    assert "Expand" not in plan
+    assert "bit_count" in plan or "BitCount" in plan
