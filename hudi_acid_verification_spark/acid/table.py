@@ -225,15 +225,27 @@ class AcidTable:
             return self.spark.createDataFrame([], m.schema)
         if m.mode == "mor":
             return self._resolve(m, m.files)
-        paths = [os.path.join(self._data_dir, f["file"]) for f in m.files]
-        # basePath recovers the hive partition column from directory names;
-        # Catalyst partition-prunes and pushes predicates into these files.
-        df = (
-            self.spark.read.option("basePath", self._data_dir)
-            .schema(self._physical_schema(m))
-            .parquet(*paths)
-        )
-        return df.select(*m.schema.names)
+        return self._scan_files(m, m.files).select(*m.schema.names)
+
+    def _scan_files(self, m: _Manifest, files: list[dict]) -> DataFrame:
+        """Read manifest entries with the physical schema. Entries may carry
+        a ``root`` (shallow clones reference the SOURCE table's data dir);
+        each root group is read with its own ``basePath`` — which recovers
+        the hive partition column from directory names and keeps Catalyst
+        partition pruning + parquet pushdown — then the groups union."""
+        by_root: dict[str, list[dict]] = {}
+        for f in files:
+            by_root.setdefault(f.get("root", self._data_dir), []).append(f)
+        out: DataFrame | None = None
+        for root, fs in by_root.items():
+            paths = [os.path.join(root, f["file"]) for f in fs]
+            part = (
+                self.spark.read.option("basePath", root)
+                .schema(self._physical_schema(m))
+                .parquet(*paths)
+            )
+            out = part if out is None else out.unionByName(part)
+        return out
 
     def _physical_schema(self, m: _Manifest) -> T.StructType:
         # Partition column comes from the directory, but listing it in the
@@ -268,12 +280,7 @@ class AcidTable:
         """
         if not files:
             return self.spark.createDataFrame([], m.schema)
-        paths = [os.path.join(self._data_dir, f["file"]) for f in files]
-        df = (
-            self.spark.read.option("basePath", self._data_dir)
-            .schema(self._physical_schema(m))
-            .parquet(*paths)
-        )
+        df = self._scan_files(m, files)
         if any(f.get("op") == "partial" for f in files):
             return self._resolve_with_partials(m, df)
         order = [F.col("__seq").desc()]
@@ -1037,13 +1044,7 @@ class AcidTable:
                 keep.extend(f for f in touch if disjoint(f))
                 touch = [f for f in touch if not disjoint(f)]
         if touch:
-            paths = [os.path.join(self._data_dir, f["file"]) for f in touch]
-            old = (
-                self.spark.read.option("basePath", self._data_dir)
-                .schema(m.schema)
-                .parquet(*paths)
-                .select(*m.schema.names)
-            )
+            old = self._scan_files(m, touch).select(*m.schema.names)
         else:
             old = self.spark.createDataFrame([], m.schema)
         new_rows = rewrite(old)
@@ -1421,15 +1422,49 @@ class AcidTable:
     def _df_for_files(self, m: _Manifest, files: list[dict]) -> DataFrame:
         if not files:
             return self.spark.createDataFrame([], m.schema)
-        paths = [os.path.join(self._data_dir, f["file"]) for f in files]
-        return (
-            self.spark.read.option("basePath", self._data_dir)
-            .schema(self._physical_schema(m))
-            .parquet(*paths)
-            .select(*m.schema.names)
-        )
+        return self._scan_files(m, files).select(*m.schema.names)
 
     # ------------------------------------------------------------ maintenance
+
+    def clone_to(self, dest_path: str, version: int | None = None) -> "AcidTable":
+        """Zero-copy SHALLOW CLONE (Delta `CREATE TABLE ... SHALLOW CLONE`
+        analog): create a new table at ``dest_path`` whose v0 manifest
+        references the SOURCE's data files in place — no bytes move,
+        cloning a petabyte costs one manifest write. The clone is then a
+        fully independent table: its DML commits write files under its own
+        path (a COW rewrite or MOR delta diverges only the touched
+        partitions — untouched data keeps reading from the source root),
+        and ``compact()`` fully materializes it if divergence should
+        become physical.
+
+        Pinning: the clone references the source at ``version`` (default:
+        latest). The source must RETAIN that data — a source ``vacuum()``
+        that drops files the clone still references breaks the clone, the
+        same contract Delta documents for shallow clones. The clone's own
+        vacuum never touches foreign roots.
+        """
+        m = self._read_manifest(version)
+        t = AcidTable(self.spark, dest_path, occ=self.occ)
+        if os.path.exists(t._latest_ptr):
+            raise FileExistsError(f"AcidTable already exists at {dest_path}")
+        os.makedirs(t._manifest_dir, exist_ok=True)
+        os.makedirs(t._data_dir, exist_ok=True)
+        open(t._lock_path, "a").close()
+        files = [
+            {**f, "root": f.get("root", self._data_dir)} for f in m.files
+        ]
+        # The clone's manifest starts at the SOURCE's version, not 0: MOR
+        # resolution orders rows by the __seq baked into the (referenced)
+        # source deltas, so the clone's own commits must number PAST the
+        # source horizon or a cloned row would outrank a newer local
+        # tombstone/update.
+        t._write_manifest_and_swap(
+            _Manifest(
+                m.version, m.schema, m.pk, m.partition_col,
+                m.precombine_col, files, m.mode, m.compact_every, op="clone",
+            )
+        )
+        return t
 
     def repartition_table(
         self, new_partition_col: str, timeout: float = 60.0

@@ -1135,3 +1135,70 @@ def test_vacuum_grace_protects_inflight_occ_write(spark, tmp_path):
     m = a._read_manifest()
     for f in m.files:
         assert os.path.exists(os.path.join(a._data_dir, f["file"]))
+
+
+# ------------------------------------------------------------- shallow clone
+
+
+def test_shallow_clone_cow_reads_and_diverges(spark, tmp_path):
+    src_path = str(tmp_path / "clone_src")
+    src = AcidTable.create(
+        spark, src_path, SCHEMA, pk="primaryKeyValue",
+        partition_col="partitionKeyValue", precombine_col="dataValue",
+    )
+    src.upsert(rows(spark, [("k1", "p1", "a"), ("k2", "p2", "b")]))
+    clone = src.clone_to(str(tmp_path / "clone_dst"))
+    # zero-copy: clone's own data dir holds no parquet yet
+    n_local = sum(
+        len([f for f in fs if f.endswith(".parquet")])
+        for _, _, fs in os.walk(clone._data_dir)
+    )
+    assert n_local == 0
+    assert snap_dict(clone) == snap_dict(src)
+    # divergence: clone writes stay local, source unaffected (and reverse)
+    clone.upsert(rows(spark, [("k1", "p1", "a-clone")]))
+    src.upsert(rows(spark, [("k2", "p2", "b-src")]))
+    assert snap_dict(clone) == {"k1": ("p1", "a-clone"), "k2": ("p2", "b")}
+    assert snap_dict(src) == {"k1": ("p1", "a"), "k2": ("p2", "b-src")}
+    # untouched partition of the clone still references the source root
+    m = clone._read_manifest()
+    assert any(f.get("root") for f in m.files)
+    assert clone.lookup("k2").first()["dataValue"] == "b"
+    clone.audit_unique()
+
+
+def test_shallow_clone_compact_materializes(spark, tmp_path):
+    src_path = str(tmp_path / "clone_src2")
+    src = AcidTable.create(
+        spark, src_path, SCHEMA, pk="primaryKeyValue",
+        partition_col="partitionKeyValue", precombine_col="dataValue",
+    )
+    src.upsert(rows(spark, [("k1", "p1", "a"), ("k2", "p2", "b"),
+                            ("k3", "p1", "c")]))
+    clone = src.clone_to(str(tmp_path / "clone_dst2"))
+    before = snap_dict(clone)
+    clone.compact(max_files_per_partition=0)
+    m = clone._read_manifest()
+    assert not any(f.get("root") for f in m.files), "still references source"
+    assert snap_dict(clone) == before
+    # now fully independent: dropping the source leaves the clone intact
+    AcidTable.drop(src_path)
+    assert snap_dict(clone) == before
+
+
+def test_shallow_clone_mor_and_version_pin(spark, tmp_path):
+    src_path = str(tmp_path / "clone_src3")
+    src = AcidTable.create(
+        spark, src_path, SCHEMA, pk="primaryKeyValue",
+        partition_col="partitionKeyValue", precombine_col=None, mode="mor",
+    )
+    src.upsert(rows(spark, [("k1", "p1", "v1")]))
+    v1 = src.version()
+    src.upsert(rows(spark, [("k1", "p1", "v2")]))
+    clone_old = src.clone_to(str(tmp_path / "clone_dst3a"), version=v1)
+    clone_new = src.clone_to(str(tmp_path / "clone_dst3b"))
+    assert snap_dict(clone_old) == {"k1": ("p1", "v1")}
+    assert snap_dict(clone_new) == {"k1": ("p1", "v2")}
+    clone_new.delete([("k1", "p1")])
+    assert clone_new.snapshot().count() == 0
+    assert snap_dict(src) == {"k1": ("p1", "v2")}
