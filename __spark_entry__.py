@@ -76,7 +76,7 @@ _CERT_ORDER = [
     "window_cumulative_users", "similarity_recall_eval",
     "embedding_quantize_int8", "dedup_split_leakage", "dedup_group_split",
     "window_retention_cohorts", "join_asof_tolerance",
-    "agg_bitmap_distinct", "agg_bitmap_overlap",
+    "agg_bitmap_distinct", "agg_bitmap_overlap", "window_activity_streak",
     "text_lang_id", "text_quality_score", "text_token_count",
     "text_fingerprint", "text_tfidf_topterms",
     "event_funnel", "pipeline_corpus_clean",
@@ -105,7 +105,7 @@ _CERT_ORDER = [
     "acid_snapshot_read", "acid_incremental_read", "acid_stream_ingest",
     "acid_stream_merge_mor", "acid_mor_lifecycle", "acid_cdc_restore",
     "acid_incremental_agg_maintenance", "acid_zorder_skipping",
-    "acid_partition_evolution",
+    "acid_partition_evolution", "acid_clone_branching",
 ]
 
 

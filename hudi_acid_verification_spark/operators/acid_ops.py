@@ -740,3 +740,80 @@ def acid_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stage string, partition_col string, n_partitions int, "
         "n_rows int, evolution_exact boolean",
     )
+
+
+@query("acid_clone_branching")  # rows-only: zero-copy lifecycle, no SQL oracle
+def acid_clone_branching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shallow-clone branching lifecycle: build a COW table over an orders
+    slice, ``clone_to`` a zero-copy dev branch, diverge BOTH sides with
+    DML, and report per stage how many data files the branch physically
+    owns vs references from the source — plus isolation witnesses (each
+    side's edit is invisible to the other; ``compact()`` materializes the
+    branch into full independence).
+
+    The 100 TB story: experimentation branches (test a new cleaning rule,
+    backfill a column) must not copy the lake. A clone costs one manifest
+    write; divergence pays only for touched partitions; the branch
+    compacts into a real table if promoted, or is dropped for free.
+    """
+    from hudi_acid_verification_spark.acid import AcidTable
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "hudi_acid_verification_spark",
+        f"acid_clone_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType(), False),
+            T.StructField("o_orderpriority", T.StringType(), False),
+            T.StructField("o_totalprice", T.DoubleType(), True),
+        ]
+    )
+    src = AcidTable.create(
+        spark, os.path.join(base, "src"), schema,
+        pk="o_orderkey", partition_col="o_orderpriority",
+        precombine_col=None,
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", F.col("o_totalprice").cast("double")
+    ).filter(F.col("o_orderkey") % 20 == 0)
+    src.upsert(orders)
+    n0 = src.snapshot().count()
+
+    branch = src.clone_to(os.path.join(base, "branch"))
+
+    def stage(name: str, t: AcidTable, witness: bool) -> tuple:
+        m = t._read_manifest()
+        own = sum(1 for f in m.files if not f.get("root"))
+        refd = sum(1 for f in m.files if f.get("root"))
+        return (name, own, refd, int(t.snapshot().count()), witness)
+
+    rows = [stage("cloned", branch, bool(branch.snapshot().count() == n0))]
+    probe = [int(r[0]) for r in orders.limit(2).collect()]
+    branch.delete(probe)                       # branch-side divergence
+    src.upsert(orders.limit(1).withColumn(    # source-side divergence
+        "o_totalprice", F.lit(0.0)
+    ))
+    iso = bool(
+        branch.snapshot().count() == n0 - len(probe)
+        and src.snapshot().count() == n0
+        and src.lookup(probe[0]).count() == 1     # source still has it
+        and branch.lookup(probe[0]).count() == 0  # branch doesn't
+    )
+    rows.append(stage("diverged", branch, iso))
+    branch.compact(max_files_per_partition=0)
+    m = branch._read_manifest()
+    rows.append(
+        stage(
+            "materialized", branch,
+            bool(not any(f.get("root") for f in m.files)),
+        )
+    )
+    return spark.createDataFrame(
+        rows,
+        "stage string, own_files int, referenced_files int, n_rows int, "
+        "witness boolean",
+    )

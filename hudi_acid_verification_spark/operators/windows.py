@@ -459,3 +459,75 @@ def window_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("retention"),
         )
     )
+
+
+@query(
+    "window_activity_streak",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    isl AS (
+        SELECT user_id, day,
+               day - CAST(row_number() OVER (
+                   PARTITION BY user_id ORDER BY day) AS INTEGER) AS island
+        FROM ud
+    ),
+    streaks AS (
+        SELECT user_id, island,
+               CAST(count(*) AS BIGINT) AS streak_len,
+               min(day) AS streak_start
+        FROM isl GROUP BY 1, 2
+    )
+    SELECT user_id,
+           max(streak_len) AS best_streak,
+           strftime(min(CASE WHEN streak_len = best THEN streak_start END),
+                    '%Y-%m-%d') AS best_start
+    FROM (
+        SELECT s.*, max(streak_len) OVER (PARTITION BY user_id) AS best
+        FROM streaks s
+    )
+    GROUP BY user_id
+    """,
+)
+def window_activity_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the
+    gaps-and-islands pattern: consecutive days share the constant
+    ``day - row_number`` island key, so streaks fall out of one window
+    plus one aggregate, with no self-join and no recursive walk. The
+    earliest start breaks best-streak ties deterministically.
+
+    Shape: raw events collapse to distinct (user, day) first (the only
+    pass over event volume); the island window partitions by user over
+    O(users × active-days) rows — bounded by the calendar, not by events.
+    The gaps-and-islands identity is THE scalable form of streak/sequence
+    analytics: the naive alternative (per-user sort + iterate) is a UDF
+    over grouped data, and the recursive-join form explodes at scale.
+    """
+    e = load(spark, sf_dir, "events")
+    ud = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    isl = ud.withColumn(
+        "island", F.expr("date_sub(day, CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INT))")
+    )
+    streaks = isl.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("streak_len"),
+        F.min("day").alias("streak_start"),
+    )
+    wb = Window.partitionBy("user_id")
+    return (
+        streaks.withColumn("best", F.max("streak_len").over(wb))
+        .groupBy("user_id")
+        .agg(
+            F.max("streak_len").cast("bigint").alias("best_streak"),
+            F.date_format(
+                F.min(
+                    F.when(
+                        F.col("streak_len") == F.col("best"),
+                        F.col("streak_start"),
+                    )
+                ),
+                "yyyy-MM-dd",
+            ).alias("best_start"),
+        )
+    )

@@ -667,3 +667,14 @@ def test_bitmap_overlap_joins_words_not_keys(spark):
     plan = plan_of(spark, "agg_bitmap_overlap")
     assert "Expand" not in plan
     assert "bit_count" in plan or "BitCount" in plan
+
+
+def test_clone_branching_witnesses_hold(spark):
+    rows = {
+        r["stage"]: r
+        for r in ops.QUERIES["acid_clone_branching"](spark, SF_SMALL).collect()
+    }
+    assert all(r["witness"] for r in rows.values())
+    assert rows["cloned"]["own_files"] == 0
+    assert rows["cloned"]["referenced_files"] > 0
+    assert rows["materialized"]["referenced_files"] == 0
