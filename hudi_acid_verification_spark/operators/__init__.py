@@ -87,6 +87,7 @@ def _import_all() -> None:
         quality,
         scalar,
         scans,
+        search,
         setops,
         similarity,
         sketch,

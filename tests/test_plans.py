@@ -678,3 +678,13 @@ def test_clone_branching_witnesses_hold(spark):
     assert rows["cloned"]["own_files"] == 0
     assert rows["cloned"]["referenced_files"] > 0
     assert rows["materialized"]["referenced_files"] == 0
+
+
+def test_hybrid_rrf_broadcasts_queries_both_arms(spark):
+    """Both arms run as batch plans: the query batch broadcasts into the
+    vector scan; the lexical arm is an inverted-index join with partial
+    aggregation; fusion touches only the shortlists."""
+    plan = plan_of(spark, "search_hybrid_rrf")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "partial_" in plan
+    assert "FullOuter" in plan or "full_outer" in plan.lower()
