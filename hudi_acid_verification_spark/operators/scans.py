@@ -131,3 +131,39 @@ def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _SAMPLE_PER_STRATUM)
         .select("c_mktsegment", "c_custkey", "c_name")
     )
+
+
+_SQL_TEXT = """
+    WITH r AS (
+        SELECT o.o_orderpriority,
+               CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderstatus <> 'F'
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents,
+           CAST(rank() OVER (ORDER BY sum(cents) DESC) AS BIGINT)
+               AS revenue_rank
+    FROM r
+    GROUP BY o_orderpriority
+"""
+
+
+@query("sql_text_analytics", oracle=_SQL_TEXT)
+def sql_text_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-TEXT front door: register the fixture tables as views and
+    run ONE shared ANSI statement (CTE + join + aggregate + window-over-
+    aggregate) through ``spark.sql`` — the literal same text the DuckDB
+    oracle executes, so parity holds by construction, not by translation.
+    Proves a reference user can drive this engine with plain SQL strings:
+    every DataFrame operator in this registry has a SQL spelling, and
+    Catalyst plans text exactly as it plans the DataFrame API (same
+    broadcast, same partial aggregation, same pushdown — the plan audit
+    pins it).
+    """
+    from hudi_acid_verification_spark.catalog import register_fixtures
+
+    register_fixtures(spark, sf_dir)
+    return spark.sql(_SQL_TEXT)

@@ -688,3 +688,13 @@ def test_hybrid_rrf_broadcasts_queries_both_arms(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "partial_" in plan
     assert "FullOuter" in plan or "full_outer" in plan.lower()
+
+
+def test_sql_text_plans_like_dataframe_api(spark):
+    """spark.sql text must get the same physical treatment as the
+    DataFrame API: broadcast join of the filtered orders side and partial
+    aggregation before the exchange."""
+    plan = plan_of(spark, "sql_text_analytics")
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "partial_" in plan
+    assert "PushedFilters: [" in plan
