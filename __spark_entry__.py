@@ -77,7 +77,7 @@ _CERT_ORDER = [
     "embedding_quantize_int8", "dedup_split_leakage", "dedup_group_split",
     "window_retention_cohorts", "join_asof_tolerance",
     "agg_bitmap_distinct", "agg_bitmap_overlap", "window_activity_streak",
-    "search_hybrid_rrf", "sql_text_analytics",
+    "search_hybrid_rrf", "sql_text_analytics", "audit_table_fingerprint",
     "text_lang_id", "text_quality_score", "text_token_count",
     "text_fingerprint", "text_tfidf_topterms",
     "event_funnel", "pipeline_corpus_clean",

@@ -167,3 +167,62 @@ def sql_text_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_fixtures(spark, sf_dir)
     return spark.sql(_SQL_TEXT)
+
+
+@query(
+    "audit_table_fingerprint",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           bit_xor(CAST(('0x' || substr(md5(
+               CAST(l_orderkey AS VARCHAR) || '|' ||
+               CAST(l_linenumber AS VARCHAR) || '|' ||
+               CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                    AS VARCHAR)), 1, 15)) AS BIGINT)) AS xor_fingerprint
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def audit_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table fingerprint — the data-integrity primitive
+    behind cross-replica / cross-engine reconciliation (and the content
+    check a migration like THIS repo runs against its reference): each
+    row hashes to a 60-bit value (md5 over a canonical key||value
+    rendering) and the group fingerprint is the XOR-fold — commutative
+    and associative, so ANY partitioning, row order, or engine produces
+    the identical digest, and a single changed/missing/duplicated row
+    flips it. Paired with the row count, this detects every non-colliding
+    difference in one cheap pass.
+
+    Shape: narrow per-row hash (fused into the scan) + one partial-
+    aggregated bit_xor per group — the cheapest possible full-table audit
+    at 100 TB (one IO-bound pass, O(groups) shuffle rows). This is how
+    you verify a lake copy without sorting or joining anything.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    row_hash = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("l_orderkey").cast("string"),
+                    F.col("l_linenumber").cast("string"),
+                    F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+                    .cast("bigint")
+                    .cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        li.select("l_returnflag", row_hash.alias("h"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.bit_xor("h").alias("xor_fingerprint"),
+        )
+    )

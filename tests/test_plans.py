@@ -698,3 +698,11 @@ def test_sql_text_plans_like_dataframe_api(spark):
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
     assert "partial_" in plan
     assert "PushedFilters: [" in plan
+
+
+def test_fingerprint_single_pass_partial_xor(spark):
+    """The audit must be one scan + one partial-aggregated exchange: the
+    cheapest possible full-table integrity pass."""
+    plan = plan_of(spark, "audit_table_fingerprint")
+    assert plan.count("+- Exchange") == 1
+    assert "partial_" in plan
