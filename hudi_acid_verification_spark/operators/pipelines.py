@@ -217,3 +217,72 @@ def pipeline_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("first_doc_id"),
         )
     )
+
+
+@query(
+    "event_time_to_convert",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, min(epoch_us(ts)) AS t_view
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(epoch_us(e.ts)) AS t_purchase
+        FROM events e JOIN v ON v.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= v.t_view
+        GROUP BY e.user_id
+    ),
+    lat AS (
+        SELECT p.user_id,
+               CAST(p.t_purchase - v.t_view AS BIGINT) AS latency_us
+        FROM p JOIN v ON v.user_id = p.user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           CAST(min(latency_us) AS BIGINT) AS min_us,
+           quantile_cont(latency_us, 0.5) AS p50_us,
+           quantile_cont(latency_us, 0.9) AS p90_us,
+           CAST(max(latency_us) AS BIGINT) AS max_us
+    FROM lat
+    """,
+)
+def event_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution — the funnel's companion metric: for
+    every user whose first purchase follows their first view, the exact
+    view→purchase latency, summarized as count / min / exact interpolated
+    p50 & p90 / max (microsecond integers; Spark `percentile` and DuckDB
+    `quantile_cont` interpolate identically over them).
+
+    Shape: two first-touch aggregations (partial-agg shuffles on user_id —
+    no per-user ordering, no window over raw events), a user-level join of
+    two already-collapsed sides, then one global summary over O(converted
+    users) rows. The exact percentile is affordable precisely BECAUSE the
+    distribution is per-user collapsed first; at raw-event grain the same
+    metric would need the approx_percentile sketch.
+    """
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("ts_ns DIV 1000").alias("t")
+    )
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_view"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("t") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_purchase"))
+    )
+    lat = p.join(v, "user_id").select(
+        (F.col("t_purchase") - F.col("t_view")).cast("bigint").alias(
+            "latency_us"
+        )
+    )
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.min("latency_us").cast("bigint").alias("min_us"),
+        F.expr("percentile(latency_us, 0.5D)").alias("p50_us"),
+        F.expr("percentile(latency_us, 0.9D)").alias("p90_us"),
+        F.max("latency_us").cast("bigint").alias("max_us"),
+    )

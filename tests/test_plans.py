@@ -706,3 +706,11 @@ def test_fingerprint_single_pass_partial_xor(spark):
     plan = plan_of(spark, "audit_table_fingerprint")
     assert plan.count("+- Exchange") == 1
     assert "partial_" in plan
+
+
+def test_time_to_convert_collapses_before_percentile(spark):
+    """First-touch aggregations collapse events per user before the join
+    and the exact percentile — no window over raw events."""
+    plan = plan_of(spark, "event_time_to_convert")
+    assert "Window" not in plan
+    assert "partial_" in plan
