@@ -78,7 +78,7 @@ _CERT_ORDER = [
     "window_retention_cohorts", "join_asof_tolerance",
     "agg_bitmap_distinct", "agg_bitmap_overlap", "window_activity_streak",
     "search_hybrid_rrf", "sql_text_analytics", "audit_table_fingerprint",
-    "event_time_to_convert",
+    "event_time_to_convert", "pipeline_gate_ablation",
     "text_lang_id", "text_quality_score", "text_token_count",
     "text_fingerprint", "text_tfidf_topterms",
     "event_funnel", "pipeline_corpus_clean",

@@ -286,3 +286,93 @@ def event_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(latency_us, 0.9D)").alias("p90_us"),
         F.max("latency_us").cast("bigint").alias("max_us"),
     )
+
+
+@query(
+    "pipeline_gate_ablation",
+    oracle="""
+    WITH flags AS (
+        SELECT doc_id,
+               lang IN ('en', 'de', 'fr') AS g_lang,
+               n_chars BETWEEN 50 AND 400 AS g_len,
+               len(string_split(text, ' ')) >= 20 AS g_tok
+        FROM documents
+    ),
+    gates(gate) AS (VALUES ('lang'), ('length'), ('tokens'))
+    SELECT g.gate,
+           CAST(sum(CASE g.gate WHEN 'lang' THEN NOT f.g_lang
+                                WHEN 'length' THEN NOT f.g_len
+                                ELSE NOT f.g_tok END::INT) AS BIGINT)
+               AS n_failing,
+           CAST(sum(CASE g.gate
+                    WHEN 'lang' THEN (NOT f.g_lang AND f.g_len AND f.g_tok)
+                    WHEN 'length' THEN (NOT f.g_len AND f.g_lang AND f.g_tok)
+                    ELSE (NOT f.g_tok AND f.g_lang AND f.g_len) END::INT)
+               AS BIGINT) AS n_failing_only,
+           CAST(sum((f.g_lang AND f.g_len AND f.g_tok)::INT) AS BIGINT)
+               AS n_survivors
+    FROM flags f CROSS JOIN gates g
+    GROUP BY g.gate
+    """,
+)
+def pipeline_gate_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-gate ABLATION — "why did my corpus shrink": for each of the
+    cleaning pipeline's gates (the same three `pipeline_corpus_clean`
+    applies), how many docs it rejects in total and how many it UNIQUELY
+    rejects (would survive every other gate) — the attribution a curation
+    team reads before tuning thresholds, because a gate with high overlap
+    is free to tighten while a high-unique-rejection gate is the one
+    actually shaping the corpus.
+
+    Shape: one scan computes all gate booleans per doc (fused, pushdown
+    intact), a 3-row gate table cross-joins (broadcast — replication
+    factor = gate count, bounded), and one partial-aggregated rollup per
+    gate. At 100 TB: a single corpus pass, O(gates) output — the cheap way
+    to answer every "what-if we dropped this filter" without re-running
+    the pipeline per ablation.
+    """
+    d = load(spark, sf_dir, "documents").select(
+        F.col("lang").isin("en", "de", "fr").alias("g_lang"),
+        F.col("n_chars").between(50, 400).alias("g_len"),
+        (F.size(F.split("text", " ")) >= 20).alias("g_tok"),
+    )
+    all_pass = F.col("g_lang") & F.col("g_len") & F.col("g_tok")
+    cell = d.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("lang").alias("gate"),
+                    (~F.col("g_lang")).alias("fail"),
+                    (~F.col("g_lang") & F.col("g_len") & F.col("g_tok")).alias(
+                        "fail_only"
+                    ),
+                    all_pass.alias("survive"),
+                ),
+                F.struct(
+                    F.lit("length").alias("gate"),
+                    (~F.col("g_len")).alias("fail"),
+                    (~F.col("g_len") & F.col("g_lang") & F.col("g_tok")).alias(
+                        "fail_only"
+                    ),
+                    all_pass.alias("survive"),
+                ),
+                F.struct(
+                    F.lit("tokens").alias("gate"),
+                    (~F.col("g_tok")).alias("fail"),
+                    (~F.col("g_tok") & F.col("g_lang") & F.col("g_len")).alias(
+                        "fail_only"
+                    ),
+                    all_pass.alias("survive"),
+                ),
+            )
+        ).alias("c")
+    )
+    return cell.groupBy(F.col("c.gate").alias("gate")).agg(
+        F.sum(F.col("c.fail").cast("int")).cast("bigint").alias("n_failing"),
+        F.sum(F.col("c.fail_only").cast("int"))
+        .cast("bigint")
+        .alias("n_failing_only"),
+        F.sum(F.col("c.survive").cast("int"))
+        .cast("bigint")
+        .alias("n_survivors"),
+    )

@@ -714,3 +714,14 @@ def test_time_to_convert_collapses_before_percentile(spark):
     plan = plan_of(spark, "event_time_to_convert")
     assert "Window" not in plan
     assert "partial_" in plan
+
+
+def test_gate_ablation_single_pass(spark):
+    """All gate booleans compute in one scan; the only exchange is the
+    tiny per-gate rollup."""
+    plan = plan_of(spark, "pipeline_gate_ablation")
+    # one logical scan: the formatted plan prints the node once in the tree
+    # and once in the details section
+    assert plan.count("Scan parquet") <= 2
+    assert "Join" not in plan
+    assert "Generate" in plan and "partial_" in plan
