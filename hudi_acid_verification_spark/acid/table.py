@@ -549,6 +549,11 @@ class AcidTable:
     def _bloom_contains(cls, bloom: dict, key) -> bool:
         m_bits, k = bloom["m"], bloom["k"]
         arr = base64.b64decode(bloom["b64"])
+        if isinstance(key, bytes):
+            # mirror _bloom_build's normalization: a bytes pk is hashed via
+            # its utf-8 decode at build time, so the probe must decode too —
+            # str(b'..') would hash "b'..'" and guarantee a false negative.
+            key = key.decode("utf-8", "replace")
         h1, h2 = cls._bloom_hash_pair(key)
         for i in range(k):
             idx = (h1 + i * h2) % m_bits
@@ -638,7 +643,7 @@ class AcidTable:
         everything). Blooms have no false negatives, so pruning is exact;
         a false positive only reads one extra file.
         """
-        if isinstance(keys, (str, int)):
+        if isinstance(keys, (str, int, bytes)):
             keys = [keys]
         keys = list(keys)
         m = self._read_manifest()
@@ -670,7 +675,7 @@ class AcidTable:
         :meth:`lookup` of ``keys`` would read under (a) no index, (b) the pk
         range stats only, (c) range + bloom. The bloom-index unit tests
         assert (c) < (b) on interleaved-key layouts."""
-        if isinstance(keys, (str, int)):
+        if isinstance(keys, (str, int, bytes)):
             keys = [keys]
         keys = list(keys)
         m = self._read_manifest()
@@ -838,20 +843,42 @@ class AcidTable:
             before[fn]["partition"] for fn in removed
         }
 
+        def orphan_cleanup() -> None:
+            for f in added:  # best-effort: the files were never published
+                try:
+                    os.remove(os.path.join(self._data_dir, f["file"]))
+                except OSError:
+                    pass
+
+        def meta_conflict(m: _Manifest, where: str) -> None:
+            """Partition-value intersection can't see LAYOUT races: a raced
+            repartition_table / schema change / mode flip invalidates the
+            pinned snapshot even when partition VALUE sets are disjoint
+            (our files are hive-encoded under the OLD partition column —
+            appending them onto the new manifest would publish an
+            unreadable mixed layout). Any such metadata delta conflicts
+            outright."""
+            if (
+                m.partition_col != cur0.partition_col
+                or m.schema != cur0.schema
+                or m.mode != cur0.mode
+            ):
+                orphan_cleanup()
+                raise CommitConflictError(
+                    f"OCC conflict: {where} changed table metadata "
+                    f"(partition_col/schema/mode) since snapshot "
+                    f"v{cur0.version}"
+                )
+
         fd = self._acquire_lock(timeout)
         try:
             cur_n = self._read_manifest()
             if cur_n.version == cur0.version:
                 files_out = files1
             elif cur_n.mode == "mor":
+                meta_conflict(cur_n, f"commit v{cur_n.version}")
                 if removed:
-                    for f in added:  # best-effort orphan cleanup
-                        try:
-                            os.remove(
-                                os.path.join(self._data_dir, f["file"])
-                            )
-                        except OSError:
-                            pass
+                    orphan_cleanup()
                     raise CommitConflictError(
                         "OCC conflict: raced MOR mutation removes files "
                         f"({len(removed)}) and cannot rebase"
@@ -859,9 +886,21 @@ class AcidTable:
                 added = self._rebase_delta_seq(added, cur_n.version + 1)
                 files_out = list(cur_n.files) + added
             else:
+                meta_conflict(cur_n, f"commit v{cur_n.version}")
                 prev = cur0
                 for v in range(cur0.version + 1, cur_n.version + 1):
-                    mv = self._read_manifest(version=v)
+                    try:
+                        mv = self._read_manifest(version=v)
+                    except (FileNotFoundError, OSError):
+                        # a concurrent vacuum with a small retain window can
+                        # drop an intermediate manifest mid-replay; surface
+                        # the documented retry signal, not a raw IO error
+                        orphan_cleanup()
+                        raise CommitConflictError(
+                            f"OCC conflict: intermediate manifest v{v} was "
+                            "vacuumed during replay"
+                        )
+                    meta_conflict(mv, f"commit v{v}")
                     pf = {f["file"]: f for f in prev.files}
                     nf = {f["file"]: f for f in mv.files}
                     delta_parts = {
@@ -869,13 +908,7 @@ class AcidTable:
                         for fn in set(pf) ^ set(nf)
                     }
                     if delta_parts & my_parts:
-                        for f in added:  # best-effort orphan cleanup
-                            try:
-                                os.remove(
-                                    os.path.join(self._data_dir, f["file"])
-                                )
-                            except OSError:
-                                pass
+                        orphan_cleanup()
                         raise CommitConflictError(
                             f"OCC conflict: commit v{v} touched partitions "
                             f"{sorted(delta_parts & my_parts)}"
@@ -1579,11 +1612,21 @@ class AcidTable:
                 else F.col(c).cast("double")
             )
 
+        # Interleaved key must fit a signed 64-bit long: bits_per_dim *
+        # n_cols <= 63, else JVM shiftleft wraps mod 64 and aliases bits
+        # (silent ordering corruption). Scale resolution down for wide
+        # column lists instead of overflowing.
+        zbits = min(self._Z_BITS, 63 // len(cols))
+        if zbits < 1:
+            raise ValueError(
+                f"zorder_cols supports at most 63 columns; got {len(cols)}"
+            )
+
         aggs: list = []
         for c in cols:
             aggs += [F.min(as_double(c)), F.max(as_double(c))]
         row = df.agg(*aggs).collect()[0]
-        grid = (1 << self._Z_BITS) - 1
+        grid = (1 << zbits) - 1
         coord_exprs = []
         for i, c in enumerate(cols):
             lo, hi = row[2 * i], row[2 * i + 1]
@@ -1599,7 +1642,7 @@ class AcidTable:
             )
             coord_exprs.append(coord)
         z = F.lit(0).cast("bigint")
-        for b in range(self._Z_BITS):
+        for b in range(zbits):
             for i, coord in enumerate(coord_exprs):
                 z = z + F.shiftleft(
                     F.shiftright(coord, b).bitwiseAND(F.lit(1)),

@@ -10,10 +10,16 @@ Scale notes (100 TB): the shingle inverted index is the shuffle hot spot —
 (doc, shingle) rows hash-shuffle on shingle for the pair join. MinHash+LSH is
 the scale path: candidates come from equality on (band_id, band_key), a tiny
 key space, so the join is shuffle-on-band rather than all-pairs; exact
-verification then touches only candidate pairs. Stop-shingle removal (drop
-shingles appearing in > X% of docs) would cap the inverted-index skew — the
-fixture's 31-word vocabulary is the adversarial case for this, which is why
-thresholds here are tuned high.
+verification then touches only candidate pairs. The exact pair operators
+(``dedup_ngram_jaccard``, ``dedup_shingle_containment``) ENFORCE stop-shingle
+removal: shingles with doc-frequency above ``greatest(_DF_CEIL_MIN,
+ceil(_DF_CEIL_FRAC * n_docs))`` are dropped before the self-join, bounding
+the join at O(Σ min(df, cap)²) — without it one boilerplate shingle shared
+by 1% of a 100 TB corpus alone yields ~10^14 pairs. Similarity is then
+defined over the capped (rare-shingle) universe on BOTH sides of the
+oracle, which is also more discriminative: ubiquitous boilerplate no longer
+votes for "near-duplicate". The fixture's 31-word vocabulary is the
+adversarial case this cap exists for.
 """
 
 from __future__ import annotations
@@ -77,6 +83,59 @@ _SHINGLES_SQL = """
     )
 """
 
+# Stop-shingle (doc-frequency) ceiling for the EXACT pair operators: drop
+# shingles present in more than max(_DF_CEIL_MIN, 2% of docs) documents
+# before the inverted-index self-join. Fraction-based so it scales with the
+# corpus; the absolute floor keeps tiny corpora from losing everything.
+_DF_CEIL_FRAC = 0.02
+_DF_CEIL_MIN = 5
+
+# Same shingle universe, df-capped; final CTE keeps the name `shingles` so
+# downstream SQL is identical to the uncapped form.
+_CAPPED_SHINGLES_SQL = (
+    _SHINGLES_SQL.replace("shingles AS (", "shingles0 AS (")
+    + f""",
+    shingle_df AS (SELECT h, count(*) AS df FROM shingles0 GROUP BY h),
+    df_cap AS (
+        SELECT greatest({_DF_CEIL_MIN},
+                        CAST(ceil({_DF_CEIL_FRAC} * (SELECT count(*) FROM documents))
+                             AS BIGINT)) AS cap
+    ),
+    shingles AS (
+        SELECT s.doc_id, s.h
+        FROM shingles0 s
+        JOIN shingle_df USING (h)
+        WHERE shingle_df.df <= (SELECT cap FROM df_cap)
+    )
+"""
+)
+
+
+def _capped_shingles_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle rows with the stop-shingle ceiling applied: the per-hash
+    doc-frequency is one partial-agg groupBy on ``h``, and the keep-set
+    joins back on ``h`` — the SAME shuffle key the pair join uses, so AQE
+    reuses the exchange. The corpus size enters as a broadcast 1-row
+    aggregate (no driver action, stays one lazy plan)."""
+    sh = _shingles_spark(spark, sf_dir)
+    n_docs = load(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    keep = (
+        sh.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("shingle_df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(
+            F.col("shingle_df")
+            <= F.greatest(
+                F.lit(_DF_CEIL_MIN),
+                F.ceil(F.lit(_DF_CEIL_FRAC) * F.col("n_docs")),
+            )
+        )
+        .select("h")
+    )
+    return sh.join(keep, "h")
+
 
 @query(
     "dedup_exact",
@@ -113,7 +172,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_ngram_jaccard",
     oracle=f"""
-    WITH {_SHINGLES_SQL},
+    WITH {_CAPPED_SHINGLES_SQL},
     sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
     inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
@@ -131,8 +190,12 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact bigram-shingle Jaccard near-dup pairs via an inverted index
-    (shuffle on shingle hash → pair counts → threshold)."""
-    sh = _shingles_spark(spark, sf_dir).cache()
+    (shuffle on shingle hash → pair counts → threshold), with the
+    stop-shingle df ceiling applied first (module docstring): similarity
+    is defined over the rare-shingle universe on both sides, sizes
+    included, so the oracle mirrors exactly and the self-join is bounded
+    at O(Σ min(df, cap)²)."""
+    sh = _capped_shingles_spark(spark, sf_dir).cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "h")
     b = sh.select(F.col("doc_id").alias("doc_b"), "h")
@@ -379,7 +442,7 @@ _CONTAIN_T = 0.8  # containment threshold: |A∩B| / |smaller side|
 @query(
     "dedup_shingle_containment",
     oracle=f"""
-    WITH {_SHINGLES_SQL},
+    WITH {_CAPPED_SHINGLES_SQL},
     sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
     inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
@@ -404,13 +467,14 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     the Broder containment measure crawl pipelines run alongside resemblance
     to drop wrapper pages and quote-inflated rewrites.
 
-    Same inverted-index shape as ``dedup_ngram_jaccard`` (shuffle on the
-    shingle hash, pair counts, threshold post-filter) — only the
-    normalizer changes, so the two operators share the scale path (MinHash
-    banding for candidates; containment then rescored exactly on
-    candidates). Reported with which side is the contained one.
+    Same inverted-index shape as ``dedup_ngram_jaccard`` (stop-shingle df
+    ceiling, then shuffle on the shingle hash, pair counts, threshold
+    post-filter) — only the normalizer changes, so the two operators share
+    the scale path (MinHash banding for candidates; containment then
+    rescored exactly on candidates). Reported with which side is the
+    contained one.
     """
-    sh = _shingles_spark(spark, sf_dir).cache()
+    sh = _capped_shingles_spark(spark, sf_dir).cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "h")
     b = sh.select(F.col("doc_id").alias("doc_b"), "h")

@@ -1202,3 +1202,107 @@ def test_shallow_clone_mor_and_version_pin(spark, tmp_path):
     clone_new.delete([("k1", "p1")])
     assert clone_new.snapshot().count() == 0
     assert snap_dict(src) == {"k1": ("p1", "v2")}
+
+
+# ---------------------------------------------------------------- r3 fixes
+
+
+def test_bloom_bytes_key_no_false_negative():
+    """BinaryType pk: _bloom_build decodes bytes to utf-8 before hashing,
+    so _bloom_contains must decode the probe the same way — str(b'..')
+    would hash \"b'..'\" and guarantee a false negative (silent wrong
+    pruning in lookup()/delete())."""
+    bloom = AcidTable._bloom_build([b"key-1", b"key-2", b"key-3"])
+    assert bloom is not None
+    for k in (b"key-1", b"key-2", b"key-3"):
+        assert AcidTable._bloom_contains(bloom, k)
+        # decoded-str probe hits the same bits
+        assert AcidTable._bloom_contains(bloom, k.decode())
+
+
+def test_lookup_binary_pk_end_to_end(spark, tmp_path):
+    schema = T.StructType(
+        [
+            T.StructField("pk", T.BinaryType(), False),
+            T.StructField("part", T.StringType(), False),
+            T.StructField("val", T.StringType(), True),
+        ]
+    )
+    t = AcidTable.create(
+        spark, str(tmp_path / "binpk"), schema, pk="pk",
+        partition_col="part", precombine_col=None,
+    )
+    t.upsert(spark.createDataFrame(
+        [(b"alpha", "p1", "v1"), (b"beta", "p1", "v2")], schema))
+    t.upsert(spark.createDataFrame([(b"gamma", "p2", "v3")], schema))
+    got = t.lookup(b"alpha").collect()
+    assert len(got) == 1 and got[0]["val"] == "v1"
+    # bytes scalar must not be iterated into a list of ints
+    assert t.lookup(b"gamma").count() == 1
+
+
+def test_occ_raced_repartition_table_conflicts(spark, tmp_path):
+    """A raced partition-evolution commit changes partition_col; even when
+    partition VALUE sets are disjoint (A inserts a brand-new partition),
+    the rebase must conflict — appending old-layout files onto the new
+    manifest would publish an unreadable mixed layout."""
+    a, b = _occ_pair(spark, tmp_path)
+    _interleave(a, b, lambda: b.repartition_table("dataValue"))
+    with pytest.raises(CommitConflictError, match="metadata"):
+        a.upsert(rows(spark, [("k9", "p9-brand-new", "v9")]))
+    # loser left no orphans referenced anywhere; table reads clean under
+    # the new layout and a retry against the fresh snapshot lands
+    assert a._read_manifest().partition_col == "dataValue"
+    a.upsert(rows(spark, [("k9", "p9-brand-new", "v9")]))
+    got = {r["primaryKeyValue"] for r in a.snapshot().collect()}
+    assert got == {"k1", "k2", "k9"}
+    a.audit_unique()
+
+
+def test_occ_vacuumed_intermediate_manifest_is_conflict(spark, tmp_path):
+    """A concurrent vacuum dropping an intermediate manifest mid-replay
+    must surface as CommitConflictError (the documented retry signal),
+    not FileNotFoundError, and must not leak A's orphan files."""
+    a, b = _occ_pair(spark, tmp_path)
+
+    def b_commits_then_vacuums():
+        b.upsert(rows(spark, [("k2", "p2", "v2b")]))
+        b.upsert(rows(spark, [("k2", "p2", "v2c")]))
+        b.vacuum(retain_versions=1, orphan_grace_seconds=3600.0)
+
+    _interleave(a, b, b_commits_then_vacuums)
+    with pytest.raises(CommitConflictError, match="vacuum"):
+        a.upsert(rows(spark, [("k1", "p1", "v1a")]))
+    # every manifest-listed file exists; retry succeeds
+    m = a._read_manifest()
+    for f in m.files:
+        assert os.path.exists(os.path.join(a._data_dir, f["file"]))
+    a.upsert(rows(spark, [("k1", "p1", "v1a")]))
+    assert snap_dict(a)["k1"] == ("p1", "v1a")
+
+
+def test_zorder_wide_column_list_no_bit_overflow(spark, tmp_path):
+    """≥6 z-order columns at 12 bits/dim would shift past 63 and alias
+    bits mod 64; _with_zvalue must scale bits-per-dim down instead."""
+    schema = T.StructType(
+        [T.StructField("pk", T.StringType(), False),
+         T.StructField("part", T.StringType(), False)]
+        + [T.StructField(f"c{i}", T.LongType(), True) for i in range(6)]
+    )
+    t = AcidTable.create(
+        spark, str(tmp_path / "zwide"), schema, pk="pk",
+        partition_col="part", precombine_col=None,
+    )
+    data = [(f"k{j}", "p", *[(j * (i + 1)) % 97 for i in range(6)])
+            for j in range(50)]
+    df = spark.createDataFrame(data, schema)
+    zdf = t._with_zvalue(df, [f"c{i}" for i in range(6)])
+    vals = [r["__zval__"] for r in zdf.collect()]
+    # 6 dims → 10 bits each → every key below 2^60, none negative/aliased
+    assert all(0 <= v < (1 << 60) for v in vals)
+    # single-dim sanity at reduced bits: ordering by zval == ordering by col
+    one = t._with_zvalue(df.select("pk", "part", "c0"), ["c0"]).collect()
+    by_z = [r["c0"] for r in sorted(one, key=lambda r: r["__zval__"])]
+    assert by_z == sorted(by_z)
+    with pytest.raises(ValueError, match="63"):
+        t._with_zvalue(df, [f"c{i % 6}" for i in range(70)])

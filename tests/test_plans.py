@@ -725,3 +725,17 @@ def test_gate_ablation_single_pass(spark):
     assert plan.count("Scan parquet") <= 2
     assert "Join" not in plan
     assert "Generate" in plan and "partial_" in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["dedup_ngram_jaccard", "dedup_shingle_containment"]
+)
+def test_exact_shingle_dedup_enforces_df_cap(spark, name):
+    """The stop-shingle ceiling must be IN the plan: the shingle stream is
+    filtered by per-hash doc-frequency (shingle_df <= greatest(min, ceil
+    (frac*n_docs))) before the pair self-join — the uncapped join is
+    O(Σ df²) and dies on one boilerplate shingle at corpus scale."""
+    plan = plan_of(spark, name)
+    assert "shingle_df" in plan, "df-cap filter missing from the plan"
+    assert "greatest" in plan and "CEIL" in plan.upper()
+    assert "Cartesian" not in plan
