@@ -33,6 +33,10 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
     spark = get_spark("bench", cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # keep stdout/stderr parseable: the driver's capture window is small,
+    # and JVM WARNs (e.g. codegen fallback notices) must not crowd out the
+    # single JSON result line
+    spark.sparkContext.setLogLevel("ERROR")
 
     # Warm up the JVM / whole-stage codegen / parquet footer caches.
     ops.QUERIES["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode(

@@ -559,9 +559,13 @@ def acid_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority",
         F.col("o_totalprice").cast("double"), "o_custkey",
-    )
+    ).filter(F.col("o_orderkey") % 10 == 0)  # slice: lifecycle, not volume
     for i in range(3):  # interleaved thirds → overlapping file ranges
-        table.upsert(orders.filter(F.col("o_orderkey") % 3 == i))
+        table.upsert(
+            orders.filter(
+                (F.col("o_orderkey") / 10).cast("long") % 3 == i
+            )
+        )
 
     bounds = orders.agg(
         F.min("o_totalprice"), F.max("o_totalprice"),
@@ -572,7 +576,7 @@ def acid_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     probes = [("o_totalprice", p_lo, p_hi), ("o_custkey", c_lo, c_hi)]
     before = {c: table.prune_stats(c, lo, hi) for c, lo, hi in probes}
-    table.cluster(files_per_partition=16, zorder_cols=["o_totalprice", "o_custkey"])
+    table.cluster(files_per_partition=8, zorder_cols=["o_totalprice", "o_custkey"])
     rows = []
     for c, lo, hi in probes:
         after = table.prune_stats(c, lo, hi)
@@ -710,7 +714,7 @@ def acid_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority", "o_orderstatus",
         F.col("o_totalprice").cast("double"),
-    ).filter(F.col("o_orderkey") % 5 == 0)
+    ).filter(F.col("o_orderkey") % 10 == 0)
     table.upsert(orders)
     v_before = table.version()
     n_before = table.snapshot().count()

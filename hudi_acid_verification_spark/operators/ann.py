@@ -820,15 +820,38 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle closes the SAME LSH pair set with a recursive CTE
     computing min reachable id per node: exact, any depth.
     """
-    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pairs = _dup_pairs(spark, sf_dir)
+    labels = _components_labels(spark, sf_dir, pairs)
+    w = Window.partitionBy("component_id")
+    return labels.select(
+        "vec_id",
+        "component_id",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+    )
 
-    # one emission per matching band → dropDuplicates before doubling into
-    # directed edges (keeps the per-round join volume at |E|, not |E|·bands)
-    pairs = (
+
+def _dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deduped, MATERIALIZED (localCheckpoint) LSH dup-pair edge list —
+    computed once and shared by the components closure and the split/leak
+    audit (one emission per matching band → dropDuplicates keeps the
+    per-round join volume at |E|, not |E|·bands)."""
+    return (
         _lsh_band_pairs(spark, sf_dir)
         .select("lo", "hi")
         .dropDuplicates(["lo", "hi"])
+        .localCheckpoint()
     )
+
+
+def _components_labels(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame
+) -> DataFrame:
+    """Min-label propagation with path halving over a materialized pair
+    list; returns (vec_id, component_id). Factored out so callers needing
+    BOTH the closure and the raw pairs (dedup_group_split's leak audit)
+    never recompute the LSH banding."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
     # localCheckpoint (not cache): iterative self-referencing plans double
     # in size per round — checkpointing truncates the lineage so round N's
     # plan is O(1), the standard Spark idiom for iterative graph algorithms
@@ -881,12 +904,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
-    w = Window.partitionBy("component_id")
-    return labels.select(
-        "vec_id",
-        "component_id",
-        F.count(F.lit(1)).over(w).alias("cluster_size"),
-    )
+    return labels
 
 
 def _semantic_cluster_oracle() -> str:
@@ -1066,12 +1084,15 @@ def dedup_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the oracle proves the zero rather than assuming it, by re-joining
     the same dup-pair edge list against the assignment).
 
-    Shape on top of the components pass: one narrow hash map over the
-    O(N) label table plus one broadcast-joinable audit over the candidate
-    pairs — the split itself adds nothing to the dominant cost (the LSH
-    band rescore + label propagation it shares with dedup_components).
+    Shape on top of the components pass: the LSH band rescore runs ONCE —
+    ``_dup_pairs`` materializes the edge list (localCheckpoint) and both
+    the label-propagation closure and the leak audit read that same
+    materialization — then one narrow hash map over the O(N) label table
+    plus one join-audit over the cached pairs. The split itself adds
+    nothing to the dominant cost it shares with dedup_components.
     """
-    comp = dedup_components(spark, sf_dir).select("vec_id", "component_id")
+    pairs = _dup_pairs(spark, sf_dir)
+    comp = _components_labels(spark, sf_dir, pairs)
     h = (
         F.conv(
             F.substring(
@@ -1095,11 +1116,6 @@ def dedup_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(h < 90, F.lit("val"))
         .otherwise(F.lit("test")),
     ).cache()
-    pairs = (
-        _lsh_band_pairs(spark, sf_dir)
-        .select("lo", "hi")
-        .dropDuplicates(["lo", "hi"])
-    )
     la = labeled.select(
         F.col("vec_id").alias("lo"), F.col("split").alias("sa")
     )

@@ -328,7 +328,7 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("doc_id").alias("n_docs"),
     )
     top = counts.orderBy(F.col("cnt").desc(), "term").limit(_TOP_TERMS)
-    w = Window.orderBy(F.col("cnt").desc(), "term")
+    w = Window.partitionBy(F.lit(0)).orderBy(F.col("cnt").desc(), "term")
     return top.withColumn("rnk", F.row_number().over(w))
 
 

@@ -169,10 +169,10 @@ def text_seqlen_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_tokens").cast("bigint").alias("max_tokens"),
         )
     )
-    w_cum = Window.orderBy("bucket").rowsBetween(
+    w_cum = Window.partitionBy(F.lit(0)).orderBy("bucket").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    w_all = Window.rowsBetween(
+    w_all = Window.partitionBy(F.lit(0)).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     return hist.select(
@@ -302,7 +302,7 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct(F.md5("text")).alias("n_distinct_texts"),
         )
     )
-    w_all = Window.rowsBetween(
+    w_all = Window.partitionBy(F.lit(0)).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     return per.select(

@@ -386,7 +386,7 @@ def window_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.count(F.lit(1)).alias("new_users"))
     )
-    w_cum = Window.orderBy("day").rowsBetween(
+    w_cum = Window.partitionBy(F.lit(0)).orderBy("day").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     return daily.select(
