@@ -86,6 +86,8 @@ _CERT_ORDER = [
     "stream_stream_join",
     "udtf_token_spans", "udaf_pandas_grouped",
     "multimodal_metadata_agg",
+    # tier 3b — round-3 additions (oracled; queue behind the r2 backlog)
+    "multimodal_container_decode",
     # tier 4 — rows-only by design
     "pipeline_bpe_merges", "pipeline_bpe_encode",
     "agg_approx_distinct", "multimodal_decode_features",

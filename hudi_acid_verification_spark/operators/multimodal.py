@@ -1,12 +1,13 @@
 """Multimodal-column operators (north-star surface): opaque binary payloads
 with typed metadata, processed by Arrow-batched pandas UDFs via mapInPandas.
 
-The container has no image/audio codecs, so the *decode* step is a
-deterministic fake (byte statistics standing in for pixel statistics) and
-the real-codec path raises NotImplementedError behind a flag — but the
-Spark-side plumbing is real and tested: binary column construction, schema
-declaration, Arrow batch iteration, per-batch vectorized numpy work, and
-partition-preserving output.
+The decode path is REAL for every format parseable without native codec
+libraries: RIFF/WAVE integer PCM, netpbm P5/P6, and full PNG (stdlib zlib
+inflate + spec scanline unfiltering) — see ``media_codecs``;
+``multimodal_container_decode`` runs genuine container bytes through it
+under a DuckDB oracle. NotImplementedError remains only for formats that
+genuinely need native codecs here (JPEG, MP4, …). The byte-statistics
+decoder below stays as the oracled baseline for arbitrary payloads.
 
 Scale notes: mapInPandas streams Arrow record batches — constant memory per
 task regardless of partition size; binary payloads never materialize on the
@@ -27,14 +28,7 @@ from pyspark.sql import functions as F
 
 from . import load, query
 
-_REAL_CODECS_AVAILABLE = False  # no image/audio libs in this container
-
-
-def decode_media(payload: bytes) -> dict:  # pragma: no cover - stub
-    """Real decode path (PIL/librosa/pyav) — unavailable in this env."""
-    raise NotImplementedError(
-        "media codecs are not installed; use the deterministic fake decoder"
-    )
+from .media_codecs import decode_media  # noqa: F401  (public re-export)
 
 
 def _fake_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -101,8 +95,6 @@ def multimodal_decode_features(
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if _REAL_CODECS_AVAILABLE:  # pragma: no cover
-                raise NotImplementedError("real codec path not wired")
             yield _fake_decode_batch(pdf)
 
     return media.mapInPandas(decode, schema=out_schema)
@@ -203,3 +195,113 @@ def multimodal_metadata_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("width").alias("min_width"),
         F.max("height").alias("max_height"),
     )
+
+
+@query(
+    "multimodal_container_decode",
+    oracle="""
+    WITH ascii_docs AS (
+        SELECT doc_id, strlen(text) AS len,
+               list_transform(string_split(text, ''), c -> ord(c)) AS ords
+        FROM documents
+        WHERE NOT regexp_matches(text, '[^\\x00-\\x7F]') AND strlen(text) >= 3
+    )
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'ppm' END AS container,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN len
+                     ELSE len // 3 END AS BIGINT) AS n_units,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 16000 ELSE 0 END
+                AS INTEGER) AS sample_rate,
+           CAST(CASE WHEN doc_id % 2 = 0
+                     THEN 256 * list_max(list_transform(ords,
+                                                        o -> abs(o - 128)))
+                     ELSE list_max(ords[1:3 * (len // 3)])
+                END AS BIGINT) AS peak,
+           CAST(CASE WHEN doc_id % 2 = 0
+                     THEN 256 * (list_sum(ords) - 128 * len)
+                     ELSE list_sum(ords[1:3 * (len // 3)])
+                END AS BIGINT) AS unit_sum
+    FROM ascii_docs
+    """,
+)
+def multimodal_container_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL container decode under an exact oracle: synthesize genuine
+    RIFF/WAVE PCM16 and binary PPM payloads from fixture text (audio
+    samples = (byte-128)*256 at 16 kHz; image raster = leading bytes as a
+    1-row RGB strip), then parse them back with ``media_codecs.decode_media``
+    — header walk, chunk alignment, PCM/raster extraction — all inside
+    Arrow-batched mapInPandas stages.
+
+    Because the synthesized containers are pure functions of the text, every
+    decoded statistic (frame count, peak amplitude, sample sum, pixel sum)
+    is re-derivable in DuckDB SQL over code points — so the codec path is
+    hash-verified end-to-end, not rows-only. ASCII-gated for byte==codepoint
+    equivalence (fixtures are all-ASCII; the gate future-proofs).
+
+    Scale shape: encode and decode are per-row map work over Arrow batches
+    — no shuffle, no driver materialization; payloads live only inside
+    executor batches, exactly how a real (uri → fetch → decode) pipeline
+    distributes at 100 TB.
+    """
+    import numpy as np
+
+    from .media_codecs import decode_media as _decode
+    from .media_codecs import encode_ppm, encode_wav_pcm16
+
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(~F.col("text").rlike("[^\\x00-\\x7F]"))
+        .filter(F.length("text") >= 3)
+        .select("doc_id", "text")
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                if doc_id % 2 == 0:
+                    samples = (b.astype(np.int64) - 128) * 256
+                    payloads.append(
+                        encode_wav_pcm16(samples, sample_rate=16000)
+                    )
+                else:
+                    w = len(b) // 3
+                    payloads.append(
+                        encode_ppm(b[: 3 * w].tobytes(), width=w, height=1)
+                    )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    containers = d.mapInPandas(encode, schema="doc_id bigint, payload binary")
+
+    out_schema = (
+        "doc_id bigint, container string, n_units bigint, "
+        "sample_rate int, peak bigint, unit_sum bigint"
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                f = _decode(bytes(payload))
+                rows.append(
+                    (
+                        doc_id,
+                        f["container"],
+                        f["n_units"],
+                        f.get("sample_rate", 0),
+                        f["peak"],
+                        f["unit_sum"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "container", "n_units", "sample_rate",
+                    "peak", "unit_sum",
+                ],
+            )
+
+    return containers.mapInPandas(decode, schema=out_schema)
