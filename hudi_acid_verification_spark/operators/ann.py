@@ -843,14 +843,33 @@ def _dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Above this many candidate pairs, _components_labels switches to the
+# large-star/small-star rewrite: label propagation costs O(diameter·|E|)
+# per-round joins over ALL edges forever, while star rounds shrink the
+# edge list toward stars in O(log n) rounds — the published MapReduce-scale
+# algorithm (Kiveris et al.). Kept high enough that the fixture SFs stay on
+# the (cheaper per-round) propagation loop.
+_STAR_EDGE_THRESHOLD = 2_000_000
+
+
 def _components_labels(
-    spark: SparkSession, sf_dir: str, pairs: DataFrame
+    spark: SparkSession, sf_dir: str, pairs: DataFrame, algorithm: str = "auto"
 ) -> DataFrame:
-    """Min-label propagation with path halving over a materialized pair
-    list; returns (vec_id, component_id). Factored out so callers needing
-    BOTH the closure and the raw pairs (dedup_group_split's leak audit)
-    never recompute the LSH banding."""
+    """Connected-component labels (vec_id, component_id) over a
+    MATERIALIZED pair list. ``algorithm``: "propagation" (min-label with
+    path halving — cheapest per round, rounds ~ log diameter), "star"
+    (alternating large-star/small-star — O(log n) rounds independent of
+    diameter, the 100 TB shape), or "auto" (star above
+    ``_STAR_EDGE_THRESHOLD`` edges; the pair list is localCheckpointed so
+    the count is a metadata read, not a recompute). Both paths are
+    asserted equal on the fixture graph (tests/test_plans.py)."""
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    if algorithm == "auto":
+        algorithm = (
+            "star" if pairs.count() > _STAR_EDGE_THRESHOLD else "propagation"
+        )
+    if algorithm == "star":
+        return _components_labels_star(emb.select("vec_id"), pairs)
 
     # localCheckpoint (not cache): iterative self-referencing plans double
     # in size per round — checkpointing truncates the lineage so round N's
@@ -905,6 +924,94 @@ def _components_labels(
             break
         prev_sum = cur_sum
     return labels
+
+
+def _components_labels_star(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Alternating large-star / small-star connected components (Kiveris
+    et al., "Connected Components in MapReduce and Beyond", SoCC'14 —
+    public algorithm): each round is two groupBy-min + join passes that
+    re-point every node at the minimum of its neighborhood, provably
+    converging to star graphs (every node → its component minimum) in
+    O(log n) rounds regardless of graph diameter.
+
+    Per round both phases are one shuffle on the node id + a broadcastable
+    per-node min — no state besides the shrinking edge list, which is
+    localCheckpointed to keep lineage flat. Convergence witness: the
+    (count, Σu, Σv) triple of the canonical edge list is unchanged by a
+    full round ⇔ fixpoint (edges only ever re-point toward smaller ids,
+    so the triple strictly decreases lexicographically until stable).
+    """
+
+    def canon(e: DataFrame) -> DataFrame:
+        return (
+            e.filter(F.col("u") != F.col("v"))
+            .select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            )
+            .dropDuplicates(["u", "v"])
+        )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        both = e.select("u", "v").unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = both.groupBy("u").agg(F.min("v").alias("mn"))
+        mins = mins.select("u", F.least("u", "mn").alias("m"))
+        return canon(
+            both.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        both = e.select("u", "v").unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        down = both.filter(F.col("v") < F.col("u"))
+        mins = down.groupBy("u").agg(F.min("v").alias("m"))
+        linked = (
+            down.join(mins, "u")
+            .select(F.col("v").alias("node"), "m")
+            .unionByName(mins.select(F.col("u").alias("node"), "m"))
+        )
+        return canon(
+            linked.filter(F.col("node") != F.col("m")).select(
+                F.col("node").alias("u"), F.col("m").alias("v")
+            )
+        )
+
+    edges = canon(
+        pairs.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+    ).localCheckpoint()
+
+    def witness(e: DataFrame):
+        row = e.agg(
+            F.count(F.lit(1)), F.sum("u"), F.sum("v")
+        ).collect()[0]
+        return tuple(row)
+
+    prev = witness(edges)
+    while True:
+        edges = small_star(large_star(edges)).localCheckpoint()
+        cur = witness(edges)
+        if cur == prev:
+            break
+        prev = cur
+
+    # at fixpoint every edge is (node, component_min); isolated nodes label
+    # themselves
+    centers = edges.groupBy("u").agg(F.min("v").alias("component_id"))
+    return (
+        nodes.join(
+            centers.select(F.col("u").alias("vec_id"), "component_id"),
+            "vec_id",
+            "left",
+        )
+        .select(
+            "vec_id",
+            F.coalesce("component_id", F.col("vec_id")).alias("component_id"),
+        )
+    )
 
 
 def _semantic_cluster_oracle() -> str:

@@ -739,3 +739,73 @@ def test_exact_shingle_dedup_enforces_df_cap(spark, name):
     assert "shingle_df" in plan, "df-cap filter missing from the plan"
     assert "greatest" in plan and "CEIL" in plan.upper()
     assert "Cartesian" not in plan
+
+
+def test_star_components_matches_union_find(spark):
+    """Large-star/small-star must agree with a pure-Python union-find on
+    adversarial random graphs (chains force many propagation rounds —
+    exactly where the star rewrite earns its O(log n))."""
+    import random
+
+    from hudi_acid_verification_spark.operators.ann import (
+        _components_labels_star,
+    )
+
+    rng = random.Random(1234)
+    for trial in range(3):
+        n = 60
+        edges = [(i, i + 1) for i in range(0, 20)]  # a 21-node chain
+        edges += [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(25)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expected = {i: find(i) for i in range(n)}
+
+        nodes = spark.createDataFrame(
+            [(i,) for i in range(n)], "vec_id long"
+        )
+        pairs = spark.createDataFrame(
+            [(min(a, b), max(a, b)) for a, b in edges], "lo long, hi long"
+        )
+        got = {
+            r["vec_id"]: r["component_id"]
+            for r in _components_labels_star(nodes, pairs).collect()
+        }
+        assert got == expected, f"trial {trial} mismatch"
+
+
+def test_star_components_equals_propagation_sf01():
+    """The two component algorithms must produce identical labelings on
+    the real LSH dup-pair graph at sf0.1 (VERDICT r2 task 8)."""
+    from pyspark.sql import functions as F
+
+    from hudi_acid_verification_spark.operators.ann import (
+        _components_labels,
+        _dup_pairs,
+    )
+    from hudi_acid_verification_spark.session import get_spark
+
+    spark = get_spark("star-eq", cpus="8")
+    sf = "/root/testdata/sf0.1"
+    pairs = _dup_pairs(spark, sf)
+    prop = _components_labels(spark, sf, pairs, algorithm="propagation")
+    star = _components_labels(spark, sf, pairs, algorithm="star")
+    diff = (
+        prop.withColumnRenamed("component_id", "a")
+        .join(star.withColumnRenamed("component_id", "b"), "vec_id")
+        .filter(F.col("a") != F.col("b"))
+        .count()
+    )
+    assert diff == 0
