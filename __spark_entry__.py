@@ -87,7 +87,9 @@ _CERT_ORDER = [
     "udtf_token_spans", "udaf_pandas_grouped",
     "multimodal_metadata_agg",
     # tier 3b — round-3 additions (oracled; queue behind the r2 backlog)
-    "multimodal_container_decode",
+    "multimodal_container_decode", "event_sessionize", "event_anomaly_mad",
+    "agg_corr_exact", "pipeline_mix_temperature", "text_ngram_novelty",
+    "source_parquet_schema_merge", "pipeline_feature_denorm",
     # tier 4 — rows-only by design
     "pipeline_bpe_merges", "pipeline_bpe_encode",
     "agg_approx_distinct", "multimodal_decode_features",

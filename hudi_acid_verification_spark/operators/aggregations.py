@@ -496,3 +496,80 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("weighted_median_qty"),
     )
+
+
+@query(
+    "agg_corr_exact",
+    oracle="""
+    WITH cents AS (
+        SELECT l_returnflag,
+               CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS x,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+        FROM lineitem
+    ),
+    sums AS (
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS DECIMAL(38, 0)) AS sx,
+               CAST(sum(y) AS DECIMAL(38, 0)) AS sy,
+               CAST(sum(x * x) AS DECIMAL(38, 0)) AS sxx,
+               CAST(sum(y * y) AS DECIMAL(38, 0)) AS syy,
+               CAST(sum(x * y) AS DECIMAL(38, 0)) AS sxy
+        FROM cents GROUP BY 1
+    )
+    SELECT l_returnflag,
+           n,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+               / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                      * CAST(n * syy - sy * sy AS DOUBLE)) AS corr_qty_price
+    FROM sums
+    """,
+)
+def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Pearson correlation (quantity vs extended price per
+    return flag) — the feature-screening statistic a training pipeline
+    computes over candidate columns, made ORDER-INDEPENDENT: the built-in
+    ``corr`` accumulates floating co-moments whose value depends on row
+    order and partitioning, so two runs of the same query can hash
+    differently. Here every accumulation is exact integer arithmetic —
+    values quantize to cents (floor(x*100+0.5), the proven cross-engine
+    rounding), the five co-moment sums run in DECIMAL(38,0), and floating
+    point enters only in the final n·Σxy−ΣxΣy expression, evaluated once
+    per group from identical exact operands on both engines.
+
+    Scale: one partial-aggregated groupBy — the same map-side-combine
+    shape as q1; DECIMAL(38,0) sums never overflow below ~10^38 (a 100 TB
+    lineitem is ~10^27 at worst).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    x = F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("bigint")
+    y = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+    d38 = "decimal(38,0)"
+    sums = (
+        li.select(
+            "l_returnflag", x.alias("x"), y.alias("y")
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("x").cast(d38)).alias("sx"),
+            F.sum(F.col("y").cast(d38)).alias("sy"),
+            F.sum((F.col("x") * F.col("x")).cast(d38)).alias("sxx"),
+            F.sum((F.col("y") * F.col("y")).cast(d38)).alias("syy"),
+            F.sum((F.col("x") * F.col("y")).cast(d38)).alias("sxy"),
+        )
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    dxx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    dyy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    return sums.select(
+        "l_returnflag",
+        "n",
+        (num / F.sqrt(dxx * dyy)).alias("corr_qty_price"),
+    )

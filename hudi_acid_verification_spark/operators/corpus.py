@@ -707,3 +707,66 @@ def pipeline_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("n_raw") - F.sum("n_enc")).cast("double") / F.sum("n_raw")
         ).alias("saved_frac"),
     )
+
+
+_MIX_TOKEN_BUDGET = 1_000_000  # target corpus size for the mixture
+
+
+@query(
+    "pipeline_mix_temperature",
+    oracle=f"""
+    WITH per_src AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY 1
+    ),
+    total AS (
+        SELECT list_sum(list(sqrt(n_tokens) ORDER BY source)) AS z
+        FROM per_src
+    )
+    SELECT p.source, p.n_docs, p.n_tokens,
+           sqrt(p.n_tokens) / (SELECT z FROM total) AS weight,
+           CAST(floor({_MIX_TOKEN_BUDGET} * sqrt(p.n_tokens)
+                      / (SELECT z FROM total)) AS BIGINT) AS target_tokens
+    FROM per_src p
+    """,
+)
+def pipeline_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixture (the multilingual/multi-domain
+    sampling scheme from the mT5/XLM-R line of work, α = 0.5): each
+    source's sampling weight is n_tokens^α / Σ n_tokens^α, flattening the
+    natural distribution so head domains stop drowning the tail; the
+    token budget then allocates floor(B·w) target tokens per source.
+
+    Determinism: α = 0.5 makes the power an IEEE sqrt (exact, bit-equal
+    cross-engine; arbitrary pow() is NOT). The normalizer Σ√n is a
+    FIXED-ORDER fold — Spark F.aggregate over the source-sorted struct
+    array, DuckDB list_sum over list(... ORDER BY source) — because a
+    20-element double sum is already order-sensitive in the last ulp.
+    Token counts are exact ints from one partial-agg scan.
+
+    Scale: per-source rollup (20 groups) + a broadcast scalar — the full
+    corpus is scanned once; the mixture math never touches row data.
+    """
+    d = load(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens"),
+    )
+    total = per_src.agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("source", "n_tokens"))),
+            F.lit(0.0),
+            lambda acc, s: acc + F.sqrt(s["n_tokens"]),
+        ).alias("z")
+    )
+    return per_src.crossJoin(F.broadcast(total)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.sqrt("n_tokens") / F.col("z")).alias("weight"),
+        F.floor(
+            F.lit(_MIX_TOKEN_BUDGET) * F.sqrt("n_tokens") / F.col("z")
+        ).cast("bigint").alias("target_tokens"),
+    )

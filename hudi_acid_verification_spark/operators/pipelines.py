@@ -376,3 +376,221 @@ def pipeline_gate_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_survivors"),
     )
+
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+
+
+@query(
+    "event_sessionize",
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id, epoch_us(ts) AS t
+        FROM events
+    ),
+    gaps AS (
+        SELECT user_id, t,
+               CASE WHEN t - lag(t) OVER w > {_SESSION_GAP_US}
+                         OR lag(t) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY t)
+    ),
+    sess AS (
+        SELECT user_id, t,
+               sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY t
+                   ROWS UNBOUNDED PRECEDING
+               ) AS session_idx
+        FROM gaps
+    )
+    SELECT user_id,
+           CAST(session_idx AS BIGINT) AS session_idx,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(min(t) AS BIGINT) AS start_us,
+           CAST(max(t) - min(t) AS BIGINT) AS duration_us
+    FROM sess
+    GROUP BY user_id, session_idx
+    """,
+)
+def event_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: split each user's event stream into sessions
+    at >30-minute inactivity gaps (the standard analytics sessionizer, and
+    the batch twin of ``stream_session``'s streaming session windows).
+
+    One window pass per user (lag → gap flag → running sum = session
+    index), then a per-(user, session) aggregate — shuffle keyed on
+    user_id only, so 100 TB of events sessionize with a single exchange;
+    no self-join, no per-user collect. Equal timestamps are order-safe:
+    a zero gap can never open a session regardless of tie order. All
+    outputs are exact integers (microsecond epochs).
+    """
+    e = load(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts_ns DIV 1000").alias("t")
+    )
+    w = Window.partitionBy("user_id").orderBy("t")
+    gaps = e.withColumn(
+        "new_session",
+        F.when(
+            F.col("t") - F.lag("t").over(w) > _SESSION_GAP_US, 1
+        ).when(F.lag("t").over(w).isNull(), 1).otherwise(0),
+    )
+    sess = gaps.withColumn(
+        "session_idx",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("t").alias("start_us"),
+        (F.max("t") - F.min("t")).alias("duration_us"),
+    ).select(
+        "user_id",
+        F.col("session_idx").cast("bigint").alias("session_idx"),
+        "n_events",
+        "start_us",
+        "duration_us",
+    )
+
+
+@query(
+    "event_anomaly_mad",
+    oracle="""
+    WITH daily AS (
+        SELECT strftime(ts, '%Y-%m-%d') AS day,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1
+    ),
+    med AS (SELECT quantile_cont(n_events, 0.5) AS m FROM daily),
+    mad AS (
+        SELECT quantile_cont(abs(n_events - (SELECT m FROM med)), 0.5) AS d
+        FROM daily
+    )
+    SELECT day, n_events,
+           abs(n_events - (SELECT m FROM med)) AS abs_dev,
+           abs(n_events - (SELECT m FROM med))
+               > 3 * (SELECT d FROM mad) AS is_anomaly
+    FROM daily
+    """,
+)
+def event_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection on daily event volume: flag days whose
+    absolute deviation from the median exceeds 3× the median absolute
+    deviation — the robust-statistics anomaly gate (mean/stddev break on
+    the very outliers being hunted) every ingestion pipeline runs over
+    its arrival counts.
+
+    Collapse-then-score: events collapse to one row per day FIRST, the
+    two exact medians are computed over that tiny frame and broadcast
+    back as scalars — no window over raw events, no second scan. Spark
+    ``percentile`` is exact-interpolating like DuckDB ``quantile_cont``
+    (parity proven by agg_percentiles); deviations are integer-derived
+    doubles, so the comparison is bit-stable cross-engine.
+    """
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    med = daily.agg(
+        F.expr("percentile(n_events, 0.5)").alias("m")
+    )
+    with_med = daily.crossJoin(F.broadcast(med)).withColumn(
+        "abs_dev", F.abs(F.col("n_events") - F.col("m"))
+    )
+    mad = with_med.agg(F.expr("percentile(abs_dev, 0.5)").alias("d"))
+    return (
+        with_med.crossJoin(F.broadcast(mad))
+        .select(
+            "day",
+            "n_events",
+            "abs_dev",
+            (F.col("abs_dev") > 3 * F.col("d")).alias("is_anomaly"),
+        )
+    )
+
+
+@query(
+    "pipeline_feature_denorm",
+    oracle="""
+    WITH denorm AS (
+        SELECT cn.n_name AS cust_nation,
+               p.p_brand,
+               c.c_mktsegment,
+               CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                   * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT))
+                   AS rev_microunits,
+               CASE WHEN sn.n_regionkey = cn.n_regionkey
+                    THEN 1 ELSE 0 END AS same_region
+        FROM lineitem l
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+        JOIN part p     ON p.p_partkey = l.l_partkey
+    )
+    SELECT cust_nation, p_brand, c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(rev_microunits) AS BIGINT) AS revenue_microunits,
+           CAST(sum(same_region) AS BIGINT) AS n_same_region
+    FROM denorm
+    GROUP BY 1, 2, 3
+    """,
+)
+def pipeline_feature_denorm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-table denormalization: flatten the full snowflake (lineitem
+    → orders → customer → nation, plus supplier → nation and part) into a
+    wide training frame, then roll up per (customer nation, part brand,
+    market segment) — the 'build the offline feature table' join every ML
+    pipeline runs before export, with a derived cross-entity feature
+    (supplier-in-same-region flag) only the denormalized row can compute.
+
+    Plan shape: ONE shuffle total. The fact table joins five dimension
+    tables that are orders-of-magnitude smaller — Catalyst broadcasts
+    every dim (asserted in tests/test_plans.py), so lineitem streams
+    through map-side hash joins and shuffles once for the final rollup.
+    Revenue accumulates as exact integer micro-units
+    (cents × basis-points) — no floating add anywhere.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    p = load(spark, sf_dir, "part")
+    n = load(spark, sf_dir, "nation")
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"),
+        F.col("n_name").alias("cust_nation"),
+        F.col("n_regionkey").alias("cn_region"),
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"),
+        F.col("n_regionkey").alias("sn_region"),
+    )
+    rev = (
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+        * (100 - F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("bigint"))
+    )
+    denorm = (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(
+            "cust_nation",
+            "p_brand",
+            "c_mktsegment",
+            rev.alias("rev_microunits"),
+            F.when(F.col("sn_region") == F.col("cn_region"), 1)
+            .otherwise(0)
+            .alias("same_region"),
+        )
+    )
+    return denorm.groupBy("cust_nation", "p_brand", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("rev_microunits").cast("bigint").alias("revenue_microunits"),
+        F.sum("same_region").cast("bigint").alias("n_same_region"),
+    )

@@ -116,3 +116,51 @@ def source_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").cast("bigint").alias("n_bytes"),
         F.md5(F.hex(F.col("content"))).alias("content_md5"),
     )
+
+
+@query(
+    "source_parquet_schema_merge",
+    oracle="""
+    SELECT n_nationkey,
+           n_name,
+           CAST(NULL AS BIGINT) AS n_regionkey,
+           'v1' AS file_version
+    FROM nation
+    UNION ALL
+    SELECT n_nationkey,
+           CAST(NULL AS VARCHAR) AS n_name,
+           n_regionkey,
+           'v2' AS file_version
+    FROM nation
+    """,
+)
+def source_parquet_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: two parquet generations of the same table —
+    v1 carries (n_nationkey, n_name), v2 drops n_name and adds
+    n_regionkey — read together with ``mergeSchema=true``, which unions
+    the footers into one superset schema and null-fills each file's
+    missing columns. This is the day-2 reality of any long-lived dataset
+    (producers add/drop columns without rewriting history) and the reason
+    parquet footer merging exists.
+
+    The two generations are staged as REAL parquet directories from the
+    nation fixture, so the merged read is byte-honest; the oracle states
+    the expected union-by-name relationally. Scale: mergeSchema pays one
+    footer read per FILE at planning time — fine per-table, which is why
+    production catalogs (and our AcidTable manifest) pin the merged
+    schema once at commit instead of re-merging per query.
+    """
+    nat = load(spark, sf_dir, "nation")
+    path = _stage_dir(sf_dir, "nation_evolved")
+    nat.select("n_nationkey", "n_name").withColumn(
+        "file_version", F.lit("v1")
+    ).write.mode("overwrite").parquet(os.path.join(path, "gen=1"))
+    nat.select("n_nationkey", "n_regionkey").withColumn(
+        "file_version", F.lit("v2")
+    ).write.mode("overwrite").parquet(os.path.join(path, "gen=2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(path, "gen=1"), os.path.join(path, "gen=2")
+    )
+    return merged.select(
+        "n_nationkey", "n_name", "n_regionkey", "file_version"
+    )

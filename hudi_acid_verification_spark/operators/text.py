@@ -402,3 +402,79 @@ def text_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
             (raw >= 0).alias("keep"),
         )
     )
+
+
+@query(
+    "text_ngram_novelty",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, u.tok, u.pos
+        FROM documents d,
+             LATERAL (
+                SELECT unnest(string_split(d.text, ' ')) AS tok,
+                       unnest(generate_series(
+                           1, len(string_split(d.text, ' ')))) AS pos
+             ) u
+    ),
+    shingles AS (
+        SELECT DISTINCT t1.doc_id, t1.tok || ' ' || t2.tok AS sh
+        FROM toks t1
+        JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+    ),
+    firsts AS (SELECT sh, min(doc_id) AS first_doc FROM shingles GROUP BY sh)
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                AS DOUBLE) / count(*) AS novelty
+    FROM shingles s JOIN firsts f ON f.sh = s.sh
+    GROUP BY s.doc_id
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY: the fraction of a document's distinct
+    bigrams whose FIRST appearance (by doc_id order) is in this document —
+    the streaming-corpus diversity signal curation pipelines track to
+    detect when a crawl stops contributing new content (novelty decays
+    toward 0 as the corpus saturates).
+
+    Shape: distinct (doc, bigram) pairs → one groupBy(bigram) min to get
+    each bigram's first document → join back on the bigram and a per-doc
+    rollup. Two shuffles, both keyed on the bigram/doc hash, fully
+    partial-aggregated; the novelty ratio is an exact integer division.
+    At 100 TB the min-by-bigram frame is the same inverted index the dedup
+    family shuffles — and the stop-shingle cap composes here unchanged if
+    hot bigrams dominate.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    sh = (
+        d.select("doc_id", F.explode(bigrams).alias("sh"))
+        .distinct()
+    )
+    firsts = sh.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(firsts, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).cast("bigint").alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            (F.col("n_novel").cast("double") / F.col("n_shingles")).alias(
+                "novelty"
+            ),
+        )
+    )

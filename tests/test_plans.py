@@ -809,3 +809,23 @@ def test_star_components_equals_propagation_sf01():
         .count()
     )
     assert diff == 0
+
+
+def test_feature_denorm_broadcasts_all_dims_single_shuffle(spark):
+    """The 6-way snowflake denorm must broadcast every dimension: one
+    Exchange total (the final rollup), no sort-merge join on the fact."""
+    plan = plan_of(spark, "pipeline_feature_denorm")
+    assert plan.count("BroadcastHashJoin") >= 6
+    assert "SortMergeJoin" not in plan
+    # the only SHUFFLE is the final aggregate's ("Exchange" also substring-
+    # matches BroadcastExchange; subtract those, each node prints twice)
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles <= 2, f"expected one shuffle exchange, saw {shuffles // 2}"
+
+
+def test_sessionize_single_user_shuffle(spark):
+    """Sessionization must be one window pass keyed on user_id — no
+    self-join, no extra exchange beyond the user partitioning."""
+    plan = plan_of(spark, "event_sessionize")
+    assert "Join" not in plan
+    assert plan.count("Window") >= 1
