@@ -39,7 +39,28 @@ def get_spark(app_name: str = "hudi_acid_verification_spark", cpus: str | None =
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _silence_window_warn(spark)
     return spark
+
+
+def _silence_window_warn(spark: SparkSession) -> None:
+    """Raise the WindowExec logger to ERROR.
+
+    A handful of operators window over already-collapsed frames (per-day
+    counts, histogram buckets) where a single partition is the DESIGNED
+    scale-safe shape; Catalyst constant-folds the ``partitionBy(lit(0))``
+    sentinel away, so WindowExec still logs its single-partition warning
+    on every run and floods the driver's log budget. Demote that one
+    logger — real warnings elsewhere stay visible.
+    """
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:
+        pass  # non-log4j2 deployments: cosmetic only, never fail a query
 
 
 def configure_existing(spark: SparkSession) -> SparkSession:
@@ -50,4 +71,5 @@ def configure_existing(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _silence_window_warn(spark)
     return spark
