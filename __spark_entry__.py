@@ -90,6 +90,14 @@ _CERT_ORDER = [
     "multimodal_container_decode", "event_sessionize", "event_anomaly_mad",
     "agg_corr_exact", "pipeline_mix_temperature", "text_ngram_novelty",
     "source_parquet_schema_merge", "pipeline_feature_denorm",
+    "graph_triangle_count", "graph_degree_distribution",
+    "sketch_histogram_quantile", "event_markov_transitions",
+    "pipeline_epoch_shuffle", "window_ohlc_bars",
+    "quality_null_profile", "similarity_range_search",
+    "embedding_covariance_exact",
+    "sketch_hll_merge", "agg_hierarchy_share",
+    "source_dynamic_partition_pruning", "text_token_lift",
+    "pipeline_quality_bucket_sample",
     # tier 4 — rows-only by design
     "pipeline_bpe_merges", "pipeline_bpe_encode",
     "agg_approx_distinct", "multimodal_decode_features",

@@ -28,7 +28,7 @@ is the scale path and is benchmarked alongside.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import load, query
@@ -572,4 +572,81 @@ def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         "n",
         (num / F.sqrt(dxx * dyy)).alias("corr_qty_price"),
+    )
+
+
+@query(
+    "agg_hierarchy_share",
+    oracle="""
+    WITH rev AS (
+        SELECT r.r_name AS region, n.n_name AS nation, c.c_custkey,
+               CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                    * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT)))
+                    AS BIGINT) AS rev_mu
+        FROM lineitem l
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n   ON n.n_nationkey = c.c_nationkey
+        JOIN region r   ON r.r_regionkey = n.n_regionkey
+        GROUP BY 1, 2, 3
+    )
+    SELECT region, nation, c_custkey, rev_mu,
+           CAST(rev_mu AS DOUBLE)
+               / sum(rev_mu) OVER (PARTITION BY region, nation)
+               AS share_of_nation,
+           CAST(sum(rev_mu) OVER (PARTITION BY region, nation) AS DOUBLE)
+               / sum(rev_mu) OVER (PARTITION BY region)
+               AS nation_share_of_region
+    FROM rev
+    """,
+)
+def agg_hierarchy_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent across a dimension hierarchy (customer →
+    nation → region): each customer's share of their nation's revenue and
+    the nation's share of its region — the drill-down ratio every OLAP
+    front-end computes, done WITHOUT re-aggregating per level: one
+    base rollup to the leaf grain, then two window sums re-use it for
+    both parent totals.
+
+    Scale: the heavy work is the single leaf-grain aggregate (exact
+    integer micro-unit revenue, map-side combined, dims broadcast); the
+    windows then partition by nation/region over the already-collapsed
+    per-customer frame — O(customers) rows, never raw lineitem. Shares
+    are single-division doubles from exact integers.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    rev_mu = (
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+        * (100 - F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("bigint"))
+    )
+    leaf = (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+            "c_custkey",
+        )
+        .agg(F.sum(rev_mu).cast("bigint").alias("rev_mu"))
+    )
+    w_nation = Window.partitionBy("region", "nation")
+    w_region = Window.partitionBy("region")
+    return leaf.select(
+        "region",
+        "nation",
+        "c_custkey",
+        "rev_mu",
+        (
+            F.col("rev_mu").cast("double") / F.sum("rev_mu").over(w_nation)
+        ).alias("share_of_nation"),
+        (
+            F.sum("rev_mu").over(w_nation).cast("double")
+            / F.sum("rev_mu").over(w_region)
+        ).alias("nation_share_of_region"),
     )

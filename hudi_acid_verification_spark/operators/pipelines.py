@@ -594,3 +594,215 @@ def pipeline_feature_denorm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("rev_microunits").cast("bigint").alias("revenue_microunits"),
         F.sum("same_region").cast("bigint").alias("n_same_region"),
     )
+
+
+@query(
+    "event_markov_transitions",
+    oracle="""
+    WITH ord AS (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev
+        FROM events
+    ),
+    trans AS (
+        SELECT prev AS from_type, event_type AS to_type,
+               CAST(count(*) AS BIGINT) AS n
+        FROM ord WHERE prev IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n,
+           CAST(n AS DOUBLE)
+               / sum(n) OVER (PARTITION BY from_type) AS p
+    FROM trans
+    """,
+)
+def event_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams —
+    the behavioral-model building block (next-action prediction, funnel
+    leak localization, bot detection via improbable transition chains).
+
+    Shape: ONE window pass partitioned by user_id (the same single
+    exchange as sessionization) produces (prev → next) pairs; the
+    transition counts partial-aggregate to |event_types|² rows, and the
+    row-normalizing probability windows over that tiny matrix — raw event
+    volume is touched exactly once. Ordering ties break on event_id so
+    the lag is deterministic; probabilities are exact-int divisions.
+    """
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    ordd = e.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev"),
+    )
+    trans = (
+        ordd.filter(F.col("prev").isNotNull())
+        .groupBy(
+            F.col("prev").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    w_norm = Window.partitionBy("from_type")
+    return trans.select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(w_norm)).alias("p"),
+    )
+
+
+_SHUFFLE_EPOCHS = 3
+_SHUFFLE_SHARDS = 256
+
+
+@query(
+    "pipeline_epoch_shuffle",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT d.doc_id, e.epoch,
+               md5(CAST(d.doc_id AS VARCHAR) || ':' ||
+                   CAST(e.epoch AS VARCHAR)) AS k
+        FROM documents d,
+             (SELECT unnest(generate_series(0, {_SHUFFLE_EPOCHS - 1}))
+                  AS epoch) e
+    )
+    SELECT epoch,
+           CAST(length(k) - length(k) +
+                CAST(('0x' || substr(k, 1, 2)) AS BIGINT) AS BIGINT)
+               AS shard,
+           doc_id,
+           CAST(row_number() OVER (
+               PARTITION BY epoch, substr(k, 1, 2)
+               ORDER BY k, doc_id
+           ) AS BIGINT) AS pos_in_shard
+    FROM keyed
+    """,
+)
+def pipeline_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed-stable epoch-wise data shuffling — the training-loader
+    contract that epoch k presents documents in a pseudo-random order
+    that is (a) different every epoch, (b) bit-reproducible on any
+    cluster size, and (c) shardable so 1000 readers each pull one slice
+    with no coordination. Order key = md5(doc_id:epoch); the first hash
+    byte is the shard, and position-within-shard is a rank over the
+    remaining hash order.
+
+    Scale: NO global sort — the only exchange is the hash partition by
+    (epoch, shard), and each shard sorts locally (~N/256 rows). This is
+    exactly how petabyte corpora are epoch-shuffled in practice (hash-
+    bucketed shards, local order), versus the naive global row_number
+    which funnels 100 TB through one range-sort.
+    """
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    epochs = spark.range(_SHUFFLE_EPOCHS).select(
+        F.col("id").cast("int").alias("epoch")
+    )
+    keyed = d.crossJoin(F.broadcast(epochs)).select(
+        "doc_id",
+        "epoch",
+        F.md5(
+            F.concat(
+                F.col("doc_id").cast("string"),
+                F.lit(":"),
+                F.col("epoch").cast("string"),
+            )
+        ).alias("k"),
+    )
+    w = Window.partitionBy("epoch", F.substring("k", 1, 2)).orderBy(
+        "k", "doc_id"
+    )
+    return keyed.select(
+        "epoch",
+        F.conv(F.substring("k", 1, 2), 16, 10).cast("bigint").alias("shard"),
+        "doc_id",
+        F.row_number().over(w).cast("bigint").alias("pos_in_shard"),
+    )
+
+
+_QBS_DECILES = 10
+# keep-rate percent by quality decile 1..10 (monotone: keep more of the best)
+_QBS_RATES = (10, 10, 20, 20, 40, 40, 60, 60, 80, 100)
+
+
+@query(
+    "pipeline_quality_bucket_sample",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               ntile({_QBS_DECILES}) OVER (
+                   ORDER BY len(string_split(text, ' ')), doc_id
+               ) AS decile
+        FROM documents
+    ),
+    rated AS (
+        SELECT s.*,
+               [{", ".join(str(r) for r in _QBS_RATES)}][s.decile]
+                   AS keep_pct,
+               CAST(('0x' || substr(md5(CAST(s.doc_id AS VARCHAR) || '#' ||
+                    CAST(s.decile AS VARCHAR)), 1, 2)) AS BIGINT) AS hb
+        FROM scored s
+    )
+    SELECT decile,
+           CAST(max(keep_pct) AS BIGINT) AS keep_pct,
+           CAST(count(*) AS BIGINT) AS n_in,
+           CAST(sum(CASE WHEN hb * 100 < keep_pct * 256 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept
+    FROM rated
+    GROUP BY decile
+    """,
+)
+def pipeline_quality_bucket_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-stratified downsampling — the curation move that keeps
+    100% of the best decile and 10% of the worst instead of a flat
+    random cut: documents rank into deciles by a quality proxy (token
+    count, deterministic (score, doc_id) tie-break), each decile gets a
+    target keep-rate, and the keep decision is a SEEDED COIN — the first
+    md5 byte of (doc_id, decile) compared against the rate — so the
+    sample is bit-reproducible across reruns and cluster sizes (no rand()
+    anywhere, the property a training pipeline needs for resumable runs).
+
+    Scale: ntile over a global order is the one non-scalable piece at
+    100 TB — there it becomes quantile-bucket assignment from the
+    histogram sketch (sketch_histogram_quantile) instead of a full rank;
+    the decile CONTRACT (monotone rates, seeded coin) is unchanged. The
+    decision itself is embarrassingly parallel: hash-compare per row,
+    rollup partial-aggregates to 10 rows.
+    """
+    d = load(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+    ).withColumn(
+        "decile",
+        F.ntile(_QBS_DECILES).over(Window.orderBy("n_tokens", "doc_id")),
+    )
+    rates = F.array(*[F.lit(r) for r in _QBS_RATES])
+    rated = scored.select(
+        "decile",
+        F.element_at(rates, F.col("decile")).alias("keep_pct"),
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit("#"),
+                        F.col("decile").cast("string"),
+                    )
+                ),
+                1,
+                2,
+            ),
+            16,
+            10,
+        ).cast("bigint").alias("hb"),
+    )
+    return rated.groupBy("decile").agg(
+        F.max("keep_pct").cast("bigint").alias("keep_pct"),
+        F.count(F.lit(1)).cast("bigint").alias("n_in"),
+        F.sum(
+            F.when(F.col("hb") * 100 < F.col("keep_pct") * 256, 1).otherwise(0)
+        ).cast("bigint").alias("n_kept"),
+    )

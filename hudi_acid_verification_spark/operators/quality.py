@@ -526,3 +526,70 @@ def text_rare_token_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rare_frac"),
         )
     )
+
+
+_PROFILE_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+
+@query(
+    "quality_null_profile",
+    oracle="""
+    SELECT * FROM (
+    """
+    + "\n    UNION ALL\n    ".join(
+        f"""SELECT '{c}' AS column_name,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(*) - count({c}) AS BIGINT) AS n_null,
+               CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct
+        FROM orders"""
+        for c in _PROFILE_COLS
+    )
+    + """
+    )
+    """,
+)
+def quality_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational column profiler (the data-quality firewall every
+    ingestion job runs before training export): per column of ``orders``,
+    exact row/null/distinct counts. A null-ratio jump or distinct-count
+    collapse is the classic upstream-schema-break signal.
+
+    Shape: ONE pass — all 6 × (count, null-count, exact distinct) run in
+    a single Aggregate (Catalyst plans multi-column DISTINCT via one
+    Expand: rows replicate 6× pre-shuffle tagged by column, then two
+    partial-aggregated exchanges — the distributed form of exact
+    multi-distinct), and the 1×18 result row unpivots driver-side-free
+    into (column, metrics) rows via stack(). The oracle states the same
+    profile as 6 scans; at 100 TB the Expand form reads the table ONCE
+    versus the oracle's six reads.
+    """
+    o = load(spark, sf_dir, "orders")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs.append(F.count(F.lit(1)).alias(f"{c}__rows"))
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"{c}__null")
+        )
+        aggs.append(F.countDistinct(F.col(c)).alias(f"{c}__distinct"))
+    one = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__rows, {c}__null, {c}__distinct" for c in _PROFILE_COLS
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) "
+            "AS (column_name, n_rows, n_null, n_distinct)"
+        )
+    ).select(
+        "column_name",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("n_null").cast("bigint").alias("n_null"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+    )

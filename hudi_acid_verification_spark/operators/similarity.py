@@ -485,3 +485,176 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         fold(F.col("q")).alias("q_sum"),
         fold(F.transform("q", lambda q: q * q)).alias("q_sq_sum"),
     )
+
+
+_RANGE_COS_1000 = 250  # cosine threshold 0.25, stated in exact thousandths
+
+
+@query(
+    "similarity_range_search",
+    oracle=f"""
+    WITH {_ORACLE_ELEMS},
+    dots AS (
+        SELECT q.vec_id AS query_id, v.vec_id AS match_id,
+               sum(q.x * v.x) AS dot
+        FROM elems q
+        JOIN elems v ON v.i = q.i
+        WHERE q.vec_id < {_N_QUERIES} AND v.vec_id != q.vec_id
+        GROUP BY 1, 2
+    )
+    SELECT query_id, match_id,
+           CAST(d.dot AS DOUBLE) / (nq.nrm * nv.nrm) AS cosine
+    FROM dots d
+    JOIN norms nq ON nq.vec_id = d.query_id
+    JOIN norms nv ON nv.vec_id = d.match_id
+    WHERE CAST(d.dot AS DOUBLE) * 1000
+          > {_RANGE_COS_1000} * (nq.nrm * nv.nrm)
+    """,
+)
+def similarity_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius (range) similarity search: ALL corpus vectors with cosine
+    above a threshold, per query — the retrieval mode behind
+    duplicate-radius auditing and recall-oriented RAG, where top-k's
+    fixed cutoff silently drops valid matches past rank k.
+
+    The threshold test is evaluated as dot·1000 > θ·(‖q‖·‖v‖) — one
+    multiply on each side of the comparison, from identical exact-int
+    operands, so the boundary decision is bit-identical cross-engine
+    (dividing first would put an extra rounding between the engines).
+
+    Scale: query batch broadcasts (Q rows), corpus scans once per
+    executor shard with no shuffle at all until the (small) result —
+    versus top-k, range search needs no per-query heap merge, making it
+    the EASIER operator at 100 TB; selectivity replaces k as the output
+    bound. The LSH/IVF shortlist composes in front unchanged.
+    """
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _quant(F.col("embedding")).alias("q")
+    )
+    with_norm = emb.select(
+        "vec_id",
+        "q",
+        F.sqrt(_dot_q(F.col("q"), F.col("q")).cast("double")).alias("nrm"),
+    )
+    queries = with_norm.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("nrm").alias("qnrm"),
+    )
+    dot = _dot_q(F.col("qq"), F.col("q"))
+    return (
+        with_norm.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("match_id"),
+            dot.alias("dot"),
+            (F.col("qnrm") * F.col("nrm")).alias("nn"),
+        )
+        .filter(F.col("dot").cast("double") * 1000 > _RANGE_COS_1000 * F.col("nn"))
+        .select(
+            "query_id",
+            "match_id",
+            (F.col("dot").cast("double") / F.col("nn")).alias("cosine"),
+        )
+    )
+
+
+_COV_DIMS = 8
+_COV_SCALE = 1000
+
+
+@query(
+    "embedding_covariance_exact",
+    oracle=f"""
+    WITH elems AS (
+        SELECT vec_id,
+               CAST(floor(CAST(u.x AS DOUBLE) * {_COV_SCALE} + 0.5)
+                    AS BIGINT) AS x,
+               u.i
+        FROM embeddings,
+             LATERAL (
+                SELECT unnest(embedding) AS x,
+                       unnest(generate_series(1, len(embedding))) AS i
+             ) u
+        WHERE u.i <= {_COV_DIMS}
+    )
+    SELECT a.i - 1 AS i, b.i - 1 AS j,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(a.x) AS BIGINT) AS si,
+           CAST(sum(b.x) AS BIGINT) AS sj,
+           CAST(sum(a.x * b.x) AS BIGINT) AS sij,
+           (CAST(count(*) AS DOUBLE) * sum(a.x * b.x)
+            - CAST(sum(a.x) AS DOUBLE) * sum(b.x))
+               / (CAST(count(*) AS DOUBLE) * count(*)) AS cov
+    FROM elems a
+    JOIN elems b ON b.vec_id = a.vec_id AND b.i >= a.i
+    GROUP BY 1, 2
+    """,
+)
+def embedding_covariance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact covariance matrix of the leading {D} embedding dimensions —
+    the PCA/whitening precursor (principal directions, anisotropy
+    diagnostics) computed the ONLY way a distributed float reduction can
+    hash: elements quantize to int milliunits, and the (i, j) co-moment
+    sums Σxᵢ, Σxⱼ, Σxᵢxⱼ accumulate as exact integers, so the covariance
+    (nΣxᵢxⱼ − ΣxᵢΣxⱼ)/n² is one deterministic double expression per cell.
+
+    Shape: NO self-join — each row emits its D(D+1)/2 upper-triangle
+    products from one inline expression (sequence × transform → explode),
+    then a partial-aggregated groupBy over 36 cells: every executor
+    reduces its shard to ≤ 36 rows before the exchange. The oracle states
+    the same cells via an unnest self-join; at 100 TB the inline form
+    moves 36 rows per partition where the join form shuffles N·D rows.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    q = F.transform(
+        F.slice(F.col("embedding"), 1, _COV_DIMS),
+        lambda x: F.floor(
+            x.cast("double") * _COV_SCALE + F.lit(0.5)
+        ).cast("bigint"),
+    )
+    cells = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(_COV_DIMS - 1)),
+            lambda i: F.transform(
+                F.sequence(i, F.lit(_COV_DIMS - 1)),
+                lambda j: F.struct(
+                    i.alias("i"),
+                    j.alias("j"),
+                    F.element_at(F.col("q"), i + 1).alias("xi"),
+                    F.element_at(F.col("q"), j + 1).alias("xj"),
+                ),
+            ),
+        )
+    )
+    exploded = (
+        emb.select(q.alias("q"))
+        .select(F.explode(cells).alias("c"))
+        .select(
+            F.col("c.i").alias("i"),
+            F.col("c.j").alias("j"),
+            F.col("c.xi").alias("xi"),
+            F.col("c.xj").alias("xj"),
+        )
+    )
+    agg = exploded.groupBy("i", "j").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("xi").cast("bigint").alias("si"),
+        F.sum("xj").cast("bigint").alias("sj"),
+        F.sum(F.col("xi") * F.col("xj")).cast("bigint").alias("sij"),
+    )
+    return agg.select(
+        F.col("i").cast("bigint").alias("i"),
+        F.col("j").cast("bigint").alias("j"),
+        "n",
+        "si",
+        "sj",
+        "sij",
+        (
+            (
+                F.col("n").cast("double") * F.col("sij")
+                - F.col("si").cast("double") * F.col("sj")
+            )
+            / (F.col("n").cast("double") * F.col("n"))
+        ).alias("cov"),
+    )

@@ -20,7 +20,7 @@ the whole point.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import load, query
@@ -352,5 +352,236 @@ def agg_bitmap_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.bit_count(F.col("ba").bitwiseAND(F.col("bb"))))
             .cast("bigint")
             .alias("n_common_orders")
+        )
+    )
+
+
+_HQ_BUCKETS = 1024
+_HQ_QUANTILES = (50, 90, 95, 99)
+
+
+@query(
+    "sketch_histogram_quantile",
+    oracle=f"""
+    WITH cents AS (
+        SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
+        FROM lineitem
+    ),
+    bounds AS (
+        SELECT min(v) AS lo, max(v) AS hi,
+               (max(v) - min(v)) // {_HQ_BUCKETS} + 1 AS width,
+               CAST(count(*) AS BIGINT) AS n
+        FROM cents
+    ),
+    buckets AS (
+        SELECT (c.v - b.lo) // b.width AS bucket,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM cents c, bounds b GROUP BY 1
+    ),
+    cum AS (
+        SELECT bucket, cnt,
+               CAST(sum(cnt) OVER (ORDER BY bucket
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_le
+        FROM buckets
+    ),
+    qs AS (SELECT unnest([{", ".join(str(q) for q in _HQ_QUANTILES)}]) AS q)
+    SELECT q,
+           CAST(min(bucket) AS BIGINT) AS bucket,
+           CAST(min(b.lo + bucket * b.width) AS BIGINT) AS approx_lo_cents,
+           CAST(min(b.lo + (bucket + 1) * b.width - 1) AS BIGINT)
+               AS approx_hi_cents,
+           CAST(min(n_le) AS BIGINT) AS n_le
+    FROM qs
+    JOIN bounds b ON true
+    JOIN cum ON cum.n_le >= (qs.q * b.n + 99) // 100
+    GROUP BY q
+    """,
+)
+def sketch_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable fixed-grid histogram quantiles over l_extendedprice — the
+    one-pass, bounded-error quantile SKETCH (equi-width flavor): values
+    quantize to cents, land in one of 1024 integer-width buckets between
+    the global [min, max], and each requested quantile resolves to the
+    first bucket whose cumulative count covers ceil(q·n/100). The answer
+    is exact up to one bucket width — the error bound is (max−min)/1024,
+    REPORTED as the [approx_lo, approx_hi] bracket rather than hidden.
+
+    Why this and not t-digest/KLL: those sketches are merge-order-
+    dependent (their centroids drift with partition order), so their
+    output can never hash-match an oracle. The fixed integer grid is the
+    deterministic member of the family: bucket counts are plain partial-
+    aggregated sums (associative, mergeable across 1000 executors — the
+    same merge tree as any count), and every derived number is integer
+    arithmetic. Two scans total (bounds, counts) — at 100 TB both are
+    single map-side-combined aggregations; the 1024-row cumulative step
+    is driver-tiny. ceil via (q·n+99)//100 keeps ties engine-identical.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    cents = li.select(
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("v")
+    )
+    bounds = cents.agg(
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    ).select(
+        "lo",
+        "hi",
+        "n",
+        F.expr(f"(hi - lo) DIV {_HQ_BUCKETS} + 1").alias("width"),
+    )
+    buckets = (
+        cents.crossJoin(F.broadcast(bounds))
+        .select(F.expr("(v - lo) DIV width").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    w_cum = Window.partitionBy(F.lit(0)).orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = buckets.select(
+        "bucket", F.sum("cnt").over(w_cum).cast("bigint").alias("n_le")
+    )
+    qs = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(q) for q in _HQ_QUANTILES])
+        ).alias("q")
+    )
+    return (
+        qs.crossJoin(F.broadcast(bounds))
+        .join(
+            cum,
+            F.col("n_le") >= F.expr("(q * n + 99) DIV 100"),
+        )
+        .groupBy("q")
+        .agg(
+            F.min("bucket").cast("bigint").alias("bucket"),
+            F.min(F.expr("lo + bucket * width")).cast("bigint").alias(
+                "approx_lo_cents"
+            ),
+            F.min(F.expr("lo + (bucket + 1) * width - 1")).cast(
+                "bigint"
+            ).alias("approx_hi_cents"),
+            F.min("n_le").cast("bigint").alias("n_le"),
+        )
+    )
+
+
+_HLL_M = 256  # 2^8 registers
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / 256)  # standard alpha_m for m=256
+
+
+@query(
+    "sketch_hll_merge",
+    oracle=f"""
+    WITH hashes AS (
+        SELECT DISTINCT md5(CAST(l_orderkey AS VARCHAR)) AS h
+        FROM lineitem
+    ),
+    mapped AS (
+        SELECT CAST(('0x' || substr(h, 1, 2)) AS BIGINT) AS bucket,
+               CAST(('0x' || substr(h, 3, 15)) AS BIGINT) AS rest
+        FROM hashes
+    ),
+    regs AS (
+        SELECT bucket,
+               max(CASE WHEN rest = 0 THEN 61
+                        ELSE 61 - length(bin(rest)) END) AS reg
+        FROM mapped GROUP BY bucket
+    ),
+    all_regs AS (
+        SELECT b.bucket, COALESCE(r.reg, 0) AS reg
+        FROM (SELECT unnest(generate_series(0, {_HLL_M - 1})) AS bucket) b
+        LEFT JOIN regs r ON r.bucket = b.bucket
+    ),
+    folded AS (
+        SELECT CAST(list_sum(list(1.0 / power(2.0, reg) ORDER BY bucket))
+                    AS DOUBLE) AS inv_sum,
+               CAST(sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_zero
+        FROM all_regs
+    ),
+    exact AS (
+        SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_exact
+        FROM lineitem
+    )
+    SELECT CAST({_HLL_M} AS BIGINT) AS m,
+           n_exact,
+           n_zero,
+           inv_sum,
+           CAST({_HLL_ALPHA!r} AS DOUBLE) * {_HLL_M} * {_HLL_M} / inv_sum AS estimate,
+           CAST(floor(abs(CAST({_HLL_ALPHA!r} AS DOUBLE) * {_HLL_M} * {_HLL_M} / inv_sum
+                          - n_exact) * 1000 / n_exact) AS BIGINT)
+               AS err_permille
+    FROM folded, exact
+    """,
+)
+def sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count sketch built from first principles —
+    md5(key) → first byte picks one of 256 registers, the register keeps
+    the max leading-zero rank of the remaining 60 bits, and the harmonic
+    mean of 2^-register gives α·m²/Σ estimate. Registers are MAX-merged:
+    max is associative and commutative, so 1000 executors each sketch
+    their shard into 256 bytes and the merge tree combines them with zero
+    row movement — THE reason HLL is the industry's distinct-count at
+    scale (vs COUNT(DISTINCT)'s full shuffle of every key).
+
+    Engine-exact where library HLLs are not: the hash is md5 (identical
+    bytes both engines), rank = 61 − length(bin(rest)) is pure integer
+    arithmetic, and the final harmonic sum folds 2^-reg terms (each an
+    EXACT IEEE power of two) in fixed bucket order — so even the floating
+    estimate hashes bit-for-bit. approx_count_distinct can never do this
+    (its HLL++ register layout is engine-private). The exact distinct
+    count rides along to certify the observed error in-band.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    # no pre-distinct: duplicate keys produce the same (bucket, rank) and
+    # collapse inside the max-merge — the whole point of the sketch
+    hashes = li.select(
+        F.md5(F.col("l_orderkey").cast("string")).alias("h")
+    )
+    mapped = hashes.select(
+        F.conv(F.substring("h", 1, 2), 16, 10).cast("bigint").alias("bucket"),
+        F.conv(F.substring("h", 3, 15), 16, 10).cast("bigint").alias("rest"),
+    )
+    regs = mapped.groupBy("bucket").agg(
+        F.max(
+            F.when(F.col("rest") == 0, 61).otherwise(
+                61 - F.length(F.bin(F.col("rest")))
+            )
+        ).alias("reg")
+    )
+    grid = spark.range(_HLL_M).select(F.col("id").cast("bigint").alias("bucket"))
+    all_regs = grid.join(regs, "bucket", "left").select(
+        "bucket", F.coalesce(F.col("reg"), F.lit(0)).alias("reg")
+    )
+    folded = all_regs.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("bucket", "reg"))),
+            F.lit(0.0),
+            lambda acc, s: acc
+            + F.lit(1.0) / F.pow(F.lit(2.0), s["reg"].cast("double")),
+        ).alias("inv_sum"),
+        F.sum(F.when(F.col("reg") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_zero"),
+    )
+    exact = li.agg(
+        F.countDistinct("l_orderkey").cast("bigint").alias("n_exact")
+    )
+    est = F.lit(_HLL_ALPHA) * _HLL_M * _HLL_M / F.col("inv_sum")
+    return (
+        folded.crossJoin(F.broadcast(exact))
+        .select(
+            F.lit(_HLL_M).cast("bigint").alias("m"),
+            "n_exact",
+            "n_zero",
+            "inv_sum",
+            est.alias("estimate"),
+            F.floor(
+                F.abs(est - F.col("n_exact")) * 1000 / F.col("n_exact")
+            ).cast("bigint").alias("err_permille"),
         )
     )

@@ -164,3 +164,54 @@ def source_parquet_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select(
         "n_nationkey", "n_name", "n_regionkey", "file_version"
     )
+
+
+@query(
+    "source_dynamic_partition_pruning",
+    oracle="""
+    WITH dim AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY 1
+        HAVING count(*) >= 100
+    )
+    SELECT d.lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(d.n_chars) AS BIGINT) AS total_chars
+    FROM documents d
+    JOIN dim ON dim.lang = d.lang
+    GROUP BY d.lang
+    """,
+)
+def source_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning (DPP): the fact table is partitioned by
+    lang on disk, and the set of langs to read is NOT a literal — it
+    comes from a dimension computed at runtime (languages with ≥100
+    docs). Catalyst plants a dynamicpruning subquery on the fact scan's
+    partition column: the dim side runs FIRST (reusing its broadcast),
+    and only the surviving partitions' files are ever listed and read
+    (asserted in the plan audit).
+
+    This is THE join-pruning mechanism for star schemas at 100 TB — a
+    static filter can't express 'partitions some other query selects',
+    and without DPP the fact scan reads every partition and throws rows
+    away post-join.
+    """
+    src = load(spark, sf_dir, "documents")
+    path = _stage_dir(sf_dir, "documents_dpp")
+    src.write.mode("overwrite").partitionBy("lang").parquet(path)
+    fact = spark.read.schema(src.schema).parquet(path)
+    # dim derives from the UNpartitioned fixture read so the planner sees
+    # two distinct relations (dim-from-fact self-reference can defeat DPP)
+    dim = (
+        src.groupBy(F.col("lang").alias("dlang"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 100)
+    )
+    return (
+        fact.join(F.broadcast(dim), fact.lang == F.col("dlang"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )

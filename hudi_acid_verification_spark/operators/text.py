@@ -478,3 +478,115 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_LIFT_TOP_TOKENS = 50   # co-occurrence vocabulary cap (df-ranked)
+_LIFT_MIN_PAIR = 5      # minimum co-occurrence support
+
+
+@query(
+    "text_token_lift",
+    oracle=f"""
+    WITH toks AS (
+        SELECT DISTINCT doc_id, u.tok
+        FROM documents d,
+             LATERAL (SELECT unnest(string_split(d.text, ' ')) AS tok) u
+        WHERE u.tok != ''
+    ),
+    df AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS n
+        FROM toks GROUP BY tok
+    ),
+    top AS (
+        SELECT tok, n FROM (
+            SELECT tok, n, row_number() OVER (
+                ORDER BY n DESC, tok) AS rnk
+            FROM df
+        ) WHERE rnk <= {_LIFT_TOP_TOKENS}
+    ),
+    tt AS (
+        SELECT t.doc_id, t.tok, p.n
+        FROM toks t JOIN top p ON p.tok = t.tok
+    ),
+    pairs AS (
+        SELECT a.tok AS tok_a, b.tok AS tok_b,
+               CAST(max(a.n) AS BIGINT) AS n_a,
+               CAST(max(b.n) AS BIGINT) AS n_b,
+               CAST(count(*) AS BIGINT) AS n_ab
+        FROM tt a JOIN tt b ON b.doc_id = a.doc_id AND b.tok > a.tok
+        GROUP BY 1, 2
+        HAVING count(*) >= {_LIFT_MIN_PAIR}
+    ),
+    total AS (
+        SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM toks
+    )
+    SELECT tok_a, tok_b, n_a, n_b, n_ab,
+           CAST(n_docs AS DOUBLE) * n_ab / (n_a * n_b) AS lift
+    FROM pairs, total
+    """,
+)
+def text_token_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token co-occurrence LIFT (market-basket association over document
+    vocabularies): for pairs of high-frequency tokens, how much more
+    often they co-occur in a document than independence predicts —
+    P(a,b)/(P(a)·P(b)) — the collocation/topic-coupling signal behind
+    phrase mining and template detection.
+
+    The pair join is CAPPED BY CONSTRUCTION: only the top-{_LIFT_TOP_TOKENS}
+    tokens by document frequency (deterministic (df, token) ranking)
+    enter it, so each document contributes at most C(50,2) pairs no
+    matter how hot the vocabulary is — the stop-shingle lesson from the
+    dedup family applied up front, not as an afterthought. Lift is one
+    double expression over exact integer supports.
+
+    Scale: distinct (doc, token) is the inverted index (one shuffle); the
+    df ranking collapses to |vocab| rows; the bounded pair join shuffles
+    on doc_id; the pair rollup partial-aggregates to ≤ C(50,2) rows.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.col("text"), " ")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    df_counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("n").desc(), "tok")
+    top = (
+        df_counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _LIFT_TOP_TOKENS)
+        .select("tok", "n")
+    )
+    tt = toks.join(F.broadcast(top), "tok").select("doc_id", "tok", "n")
+    a = tt.alias("a")
+    b = tt.alias("b")
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("b.tok") > F.col("a.tok"))
+        .groupBy(
+            F.col("a.tok").alias("tok_a"), F.col("b.tok").alias("tok_b")
+        )
+        .agg(
+            F.max(F.col("a.n")).cast("bigint").alias("n_a"),
+            F.max(F.col("b.n")).cast("bigint").alias("n_b"),
+            F.count(F.lit(1)).cast("bigint").alias("n_ab"),
+        )
+        .filter(F.col("n_ab") >= _LIFT_MIN_PAIR)
+    )
+    total = toks.agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs")
+    )
+    return pairs.crossJoin(F.broadcast(total)).select(
+        "tok_a",
+        "tok_b",
+        "n_a",
+        "n_b",
+        "n_ab",
+        (
+            F.col("n_docs").cast("double")
+            * F.col("n_ab")
+            / (F.col("n_a") * F.col("n_b"))
+        ).alias("lift"),
+    )

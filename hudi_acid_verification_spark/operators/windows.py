@@ -531,3 +531,58 @@ def window_activity_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("best_start"),
         )
     )
+
+
+@query(
+    "window_ohlc_bars",
+    oracle="""
+    SELECT event_type,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS bar,
+           CAST(count(*) AS BIGINT) AS n_events,
+           first(value ORDER BY ts, event_id) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           last(value ORDER BY ts, event_id) AS close
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def window_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bar OHLC aggregation (open/high/low/close per event type per
+    hour) — the metric-rollup shape shared by market data, sensor
+    telemetry, and model-training loss curves. Open/close are the values
+    at the FIRST/LAST event of the bar under the total order
+    (ts, event_id) — implemented as min/max over a (ts, event_id, value)
+    struct, so they are plain associative aggregates: no window, no sort,
+    one partial-aggregated shuffle keyed on (type, hour). High/low/count
+    are order-independent by nature, and no aggregate ever ADDS two
+    doubles — every output is a value copied from some input row, which
+    is why this hashes cross-engine where a mean/VWAP would not.
+
+    At 100 TB this is the ideal rollup plan: map-side combine reduces
+    each partition to one row per (type, bar) before the exchange.
+    """
+    e = load(spark, sf_dir, "events")
+    key = F.struct(
+        F.col("ts_ns").alias("t"),
+        F.col("event_id").alias("e"),
+        F.col("value").alias("v"),
+    )
+    return (
+        e.select(
+            "event_type",
+            F.date_format(
+                F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00"
+            ).alias("bar"),
+            "value",
+            key.alias("k"),
+        )
+        .groupBy("event_type", "bar")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.min("k").getField("v").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max("k").getField("v").alias("close"),
+        )
+    )

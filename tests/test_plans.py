@@ -829,3 +829,100 @@ def test_sessionize_single_user_shuffle(spark):
     plan = plan_of(spark, "event_sessionize")
     assert "Join" not in plan
     assert plan.count("Window") >= 1
+
+
+def test_covariance_no_join_inline_cells(spark):
+    """The covariance matrix must come from the inline upper-triangle
+    explode, never an N×D unnest self-join."""
+    plan = plan_of(spark, "embedding_covariance_exact")
+    assert "Join" not in plan
+    assert "Generate" in plan  # the explode
+    assert "HashAggregate" in plan  # partial-aggregated cells
+
+
+def test_range_search_broadcasts_query_batch(spark):
+    """Range search scans the corpus once with the query batch broadcast —
+    a shuffle join here would re-shuffle 100 TB per query batch."""
+    plan = plan_of(spark, "similarity_range_search")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_null_profile_single_scan_expand(spark):
+    """The 6-column exact-distinct profile must be ONE scan through an
+    Expand, not six scans of orders."""
+    plan = plan_of(spark, "quality_null_profile")
+    # formatted explain prints each node twice (tree + detail section)
+    assert plan.count("Scan parquet") == 2
+    assert "Expand" in plan
+
+
+def test_markov_single_user_exchange(spark):
+    """The transition matrix touches raw events once: one window pass
+    partitioned by user, no self-join."""
+    plan = plan_of(spark, "event_markov_transitions")
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 2  # one scan, printed twice
+
+
+def test_epoch_shuffle_no_global_sort(spark):
+    """Epoch shuffle must partition by (epoch, shard) — a window over a
+    constant-partition (global) frame would funnel the corpus through one
+    task."""
+    plan = plan_of(spark, "pipeline_epoch_shuffle")
+    assert "Window" in plan
+    # the window's exchange must be hashpartitioning on epoch+shard-prefix,
+    # not SinglePartition
+    assert "SinglePartition" not in plan
+
+
+def test_triangle_count_oriented_no_cartesian(spark):
+    """Triangle counting must run the degree-ordered orientation joins —
+    equi-joins only, no cartesian product, no unoriented wedge join."""
+    plan = plan_of(spark, "graph_triangle_count")
+    assert "CartesianProduct" not in plan
+    # the only nested-loop joins allowed are the two 1-row scalar
+    # crossJoins assembling (n_nodes, n_edges, n_triangles)
+    assert plan.count("BroadcastNestedLoopJoin") <= 4
+
+
+def test_ohlc_no_window_no_sort(spark):
+    """OHLC bars are pure associative aggregates — struct min/max, no
+    window, no sort before the rollup."""
+    plan = plan_of(spark, "window_ohlc_bars")
+    assert "Window" not in plan
+    assert "Join" not in plan
+    # struct-valued min/max buffers plan as SortAggregate; either form is
+    # the partial-agg rollup we want
+    assert "HashAggregate" in plan or "SortAggregate" in plan
+
+
+def test_dpp_plants_dynamic_pruning_subquery(spark):
+    """The runtime dim filter must reach the fact scan as a
+    dynamicpruning expression on the partition column."""
+    plan = plan_of(spark, "source_dynamic_partition_pruning")
+    assert "dynamicpruning" in plan.lower()
+
+
+def test_hll_constant_shuffle_no_expand_distinct(spark):
+    """The HLL register build must partial-aggregate (256-row exchange);
+    the only exact-distinct allowed is the certifying n_exact rider."""
+    plan = plan_of(spark, "sketch_hll_merge")
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_token_lift_broadcasts_top_vocab(spark):
+    """The capped vocabulary must broadcast into the pair join — a
+    shuffle join on the full token stream defeats the cap."""
+    plan = plan_of(spark, "text_token_lift")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_hierarchy_share_broadcasts_dims(spark):
+    """All four dimension joins under the leaf rollup must broadcast."""
+    plan = plan_of(spark, "agg_hierarchy_share")
+    assert plan.count("BroadcastHashJoin") >= 4 * 2 or plan.count(
+        "BroadcastHashJoin"
+    ) >= 4  # tree+detail double-print
+    assert "SortMergeJoin" not in plan
