@@ -98,6 +98,11 @@ _CERT_ORDER = [
     "sketch_hll_merge", "agg_hierarchy_share",
     "source_dynamic_partition_pruning", "text_token_lift",
     "pipeline_quality_bucket_sample",
+    "pipeline_passage_dedup", "event_attribution_last_touch",
+    "window_percent_change_wow", "source_csv_malformed",
+    "window_rolling_median", "event_inter_arrival_stats",
+    "join_asof_nearest", "quality_benford_deviation",
+    "dedup_canonical_pick",
     # tier 4 — rows-only by design
     "pipeline_bpe_merges", "pipeline_bpe_encode",
     "agg_approx_distinct", "multimodal_decode_features",

@@ -77,6 +77,7 @@ def _import_all() -> None:
         composite2,
         composite3,
         corpus,
+        curation,
         dedup,
         graph,
         joins,
@@ -94,6 +95,7 @@ def _import_all() -> None:
         sources,
         subqueries,
         streaming_windows,
+        timeseries,
         text,
         udf_ops,
         windows,

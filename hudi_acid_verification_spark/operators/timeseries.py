@@ -1,0 +1,213 @@
+"""Time-series analytics: rolling exact medians, inter-arrival
+distributions, and nearest-direction as-of joins.
+
+These complete the temporal-join/window family (`asof.py`, `windows.py`)
+with the remaining semantics a reference user would reach for: rolling
+robust statistics over calendar frames, arrival-process profiling, and
+the 'nearest' as-of direction (backward and tolerance variants live in
+`asof.py`).
+
+Scale discipline: every operator collapses raw event volume FIRST
+(per-day or per-type partial aggregates), then windows over the tiny
+frame; the as-of nearest join unions a backward and a forward pass —
+each a bounded window over the union stream, never a cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import load, query
+
+_ROLL_DAYS = 7  # rolling frame width (current + 6 preceding)
+
+
+@query(
+    "window_rolling_median",
+    oracle=f"""
+    WITH daily AS (
+        SELECT strftime(ts, '%Y-%m-%d') AS day,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1
+    )
+    SELECT day, n_events,
+           CAST(count(*) OVER w AS BIGINT) AS n_days_in_frame,
+           quantile_cont(n_events, 0.5) OVER w AS rolling_median
+    FROM daily
+    WINDOW w AS (ORDER BY day ROWS BETWEEN {_ROLL_DAYS - 1} PRECEDING
+                 AND CURRENT ROW)
+    """,
+)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling {D}-day exact median of daily event volume — the robust
+    trend line (a mean-based rolling average chases the very spikes a
+    monitor should flag; the median does not). Spark's ``percentile`` is
+    an exact interpolating aggregate and is window-capable, so the
+    rolling median is ONE declarative window — no collect_list+UDF, no
+    self-join — and matches DuckDB's ``quantile_cont`` bit-for-bit (the
+    interpolation arithmetic is the same single expression; parity
+    already proven by agg_percentiles).
+
+    Collapse-then-window as always: raw events partial-aggregate to one
+    row per day; the rolling frame slides over the calendar frame, which
+    stays O(days) at any corpus size.
+    """
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    w = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("day")
+        .rowsBetween(-(_ROLL_DAYS - 1), Window.currentRow)
+    )
+    return daily.select(
+        "day",
+        "n_events",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_days_in_frame"),
+        F.expr("percentile(n_events, 0.5)")
+        .over(w)
+        .alias("rolling_median"),
+    )
+
+
+@query(
+    "event_inter_arrival_stats",
+    oracle="""
+    WITH gaps AS (
+        SELECT event_type,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id
+               ) AS gap_us
+        FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(min(gap_us) AS BIGINT) AS min_us,
+           quantile_cont(gap_us, 0.5) AS p50_us,
+           quantile_cont(gap_us, 0.95) AS p95_us,
+           CAST(max(gap_us) AS BIGINT) AS max_us
+    FROM gaps WHERE gap_us IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def event_inter_arrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival time distribution per event type (min/p50/p95/max of
+    the gap between consecutive events) — the arrival-process profile
+    behind rate-limit sizing, anomaly baselines, and synthetic-load
+    modeling. A p50 collapse means a burst source; a p95 blowup means a
+    stall.
+
+    One window pass keyed on event_type produces the gaps (exact integer
+    microseconds from the nanosecond fixture column); the percentile
+    rollup is the same exact-interpolating aggregate proven cross-engine
+    by agg_percentiles. Single exchange over raw events, |types| output
+    rows.
+    """
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts_ns", "event_id")
+    gaps = e.select(
+        "event_type",
+        (
+            F.expr("ts_ns DIV 1000")
+            - F.lag(F.expr("ts_ns DIV 1000")).over(w)
+        ).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.min("gap_us").cast("bigint").alias("min_us"),
+        F.expr("percentile(gap_us, 0.5)").alias("p50_us"),
+        F.expr("percentile(gap_us, 0.95)").alias("p95_us"),
+        F.max("gap_us").cast("bigint").alias("max_us"),
+    )
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+    WITH signups AS (
+        SELECT user_id, epoch_us(ts) AS t, event_id
+        FROM events WHERE event_type = 'signup'
+    ),
+    purchases AS (
+        SELECT user_id, epoch_us(ts) AS t, event_id, value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    scored AS (
+        SELECT s.user_id, s.event_id AS signup_event,
+               p.event_id AS purchase_event,
+               abs(p.t - s.t) AS dist_us,
+               row_number() OVER (
+                   PARTITION BY s.user_id, s.event_id
+                   ORDER BY abs(p.t - s.t), p.t, p.event_id
+               ) AS rnk
+        FROM signups s JOIN purchases p ON p.user_id = s.user_id
+    )
+    SELECT user_id, signup_event, purchase_event,
+           CAST(dist_us AS BIGINT) AS dist_us
+    FROM scored WHERE rnk = 1
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, direction='nearest': each signup event pairs with the
+    temporally CLOSEST purchase of the same user, before OR after —
+    completing the as-of family (backward carry, tolerance, and range
+    band live in asof.py). Ties (equidistant before/after) break toward
+    the earlier purchase, then event_id — fully deterministic.
+
+    Implementation is the UNION-STREAM trick, not the oracle's per-user
+    pair join: merge both event sets into one stream ordered by time,
+    take last-purchase-before (backward pass) and first-purchase-after
+    (forward pass) in two window sweeps over the SAME user partition,
+    then pick the closer side per row. Cost: one exchange keyed on
+    user_id and two sorts — at 100 TB the oracle's formulation would be
+    O(signups × purchases) per user, the union-stream is O(events log
+    events-per-partition). The plan audit pins the no-pair-join shape.
+    """
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "purchase")
+    )
+    base = e.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.expr("ts_ns DIV 1000").alias("t"),
+    )
+    is_p = F.col("event_type") == "purchase"
+    pstruct = F.when(is_p, F.struct(F.col("t"), F.col("event_id")))
+    w_ord = Window.partitionBy("user_id").orderBy("t", "event_id")
+    wb = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    wf = w_ord.rowsBetween(1, Window.unboundedFollowing)
+    # a purchase AT the signup instant is "before or at" for the backward
+    # arm via the self-inclusive frame on purchases only; keep frames
+    # exclusive of current row (a signup is never a purchase, rows are
+    # distinct events) and scan both directions
+    wbi = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wfi = w_ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    enriched = base.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        "t",
+        F.last(pstruct, ignorenulls=True).over(wbi).alias("prev_p"),
+        F.first(pstruct, ignorenulls=True).over(wfi).alias("next_p"),
+    )
+    s = enriched.filter(F.col("event_type") == "signup")
+    prev_d = F.col("t") - F.col("prev_p.t")
+    next_d = F.col("next_p.t") - F.col("t")
+    pick_prev = F.col("prev_p").isNotNull() & (
+        F.col("next_p").isNull() | (prev_d <= next_d)
+    )
+    return s.filter(
+        F.col("prev_p").isNotNull() | F.col("next_p").isNotNull()
+    ).select(
+        "user_id",
+        F.col("event_id").alias("signup_event"),
+        F.when(pick_prev, F.col("prev_p.event_id"))
+        .otherwise(F.col("next_p.event_id"))
+        .alias("purchase_event"),
+        F.when(pick_prev, prev_d).otherwise(next_d).cast("bigint").alias(
+            "dist_us"
+        ),
+    )

@@ -926,3 +926,36 @@ def test_hierarchy_share_broadcasts_dims(spark):
         "BroadcastHashJoin"
     ) >= 4  # tree+detail double-print
     assert "SortMergeJoin" not in plan
+
+
+def test_asof_nearest_union_stream_no_pair_join(spark):
+    """direction='nearest' must be the union-stream two-window sweep —
+    a per-user pair join (the oracle's formulation) is O(S·P) per user."""
+    plan = plan_of(spark, "join_asof_nearest")
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
+def test_passage_dedup_single_chunk_exchange(spark):
+    """Passage dedup: one inverted-index exchange keyed by chunk, one
+    rollup exchange by doc — no join back, no third shuffle."""
+    plan = plan_of(spark, "pipeline_passage_dedup")
+    assert "Join" not in plan
+    shuffles = (plan.count("Exchange") - plan.count("BroadcastExchange"))
+    assert shuffles <= 2 * 2  # two shuffle exchanges, double-printed
+
+
+def test_attribution_single_window_pass(spark):
+    """Last-touch attribution is one user-keyed window + rollup."""
+    plan = plan_of(spark, "event_attribution_last_touch")
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 2  # one scan, double-printed
+
+
+def test_canonical_pick_single_hash_exchange(spark):
+    """Survivorship must rank and size groups in ONE window exchange over
+    the content hash — no join back for group_size."""
+    plan = plan_of(spark, "dedup_canonical_pick")
+    assert "Join" not in plan
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles <= 1 * 2
