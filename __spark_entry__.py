@@ -103,6 +103,10 @@ _CERT_ORDER = [
     "window_rolling_median", "event_inter_arrival_stats",
     "join_asof_nearest", "quality_benford_deviation",
     "dedup_canonical_pick",
+    "event_funnel_windowed", "scalar_penny_allocation",
+    "event_rfm_segmentation", "join_scd2_point_in_time",
+    "agg_regression_exact", "agg_mode_exact", "quality_outlier_iqr",
+    "pipeline_length_bucket_pack", "embedding_pca_power",
     # tier 4 — rows-only by design
     "pipeline_bpe_merges", "pipeline_bpe_encode",
     "agg_approx_distinct", "multimodal_decode_features",
@@ -125,6 +129,7 @@ _CERT_ORDER = [
     "acid_stream_merge_mor", "acid_mor_lifecycle", "acid_cdc_restore",
     "acid_incremental_agg_maintenance", "acid_zorder_skipping",
     "acid_partition_evolution", "acid_clone_branching",
+    "acid_schema_evolution",
 ]
 
 

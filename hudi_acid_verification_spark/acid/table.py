@@ -1452,6 +1452,66 @@ class AcidTable:
 
         return self._commit_with(make, timeout, op="restore")
 
+    def evolve_schema(
+        self,
+        add: dict[str, T.DataType] | None = None,
+        drop: list[str] | None = None,
+        timeout: float = 60.0,
+    ) -> int:
+        """ADD/DROP column schema evolution as ONE metadata-only commit
+        (Hudi/Delta ``ALTER TABLE ADD COLUMNS`` / ``DROP COLUMN`` analog):
+        the new manifest carries the evolved schema over the UNCHANGED
+        file list — zero data rewritten, because the reader is already
+        schema-on-read: :meth:`_scan_files` reads every file through the
+        manifest schema, and parquet read-by-name null-fills columns a
+        file predates and ignores columns the schema no longer carries
+        (the same mechanism MOR partial-update payloads rely on).
+
+        Guards: added names must be new (and not the reserved MOR marker
+        columns); dropped names must exist and may not be the pk,
+        partition, or precombine column. Added columns are nullable by
+        construction — every pre-existing row reads NULL for them.
+
+        Concurrency: the commit runs under the writer lock, and a raced
+        OCC writer detects the schema change in its rebase check
+        (``m.schema != cur0.schema``) and raises CommitConflictError —
+        so no writer ever publishes files shaped against a stale schema.
+        Time travel keeps working: older manifests pin their own schema,
+        so reads at a pre-evolution version return the old shape.
+        """
+        add = dict(add or {})
+        drop = list(drop or [])
+        if not add and not drop:
+            raise ValueError("evolve_schema: nothing to add or drop")
+
+        def make(m: _Manifest) -> _Manifest:
+            names = set(m.schema.names)
+            protected = {m.pk, m.partition_col, m.precombine_col}
+            reserved = {"__op", "__seq", "__cols"}
+            for c in add:
+                if c in names:
+                    raise ValueError(f"column {c!r} already exists")
+                if c in reserved:
+                    raise ValueError(f"column name {c!r} is reserved")
+            for c in drop:
+                if c not in names:
+                    raise ValueError(f"cannot drop unknown column {c!r}")
+                if c in protected:
+                    raise ValueError(
+                        f"cannot drop {c!r}: pk/partition/precombine column"
+                    )
+            fields = [f for f in m.schema.fields if f.name not in set(drop)]
+            for c, dt in add.items():
+                if isinstance(dt, str):
+                    dt = T._parse_datatype_string(dt)
+                fields.append(T.StructField(c, dt, True))
+            return _Manifest(
+                m.version + 1, T.StructType(fields), m.pk, m.partition_col,
+                m.precombine_col, m.files, m.mode, m.compact_every,
+            )
+
+        return self._commit_with(make, timeout, op="evolve_schema")
+
     def _df_for_files(self, m: _Manifest, files: list[dict]) -> DataFrame:
         if not files:
             return self.spark.createDataFrame([], m.schema)

@@ -92,10 +92,12 @@ def _import_all() -> None:
         setops,
         similarity,
         sketch,
+        statistics,
         sources,
         subqueries,
         streaming_windows,
         timeseries,
+        warehouse,
         text,
         udf_ops,
         windows,

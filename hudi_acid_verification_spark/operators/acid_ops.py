@@ -821,3 +821,88 @@ def acid_clone_branching(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stage string, own_files int, referenced_files int, n_rows int, "
         "witness boolean",
     )
+
+
+@query("acid_schema_evolution")  # rows-only: DDL lifecycle, no SQL oracle
+def acid_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution lifecycle: build a COW table from orders, ADD a
+    column in one metadata-only commit (``evolve_schema``), upsert rows
+    that carry it, verify old rows read NULL (schema-on-read) while new
+    rows carry values, then DROP a column and show reads exclude it while
+    time travel to the pre-evolution version still returns the original
+    shape. Returns one row per lifecycle stage with the column count, row
+    count, and a null-fill/preservation witness.
+
+    The 100 TB story: producers add and drop columns for the life of a
+    table, and rewriting a petabyte to do it is a non-starter. The
+    evolution commit moves ZERO bytes — the manifest's schema changes and
+    every reader null-fills or prunes by name at scan time (exactly how
+    Hudi/Delta/Iceberg do it); a raced OCC writer sees the schema change
+    in its rebase check and retries instead of publishing stale-shaped
+    files.
+    """
+    from hudi_acid_verification_spark.acid import AcidTable
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "hudi_acid_verification_spark",
+        f"acid_schevo_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType(), False),
+            T.StructField("o_orderpriority", T.StringType(), False),
+            T.StructField("o_totalprice", T.DoubleType(), True),
+        ]
+    )
+    table = AcidTable.create(
+        spark, base, schema,
+        pk="o_orderkey", partition_col="o_orderpriority",
+        precombine_col=None,
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority",
+        F.col("o_totalprice").cast("double"),
+    ).filter(F.col("o_orderkey") % 10 == 0)
+    table.upsert(orders)
+    n0 = int(table.snapshot().count())
+    v_before = table.version()
+
+    def stage(name: str, witness: bool) -> tuple:
+        snap = table.snapshot()
+        return (name, len(snap.columns), int(snap.count()), bool(witness))
+
+    s1 = stage("created", True)
+    # ADD: metadata-only commit; old rows must null-fill
+    table.evolve_schema(add={"review_score": T.LongType()})
+    nulls_before = table.snapshot().filter(
+        F.col("review_score").isNull()
+    ).count()
+    s2 = stage("added", nulls_before == n0)
+    # DML against the evolved shape
+    evolved = T.StructType(
+        list(schema.fields)
+        + [T.StructField("review_score", T.LongType(), True)]
+    )
+    scored = orders.limit(5).select(
+        "o_orderkey", "o_orderpriority", "o_totalprice",
+        (F.col("o_orderkey") % 5).cast("long").alias("review_score"),
+    )
+    table.upsert(spark.createDataFrame(scored.collect(), evolved))
+    n_scored = table.snapshot().filter(
+        F.col("review_score").isNotNull()
+    ).count()
+    s3 = stage("backfilled", n_scored == 5)
+    # DROP: reads exclude it; time travel keeps the original shape
+    table.evolve_schema(drop=["o_totalprice"])
+    old_shape_ok = (
+        "o_totalprice" in table.snapshot(version=v_before).columns
+        and "o_totalprice" not in table.snapshot().columns
+        and table.snapshot().count() == n0
+    )
+    s4 = stage("dropped", bool(old_shape_ok))
+    return spark.createDataFrame(
+        [s1, s2, s3, s4],
+        "stage string, n_columns int, n_rows int, witness boolean",
+    )

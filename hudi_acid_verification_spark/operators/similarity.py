@@ -658,3 +658,205 @@ def embedding_covariance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n").cast("double") * F.col("n"))
         ).alias("cov"),
     )
+
+
+_PCA_DIMS = 8
+_PCA_ITERS = 3
+
+
+@query(
+    "embedding_pca_power",
+    oracle=f"""
+    WITH elems AS (
+        SELECT vec_id,
+               CAST(floor(CAST(u.x AS DOUBLE) * {_COV_SCALE} + 0.5)
+                    AS BIGINT) AS x,
+               u.i
+        FROM embeddings,
+             LATERAL (
+                SELECT unnest(embedding) AS x,
+                       unnest(generate_series(1, len(embedding))) AS i
+             ) u
+        WHERE u.i <= {_PCA_DIMS}
+    ),
+    cells AS (
+        SELECT a.i AS i, b.i AS j,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(a.x) AS BIGINT) AS si,
+               CAST(sum(b.x) AS BIGINT) AS sj,
+               CAST(sum(a.x * b.x) AS BIGINT) AS sij
+        FROM elems a JOIN elems b ON b.vec_id = a.vec_id
+        GROUP BY 1, 2
+    ),
+    mat AS (
+        SELECT i,
+               list((CAST(n AS DOUBLE) * sij - CAST(si AS DOUBLE) * sj)
+                    / (CAST(n AS DOUBLE) * n) ORDER BY j) AS row
+        FROM cells GROUP BY i
+    ),
+    v0 AS (SELECT [1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0] AS v),
+    it1 AS (
+        SELECT m.i,
+               CAST(list_sum(list(m.row[g.j] * v0.v[g.j] ORDER BY g.j))
+                    AS DOUBLE) AS val
+        FROM mat m CROSS JOIN v0,
+             (SELECT unnest(generate_series(1, {_PCA_DIMS})) AS j) g
+        GROUP BY m.i
+    ),
+    v1 AS (SELECT list(val ORDER BY i) AS v FROM it1),
+    it2 AS (
+        SELECT m.i,
+               CAST(list_sum(list(m.row[g.j] * v1.v[g.j] ORDER BY g.j))
+                    AS DOUBLE) AS val
+        FROM mat m CROSS JOIN v1,
+             (SELECT unnest(generate_series(1, {_PCA_DIMS})) AS j) g
+        GROUP BY m.i
+    ),
+    v2 AS (SELECT list(val ORDER BY i) AS v FROM it2),
+    it3 AS (
+        SELECT m.i,
+               CAST(list_sum(list(m.row[g.j] * v2.v[g.j] ORDER BY g.j))
+                    AS DOUBLE) AS val
+        FROM mat m CROSS JOIN v2,
+             (SELECT unnest(generate_series(1, {_PCA_DIMS})) AS j) g
+        GROUP BY m.i
+    ),
+    v3 AS (SELECT list(val ORDER BY i) AS v FROM it3),
+    it4 AS (
+        SELECT m.i,
+               CAST(list_sum(list(m.row[g.j] * v3.v[g.j] ORDER BY g.j))
+                    AS DOUBLE) AS val
+        FROM mat m CROSS JOIN v3,
+             (SELECT unnest(generate_series(1, {_PCA_DIMS})) AS j) g
+        GROUP BY m.i
+    ),
+    v4 AS (SELECT list(val ORDER BY i) AS v FROM it4),
+    scalars AS (
+        SELECT sqrt(CAST(list_sum(list(x * x ORDER BY o)) AS DOUBLE)) AS nrm,
+               CAST((SELECT list_sum(list(a.x3 * b.x4 ORDER BY a.o))
+                     FROM (SELECT unnest(v3.v) AS x3,
+                                  unnest(generate_series(1, {_PCA_DIMS})) AS o
+                           FROM v3) a
+                     JOIN (SELECT unnest(v4.v) AS x4,
+                                  unnest(generate_series(1, {_PCA_DIMS})) AS o
+                           FROM v4) b ON b.o = a.o) AS DOUBLE) AS dot34,
+               CAST(list_sum(list(x * x ORDER BY o)) AS DOUBLE) AS dot33
+        FROM (SELECT unnest(v3.v) AS x,
+                     unnest(generate_series(1, {_PCA_DIMS})) AS o
+              FROM v3) t
+    )
+    SELECT g.j - 1 AS dim,
+           v3.v[g.j] / s.nrm AS eigvec,
+           s.dot34 / s.dot33 AS eigenvalue
+    FROM v3 CROSS JOIN scalars s,
+         (SELECT unnest(generate_series(1, {_PCA_DIMS})) AS j) g
+    """,
+)
+def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the leading {D} embedding dimensions by
+    POWER ITERATION on the exact covariance matrix — distributed PCA the
+    deterministic way: the covariance cells come from exact integer
+    co-moments (one partial-aggregated pass, same as
+    embedding_covariance_exact), and the three matrix-vector iterations
+    run as FIXED-ORDER folds over 8-element arrays, so even the floating
+    eigenvector hashes bit-for-bit cross-engine. The Rayleigh quotient
+    (v·Cv)/(v·v) rides along as the eigenvalue estimate.
+
+    Scale split: the ONLY data-volume work is the covariance build (N·36
+    inline cells, 36-row exchanges); the iteration operates on an 8×8
+    frame — at 100 TB you'd run the same plan with the iteration cost
+    unchanged at nanoseconds. This is the general recipe for distributed
+    spectral methods: exact distributed co-moments, driver-scale
+    iteration kept DECLARATIVE (tiny-frame joins, no numpy on collected
+    data) so the lineage stays in one queryable plan.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    q = F.transform(
+        F.slice(F.col("embedding"), 1, _PCA_DIMS),
+        lambda x: F.floor(
+            x.cast("double") * _COV_SCALE + F.lit(0.5)
+        ).cast("bigint"),
+    )
+    cells = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(_PCA_DIMS - 1)),
+            lambda i: F.transform(
+                F.sequence(F.lit(0), F.lit(_PCA_DIMS - 1)),
+                lambda j: F.struct(
+                    i.alias("i"),
+                    j.alias("j"),
+                    F.element_at(F.col("q"), i + 1).alias("xi"),
+                    F.element_at(F.col("q"), j + 1).alias("xj"),
+                ),
+            ),
+        )
+    )
+    agg = (
+        emb.select(q.alias("q"))
+        .select(F.explode(cells).alias("c"))
+        .select("c.i", "c.j", "c.xi", "c.xj")
+        .groupBy("i", "j")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("xi").alias("si"),
+            F.sum("xj").alias("sj"),
+            F.sum(F.col("xi") * F.col("xj")).alias("sij"),
+        )
+    )
+    cov = (
+        F.col("n").cast("double") * F.col("sij")
+        - F.col("si").cast("double") * F.col("sj")
+    ) / (F.col("n").cast("double") * F.col("n"))
+    mat = agg.groupBy("i").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("j", cov.alias("cov")))),
+            lambda s: s["cov"],
+        ).alias("row")
+    )
+
+    def mat_vec(vframe: DataFrame) -> DataFrame:
+        prod = mat.crossJoin(F.broadcast(vframe)).select(
+            "i",
+            F.aggregate(
+                F.zip_with(F.col("row"), F.col("v"), lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("val"),
+        )
+        return prod.agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "val"))),
+                lambda s: s["val"],
+            ).alias("v")
+        )
+
+    v = spark.range(1).select(
+        F.array_repeat(F.lit(1.0), _PCA_DIMS).alias("v")
+    )
+    for _ in range(_PCA_ITERS):
+        v = mat_vec(v)
+    v3 = v.select(F.col("v").alias("v3"))
+    v4 = mat_vec(v3.select(F.col("v3").alias("v"))).select(
+        F.col("v").alias("v4")
+    )
+    dot = lambda a, b: F.aggregate(  # noqa: E731 — fixed-order fold
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scalars = v3.crossJoin(v4).select(
+        "v3",
+        F.sqrt(dot(F.col("v3"), F.col("v3"))).alias("nrm"),
+        (
+            dot(F.col("v3"), F.col("v4")) / dot(F.col("v3"), F.col("v3"))
+        ).alias("eigenvalue"),
+    )
+    return scalars.select(
+        F.posexplode(F.col("v3")).alias("dim", "x"),
+        "nrm",
+        "eigenvalue",
+    ).select(
+        F.col("dim").cast("bigint").alias("dim"),
+        (F.col("x") / F.col("nrm")).alias("eigvec"),
+        "eigenvalue",
+    )

@@ -1,0 +1,395 @@
+"""Warehouse-grade temporal and financial operators: time-constrained
+funnels (ClickHouse ``windowFunnel`` semantics), largest-remainder penny
+allocation, RFM segmentation, and SCD2 point-in-time joins.
+
+These are the operators a reference user coming from a commercial
+OLAP/warehouse stack expects to exist; each is expressed as windows +
+joins over collapsed frames with exact integer arithmetic so the DuckDB
+oracle hashes bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import load, query
+
+_FUNNEL_GAP_US = 7 * 24 * 3600 * 1_000_000  # max 7 days between steps
+
+
+@query(
+    "event_funnel_windowed",
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id, event_type, epoch_us(ts) AS t, event_id
+        FROM events
+        WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    v AS (
+        SELECT user_id, min(t) AS t_view FROM ev
+        WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+        SELECT e.user_id, min(e.t) AS t_click
+        FROM ev e JOIN v ON v.user_id = e.user_id
+        WHERE e.event_type = 'click'
+          AND e.t >= v.t_view AND e.t - v.t_view <= {_FUNNEL_GAP_US}
+        GROUP BY 1
+    ),
+    p AS (
+        SELECT e.user_id, min(e.t) AS t_buy
+        FROM ev e JOIN c ON c.user_id = e.user_id
+        WHERE e.event_type = 'purchase'
+          AND e.t >= c.t_click AND e.t - c.t_click <= {_FUNNEL_GAP_US}
+        GROUP BY 1
+    ),
+    lv AS (
+        SELECT v.user_id,
+               1 + (CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END)
+                 + (CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END) AS level
+        FROM v LEFT JOIN c ON c.user_id = v.user_id
+               LEFT JOIN p ON p.user_id = c.user_id
+    )
+    SELECT CAST(level AS BIGINT) AS level,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM lv GROUP BY 1
+    """,
+)
+def event_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-constrained funnel (the ClickHouse ``windowFunnel`` semantic,
+    greedy-earliest variant): view → click → purchase where each step
+    must follow the previous one within 7 days, anchored at the user's
+    FIRST view and advancing through the earliest qualifying event of
+    each next step. The plain funnel (`event_funnel`) only asks "did the
+    steps ever happen in order"; the windowed form is what conversion
+    analysis actually uses — a purchase six months after the click does
+    not count.
+
+    Shape: three per-user min-aggregates chained by broadcast-joinable
+    per-user frames (|users| rows each after the first collapse). Raw
+    events are scanned once per step type with the step filter pushed to
+    the scan; every join key is user_id, so at 100 TB this is one
+    shuffle-partitioning reused across the chain — AQE broadcasts the
+    shrinking step frames. All comparisons are exact integer µs.
+    """
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    ev = e.select(
+        "user_id", "event_type", F.expr("ts_ns DIV 1000").alias("t")
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("t") >= F.col("t_view"))
+            & (F.col("t") - F.col("t_view") <= _FUNNEL_GAP_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("t") >= F.col("t_click"))
+            & (F.col("t") - F.col("t_click") <= _FUNNEL_GAP_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_buy"))
+    )
+    lv = (
+        v.join(c.select("user_id", F.lit(1).alias("has_c")), "user_id", "left")
+        .join(p.select("user_id", F.lit(1).alias("has_p")), "user_id", "left")
+        .select(
+            (
+                F.lit(1)
+                + F.coalesce(F.col("has_c"), F.lit(0))
+                + F.coalesce(F.col("has_p"), F.lit(0))
+            ).alias("level")
+        )
+    )
+    return lv.groupBy("level").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    ).select(F.col("level").cast("bigint").alias("level"), "n_users")
+
+
+_DISCOUNT_BP = 250  # allocate a 2.5% (250 basis-point) rebate per order
+
+
+@query(
+    "scalar_penny_allocation",
+    oracle=f"""
+    WITH lines AS (
+        SELECT l_orderkey, l_linenumber,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM lineitem
+    ),
+    totals AS (
+        SELECT l_orderkey,
+               CAST(sum(cents) AS BIGINT) AS order_cents,
+               CAST((sum(cents) * {_DISCOUNT_BP}) // 10000 AS BIGINT)
+                   AS rebate_cents
+        FROM lines GROUP BY 1
+    ),
+    alloc AS (
+        SELECT l.l_orderkey, l.l_linenumber, l.cents, t.rebate_cents,
+               (l.cents * t.rebate_cents) // t.order_cents AS base_cents,
+               (l.cents * t.rebate_cents) % t.order_cents AS remainder,
+               row_number() OVER (
+                   PARTITION BY l.l_orderkey
+                   ORDER BY (l.cents * t.rebate_cents) % t.order_cents DESC,
+                            l.l_linenumber, l.cents
+               ) AS rnk,
+               t.rebate_cents
+                   - CAST(sum((l.cents * t.rebate_cents) // t.order_cents)
+                          OVER (PARTITION BY l.l_orderkey) AS BIGINT)
+                   AS pennies_left
+        FROM lines l JOIN totals t ON t.l_orderkey = l.l_orderkey
+    )
+    SELECT l_orderkey, l_linenumber, cents,
+           CAST(base_cents + CASE WHEN rnk <= pennies_left THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc_cents
+    FROM alloc
+    """,
+)
+def scalar_penny_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder penny allocation: distribute a per-order rebate
+    (2.5% of the order total, floored to whole cents) across the order's
+    line items proportionally to value, such that the allocated cents SUM
+    EXACTLY to the rebate — the invoicing/revenue-recognition primitive
+    no floating-point proration can provide (naive rounding gains or
+    loses pennies). Each line takes floor(share); the leftover pennies go
+    to the lines with the largest remainders (ties by line number).
+
+    Shape: one groupBy(order) for totals, one window over the order
+    partition for remainder ranks and the floor-sum — both keyed on
+    l_orderkey, so the whole operator is a single exchange at any scale.
+    Pure int64 arithmetic throughout (cents × basis points stays < 2^63
+    for any real order).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    lines = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    totals = lines.groupBy("l_orderkey").agg(
+        F.sum("cents").cast("bigint").alias("order_cents"),
+        F.expr(f"CAST((sum(cents) * {_DISCOUNT_BP}) DIV 10000 AS BIGINT)").alias(
+            "rebate_cents"
+        ),
+    )
+    j = lines.join(totals, "l_orderkey")
+    base = F.expr("(cents * rebate_cents) DIV order_cents")
+    rem = F.expr("(cents * rebate_cents) % order_cents")
+    # tie-break includes cents: the fixture reuses line numbers within an
+    # order, and two equal-remainder lines must rank identically in both
+    # engines (identical triples are interchangeable — same output multiset)
+    w_rank = Window.partitionBy("l_orderkey").orderBy(
+        rem.desc(), "l_linenumber", "cents"
+    )
+    w_ord = Window.partitionBy("l_orderkey")
+    alloc = j.select(
+        "l_orderkey",
+        "l_linenumber",
+        "cents",
+        base.alias("base_cents"),
+        F.row_number().over(w_rank).alias("rnk"),
+        (
+            F.col("rebate_cents") - F.sum(base).over(w_ord).cast("bigint")
+        ).alias("pennies_left"),
+    )
+    return alloc.select(
+        "l_orderkey",
+        "l_linenumber",
+        "cents",
+        (
+            F.col("base_cents")
+            + F.when(F.col("rnk") <= F.col("pennies_left"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("alloc_cents"),
+    )
+
+
+_RFM_BUCKETS = 4  # quartile scoring
+
+
+@query(
+    "event_rfm_segmentation",
+    oracle=f"""
+    WITH base AS (
+        SELECT user_id,
+               max(epoch_us(ts)) AS last_us,
+               CAST(count(*) AS BIGINT) AS frequency,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS monetary_cents
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1
+    ),
+    scored AS (
+        SELECT user_id,
+               ntile({_RFM_BUCKETS}) OVER (ORDER BY last_us DESC, user_id)
+                   AS r_score,
+               ntile({_RFM_BUCKETS}) OVER (
+                   ORDER BY frequency DESC, user_id) AS f_score,
+               ntile({_RFM_BUCKETS}) OVER (
+                   ORDER BY monetary_cents DESC, user_id) AS m_score
+        FROM base
+    )
+    SELECT CAST(r_score AS BIGINT) AS r_score,
+           CAST(f_score AS BIGINT) AS f_score,
+           CAST(m_score AS BIGINT) AS m_score,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM scored GROUP BY 1, 2, 3
+    """,
+)
+def event_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: quartile-score every purchasing user on Recency
+    (latest purchase), Frequency (purchase count), and Monetary (exact
+    cents), then count the segment grid — the marketing-analytics
+    workhorse (a '111' cell is your champions, '444' your churned). All
+    three ntiles use (metric, user_id) total orders so bucket boundaries
+    are deterministic.
+
+    Scale: raw events collapse to one row per purchasing user first
+    (partial-aggregated); the three ntile windows run over that frame.
+    A global ntile is a single-partition sort at extreme scale — there
+    the quartile CUTS come from sketch_histogram_quantile and scoring
+    becomes a broadcast range lookup; the segment semantics (this
+    operator's contract) are unchanged.
+    """
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    base = e.groupBy("user_id").agg(
+        F.max(F.expr("ts_ns DIV 1000")).alias("last_us"),
+        F.count(F.lit(1)).cast("bigint").alias("frequency"),
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("monetary_cents"),
+    )
+    g = Window.partitionBy(F.lit(0))
+    scored = base.select(
+        F.ntile(_RFM_BUCKETS)
+        .over(g.orderBy(F.col("last_us").desc(), "user_id"))
+        .alias("r_score"),
+        F.ntile(_RFM_BUCKETS)
+        .over(g.orderBy(F.col("frequency").desc(), "user_id"))
+        .alias("f_score"),
+        F.ntile(_RFM_BUCKETS)
+        .over(g.orderBy(F.col("monetary_cents").desc(), "user_id"))
+        .alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .select(
+            F.col("r_score").cast("bigint").alias("r_score"),
+            F.col("f_score").cast("bigint").alias("f_score"),
+            F.col("m_score").cast("bigint").alias("m_score"),
+            "n_users",
+        )
+    )
+
+
+@query(
+    "join_scd2_point_in_time",
+    oracle="""
+    WITH changes AS (
+        SELECT o_custkey AS custkey, o_orderpriority AS segment,
+               o_orderdate AS valid_from, o_orderkey,
+               row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+               ) AS version
+        FROM orders
+    ),
+    dim AS (
+        SELECT custkey, segment, version, valid_from,
+               lead(valid_from) OVER (
+                   PARTITION BY custkey ORDER BY version
+               ) AS valid_to
+        FROM changes
+    ),
+    fact AS (
+        SELECT o.o_custkey AS custkey, l.l_shipdate AS ship,
+               CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT d.segment,
+           CAST(d.version AS BIGINT) AS version,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(f.cents) AS BIGINT) AS cents
+    FROM fact f
+    JOIN dim d ON d.custkey = f.custkey
+              AND f.ship >= d.valid_from
+              AND (d.valid_to IS NULL OR f.ship < d.valid_to)
+    GROUP BY 1, 2
+    """,
+)
+def join_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 point-in-time join: a slowly-changing dimension is
+    derived from order history (each customer's order priority over time
+    becomes a versioned [valid_from, valid_to) interval via one
+    lead() window — the standard SCD2 build), and each shipment fact
+    joins to the version that was ACTIVE at ship time. This is the
+    temporal-correctness join every warehouse needs: joining facts to the
+    dimension's CURRENT row silently rewrites history.
+
+    Shape: the dimension build is one window over custkey; the
+    point-in-time join is an equi-join on custkey with the interval
+    predicate as a residual filter — NOT a pure range join, so it
+    partitions on the key like any equi-join (the interval only prunes
+    within a customer's own few versions). At 100 TB: facts shuffle once
+    by custkey; dim versions per key are bounded by change frequency, so
+    the residual scan is O(versions-per-key), not O(|dim|).
+    """
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    w_v = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    changes = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("segment"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.row_number().over(w_v).alias("version"),
+    )
+    w_l = Window.partitionBy("custkey").orderBy("version")
+    dim = changes.select(
+        "custkey",
+        "segment",
+        "version",
+        "valid_from",
+        F.lead("valid_from").over(w_l).alias("valid_to"),
+    )
+    fact = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_custkey").alias("fcustkey"),
+        F.col("l_shipdate").alias("ship"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    joined = fact.join(
+        dim,
+        (F.col("fcustkey") == F.col("custkey"))
+        & (F.col("ship") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("ship") < F.col("valid_to"))),
+    )
+    return joined.groupBy("segment", "version").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum("cents").cast("bigint").alias("cents"),
+    ).select(
+        "segment",
+        F.col("version").cast("bigint").alias("version"),
+        "n_lines",
+        "cents",
+    )

@@ -959,3 +959,74 @@ def test_canonical_pick_single_hash_exchange(spark):
     assert "Join" not in plan
     shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
     assert shuffles <= 1 * 2
+
+
+def test_funnel_windowed_equi_joins_only(spark):
+    """The windowed funnel chains per-user frames on user_id — equi-joins
+    only, no cartesian, no nested-loop."""
+    plan = plan_of(spark, "event_funnel_windowed")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_penny_allocation_single_order_exchange(spark):
+    """Totals and the remainder-rank window both key on l_orderkey — the
+    operator must not add exchanges beyond that partitioning."""
+    plan = plan_of(spark, "scalar_penny_allocation")
+    assert "CartesianProduct" not in plan
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles <= 2 * 2  # agg + window partitioning, double-printed
+
+
+def test_scd2_point_in_time_equi_with_residual(spark):
+    """The point-in-time join must be an equi-join on custkey with the
+    interval predicate residual — a pure range/theta join would be a
+    nested loop."""
+    plan = plan_of(spark, "join_scd2_point_in_time")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_regression_exact_single_aggregate(spark):
+    """The five co-moments must come from ONE partial-aggregated groupBy
+    — no join, no window, no second scan."""
+    plan = plan_of(spark, "agg_regression_exact")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert plan.count("Scan parquet") == 2  # one scan, double-printed
+
+
+def test_mode_collapses_before_ranking(spark):
+    """Mode must count (group, value) pairs first; the rank window runs
+    over the collapsed frame, never raw rows."""
+    plan = plan_of(spark, "agg_mode_exact")
+    assert "HashAggregate" in plan
+    # Window appears after the aggregate in the plan tree: the window's
+    # child exchange partitions by l_returnflag over aggregated output
+    assert "Window" in plan
+
+
+def test_iqr_broadcasts_quartile_frame(spark):
+    """The per-group quartile frame must broadcast into the fence pass."""
+    plan = plan_of(spark, "quality_outlier_iqr")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_length_bucket_single_scan_no_shuffle_before_agg(spark):
+    """Bucket assignment fuses into the scan projection; the only
+    exchange is the |buckets|-row rollup."""
+    plan = plan_of(spark, "pipeline_length_bucket_pack")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles <= 1 * 2
+
+
+def test_pca_power_data_work_is_covariance_only(spark):
+    """All data-volume work in PCA must be the covariance build (inline
+    explode, no self-join on vectors); the iterations touch 8-row frames."""
+    plan = plan_of(spark, "embedding_pca_power")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Generate" in plan  # the inline cell explode

@@ -1,0 +1,111 @@
+"""AcidTable ADD/DROP column schema evolution (`evolve_schema`).
+
+The evolution commit is metadata-only; correctness rests on
+schema-on-read: old parquet files null-fill added columns and ignore
+dropped ones. These tests pin that behavior on both table modes, the
+guard rails, time travel across the evolution, and DML against the
+evolved shape.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hudi_acid_verification_spark.acid import AcidTable
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("primaryKeyValue", T.StringType(), False),
+        T.StructField("partitionKeyValue", T.StringType(), False),
+        T.StructField("dataValue", T.StringType(), True),
+    ]
+)
+
+
+def rows(spark, data, schema=SCHEMA):
+    return spark.createDataFrame(data, schema)
+
+
+@pytest.fixture(params=["cow", "mor"])
+def table(spark, tmp_path, request):
+    path = str(tmp_path / f"tbl_{request.param}")
+    return AcidTable.create(
+        spark, path, SCHEMA, pk="primaryKeyValue",
+        partition_col="partitionKeyValue", precombine_col="dataValue",
+        mode=request.param,
+    )
+
+
+def test_add_column_null_fills_old_files(spark, table):
+    table.upsert(rows(spark, [("PK1", "P0", "v1"), ("PK2", "P1", "v2")]))
+    v = table.evolve_schema(add={"score": T.LongType()})
+    assert v == 2
+    got = {
+        r["primaryKeyValue"]: r["score"] for r in table.snapshot().collect()
+    }
+    assert got == {"PK1": None, "PK2": None}
+
+    # DML against the evolved shape: new rows carry values, old stay NULL
+    evolved = T.StructType(
+        list(SCHEMA.fields) + [T.StructField("score", T.LongType(), True)]
+    )
+    table.upsert(rows(spark, [("PK3", "P0", "v3", 7)], evolved))
+    got = {
+        r["primaryKeyValue"]: r["score"] for r in table.snapshot().collect()
+    }
+    assert got == {"PK1": None, "PK2": None, "PK3": 7}
+
+
+def test_drop_column_hides_it_everywhere(spark, table):
+    table.upsert(rows(spark, [("PK1", "P0", "v1")]))
+    table.evolve_schema(add={"score": T.LongType()})
+    table.evolve_schema(drop=["score"])
+    assert "score" not in table.snapshot().columns
+    # and the pre-drop files (which physically lack score anyway) read fine
+    assert table.snapshot().count() == 1
+
+
+def test_time_travel_pins_old_schema(spark, table):
+    table.upsert(rows(spark, [("PK1", "P0", "v1")]))
+    v_before = table.version()
+    table.evolve_schema(add={"score": T.LongType()})
+    assert "score" in table.snapshot().columns
+    assert "score" not in table.snapshot(version=v_before).columns
+
+
+def test_string_typed_add(spark, table):
+    table.upsert(rows(spark, [("PK1", "P0", "v1")]))
+    table.evolve_schema(add={"tags": "array<string>"})
+    f = {x.name: x.dataType for x in table.snapshot().schema.fields}
+    assert f["tags"] == T.ArrayType(T.StringType())
+
+
+def test_guards(spark, table):
+    table.upsert(rows(spark, [("PK1", "P0", "v1")]))
+    with pytest.raises(ValueError):
+        table.evolve_schema()  # nothing to do
+    with pytest.raises(ValueError):
+        table.evolve_schema(add={"dataValue": T.StringType()})  # exists
+    with pytest.raises(ValueError):
+        table.evolve_schema(add={"__seq": T.LongType()})  # reserved
+    with pytest.raises(ValueError):
+        table.evolve_schema(drop=["primaryKeyValue"])  # pk protected
+    with pytest.raises(ValueError):
+        table.evolve_schema(drop=["nope"])  # unknown
+
+
+def test_merge_and_delete_after_evolution(spark, table):
+    evolved = T.StructType(
+        list(SCHEMA.fields) + [T.StructField("score", T.LongType(), True)]
+    )
+    table.upsert(rows(spark, [("PK1", "P0", "v1"), ("PK2", "P1", "v2")]))
+    table.evolve_schema(add={"score": T.LongType()})
+    table.merge(rows(spark, [("PK1", "P0", "v1b", 5)], evolved))
+    table.delete(["PK2"])
+    got = {
+        r["primaryKeyValue"]: (r["dataValue"], r["score"])
+        for r in table.snapshot().collect()
+    }
+    assert got == {"PK1": ("v1b", 5)}
