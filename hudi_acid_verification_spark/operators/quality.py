@@ -593,3 +593,42 @@ def quality_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_null").cast("bigint").alias("n_null"),
         F.col("n_distinct").cast("bigint").alias("n_distinct"),
     )
+
+
+@query(
+    "audit_sequence_gaps",
+    oracle="""
+    WITH ks AS (
+        SELECT DISTINCT o_orderkey AS k FROM orders
+    ),
+    nxt AS (
+        SELECT k, lead(k) OVER (ORDER BY k) AS next_k FROM ks
+    )
+    SELECT k + 1 AS gap_start,
+           next_k - 1 AS gap_end,
+           CAST(next_k - k - 1 AS BIGINT) AS gap_len
+    FROM nxt
+    WHERE next_k - k > 1
+    """,
+)
+def audit_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surrogate-key continuity audit: every missing run in the orderkey
+    sequence as a [gap_start, gap_end] range — the data-integrity probe
+    that catches dropped ingestion batches and partial loads (a CDC
+    pipeline that silently lost an hour shows up as one fat gap, not as
+    anything a row count would flag).
+
+    Gaps-as-ranges, not gaps-as-rows: the lead() window over DISTINCT
+    keys emits one row per missing RUN, so a billion-key hole costs one
+    output row, never a generate_series explosion. One distinct collapse
+    (partial-aggregated) + one ordered window over the key frame.
+    """
+    o = load(spark, sf_dir, "orders")
+    ks = o.select(F.col("o_orderkey").alias("k")).distinct()
+    w = Window.partitionBy(F.lit(0)).orderBy("k")
+    nxt = ks.withColumn("next_k", F.lead("k").over(w))
+    return nxt.filter(F.col("next_k") - F.col("k") > 1).select(
+        (F.col("k") + 1).alias("gap_start"),
+        (F.col("next_k") - 1).alias("gap_end"),
+        (F.col("next_k") - F.col("k") - 1).cast("bigint").alias("gap_len"),
+    )

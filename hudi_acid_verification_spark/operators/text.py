@@ -590,3 +590,119 @@ def text_token_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_a") * F.col("n_b"))
         ).alias("lift"),
     )
+
+
+_CHI2_TOP_VOCAB = 100  # chi-square over the corpus's top-K tokens
+
+
+@query(
+    "text_vocab_chi2_drift",
+    oracle=f"""
+    WITH toks AS (
+        SELECT source, u.tok
+        FROM documents d,
+             LATERAL (SELECT unnest(string_split(d.text, ' ')) AS tok) u
+        WHERE u.tok != ''
+    ),
+    corpus AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS n
+        FROM toks GROUP BY tok
+    ),
+    top AS (
+        SELECT tok, n FROM (
+            SELECT tok, n,
+                   row_number() OVER (ORDER BY n DESC, tok) AS rnk
+            FROM corpus
+        ) WHERE rnk <= {_CHI2_TOP_VOCAB}
+    ),
+    corpus_total AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM top),
+    per_src AS (
+        SELECT t.source, t.tok, CAST(count(*) AS BIGINT) AS o
+        FROM toks t JOIN top ON top.tok = t.tok
+        GROUP BY 1, 2
+    ),
+    src_total AS (
+        SELECT source, CAST(sum(o) AS BIGINT) AS stot
+        FROM per_src GROUP BY source
+    ),
+    terms AS (
+        SELECT p.source,
+               (CAST(p.o AS DOUBLE)
+                - CAST(s.stot AS DOUBLE) * t.n / ct.tot)
+               * (CAST(p.o AS DOUBLE)
+                  - CAST(s.stot AS DOUBLE) * t.n / ct.tot)
+               / (CAST(s.stot AS DOUBLE) * t.n / ct.tot) AS term,
+               p.tok
+        FROM per_src p
+        JOIN top t ON t.tok = p.tok
+        JOIN src_total s ON s.source = p.source
+        CROSS JOIN corpus_total ct
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_tokens_compared,
+           CAST(list_sum(list(term ORDER BY tok)) AS DOUBLE) AS chi2
+    FROM terms
+    GROUP BY source
+    """,
+)
+def text_vocab_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary drift per source: the chi-square statistic of each
+    source's top-token distribution against the corpus-wide expectation —
+    the domain-shift detector a curation pipeline runs when a new crawl
+    snapshot lands (a chi² jump on one source means its content changed,
+    not just its volume). Chi-square instead of KL/JS divergence is a
+    DELIBERATE determinism choice: (O−E)²/E needs no logarithm, so every
+    term is a few IEEE mul/divs from exact integer counts, and the
+    per-source sum folds in fixed token order — bit-identical
+    cross-engine, where any log-based divergence would drift in the
+    last ulp.
+
+    Shape: one token scan builds corpus counts; the top-{_CHI2_TOP_VOCAB}
+    vocabulary broadcasts into the per-source recount; the chi² fold runs
+    over ≤ |sources|×{_CHI2_TOP_VOCAB} collapsed rows.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    corpus = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("n").desc(), "tok")
+    top = (
+        corpus.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _CHI2_TOP_VOCAB)
+        .select("tok", "n")
+    )
+    corpus_total = top.agg(F.sum("n").cast("bigint").alias("tot"))
+    per_src = (
+        toks.join(F.broadcast(top.select("tok")), "tok")
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    src_total = per_src.groupBy("source").agg(
+        F.sum("o").cast("bigint").alias("stot")
+    )
+    exp = (
+        F.col("stot").cast("double") * F.col("n") / F.col("tot")
+    )
+    terms = (
+        per_src.join(F.broadcast(top), "tok")
+        .join(F.broadcast(src_total), "source")
+        .crossJoin(F.broadcast(corpus_total))
+        .select(
+            "source",
+            "tok",
+            (
+                (F.col("o").cast("double") - exp)
+                * (F.col("o").cast("double") - exp)
+                / exp
+            ).alias("term"),
+        )
+    )
+    return terms.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens_compared"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("tok", "term"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["term"],
+        ).alias("chi2"),
+    )

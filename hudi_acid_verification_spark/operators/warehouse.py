@@ -393,3 +393,115 @@ def join_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_lines",
         "cents",
     )
+
+
+@query(
+    "event_heatmap_dow_hour",
+    oracle="""
+    WITH cells AS (
+        SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+               CAST(hour(ts) AS BIGINT) AS hod,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1, 2
+    ),
+    total AS (SELECT CAST(sum(n_events) AS BIGINT) AS tot FROM cells)
+    SELECT dow, hod, n_events,
+           CAST(n_events AS DOUBLE) / tot AS share
+    FROM cells, total
+    """,
+)
+def event_heatmap_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour-of-day activity heatmap (counts + corpus
+    share) — the load-profile matrix behind capacity planning and
+    anomaly baselining (a Tuesday-3am hot cell is an incident, a
+    Friday-5pm one is payday). Calendar extraction runs in the session's
+    pinned UTC zone so both engines bucket identically; DuckDB's
+    dayofweek is 0=Sunday while Spark's dayofweek is 1=Sunday — the
+    Spark side subtracts 1 to align the contract.
+
+    One partial-aggregated pass collapsing to ≤ 168 cells; the share is
+    a single division against the broadcast total.
+    """
+    e = load(spark, sf_dir, "events")
+    cells = e.groupBy(
+        (F.dayofweek("ts") - 1).cast("bigint").alias("dow"),
+        F.hour("ts").cast("bigint").alias("hod"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    total = cells.agg(F.sum("n_events").cast("bigint").alias("tot"))
+    return cells.crossJoin(F.broadcast(total)).select(
+        "dow",
+        "hod",
+        "n_events",
+        (F.col("n_events").cast("double") / F.col("tot")).alias("share"),
+    )
+
+
+_PATH_LEN = 5   # first N events define the user's entry path
+_PATH_TOP = 20
+
+
+@query(
+    "event_top_paths",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT user_id, event_type,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS rn
+        FROM events
+    ),
+    paths AS (
+        SELECT user_id,
+               string_agg(event_type, '>' ORDER BY rn) AS path
+        FROM ranked WHERE rn <= {_PATH_LEN}
+        GROUP BY user_id
+    ),
+    counted AS (
+        SELECT path, CAST(count(*) AS BIGINT) AS n_users
+        FROM paths GROUP BY path
+    )
+    SELECT path, n_users FROM (
+        SELECT path, n_users,
+               row_number() OVER (ORDER BY n_users DESC, path) AS rnk
+        FROM counted
+    ) WHERE rnk <= {_PATH_TOP}
+    """,
+)
+def event_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top entry paths: each user's first {N} events concatenated in
+    arrival order, ranked by how many users share the exact path — the
+    user-journey / Sankey source every product-analytics tool renders
+    ('view>view>click>purchase' vs 'view>error>view>error…' tells you
+    more than any single funnel).
+
+    One window pass keyed on user_id ranks events; the path assembles in
+    the per-user rollup via an order-pinned fold (sorted struct collect →
+    concat), NO second shuffle; path counting collapses to |distinct
+    paths| rows and the top-k is a rank over that frame. Ties break on
+    the path string so the cut is deterministic.
+    """
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    ranked = e.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= _PATH_LEN)
+    paths = ranked.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    counted = paths.groupBy("path").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    w_top = Window.partitionBy(F.lit(0)).orderBy(
+        F.col("n_users").desc(), "path"
+    )
+    return (
+        counted.withColumn("rnk", F.row_number().over(w_top))
+        .filter(F.col("rnk") <= _PATH_TOP)
+        .select("path", "n_users")
+    )

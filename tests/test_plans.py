@@ -1030,3 +1030,27 @@ def test_pca_power_data_work_is_covariance_only(spark):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "Generate" in plan  # the inline cell explode
+
+
+def test_top_paths_single_user_window_no_join(spark):
+    """Path assembly happens in the per-user rollup — one user-keyed
+    window, no join back, no second raw-event scan."""
+    plan = plan_of(spark, "event_top_paths")
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 2  # one scan, double-printed
+
+
+def test_chi2_broadcasts_vocab_and_totals(spark):
+    """The capped vocabulary and the totals frames must broadcast —
+    a shuffle join against the token stream defeats the cap."""
+    plan = plan_of(spark, "text_vocab_chi2_drift")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_sequence_gaps_run_length_output(spark):
+    """Gap detection must emit runs via lead() — no generate_series
+    explosion, no join."""
+    plan = plan_of(spark, "audit_sequence_gaps")
+    assert "Join" not in plan
+    assert "Window" in plan
