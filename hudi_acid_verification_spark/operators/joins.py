@@ -313,16 +313,12 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def slot(j: int, key) -> F.Column:
-        return (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit(f"{j}:"), key.cast("string"))), 1, 8
-                ),
-                16,
-                10,
-            ).cast("bigint")
-            % _RF_BITS
-        )
+        # xxhash64, not md5: the bloom never crosses the engine boundary
+        # (the oracle is the plain join), so the hash only needs to be
+        # deterministic and cheap — xxhash64 is a single codegen'd JVM
+        # expression vs md5's digest+hex+substring+conv chain (~5x probe
+        # cost on the fact side).
+        return F.pmod(F.xxhash64(F.lit(j), key), F.lit(_RF_BITS))
 
     # --- build: key bits -> packed words -> one dense broadcastable array
     bits = orders.select(
