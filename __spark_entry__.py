@@ -109,6 +109,13 @@ _CERT_ORDER = [
     "pipeline_length_bucket_pack", "embedding_pca_power",
     "audit_sequence_gaps", "event_heatmap_dow_hour",
     "event_top_paths", "text_vocab_chi2_drift",
+    "ml_tree_ensemble_score", "pipeline_epoch_mixture",
+    "source_text_lines", "event_burst_zscore",
+    "text_sentence_segment", "graph_common_neighbors",
+    "multimodal_image_ahash", "event_ewma_daily", "graph_kcore_peel",
+    "text_readability_fre", "agg_pareto_coverage",
+    "event_ab_assignment_lift", "agg_gini_coefficient",
+    "pipeline_chunk_overlap", "multimodal_audio_energy_gate",
     # tier 4 — rows-only by design
     "pipeline_bpe_merges", "pipeline_bpe_encode",
     "agg_approx_distinct", "multimodal_decode_features",

@@ -81,6 +81,7 @@ def _import_all() -> None:
         dedup,
         graph,
         joins,
+        ml,
         multimodal,
         pipelines,
         pivoting,

@@ -813,30 +813,39 @@ def acid_clone_branching(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     branch = src.clone_to(os.path.join(base, "branch"))
 
-    def stage(name: str, t: AcidTable, witness: bool) -> tuple:
+    def stage(name: str, t: AcidTable, n_rows: int, witness: bool) -> tuple:
         m = t._read_manifest()
         own = sum(1 for f in m.files if not f.get("root"))
         refd = sum(1 for f in m.files if f.get("root"))
-        return (name, own, refd, int(t.snapshot().count()), witness)
+        return (name, own, refd, int(n_rows), witness)
 
-    rows = [stage("cloned", branch, bool(branch.snapshot().count() == n0))]
+    n_cloned = branch.snapshot().count()
+    rows = [stage("cloned", branch, n_cloned, bool(n_cloned == n0))]
     probe = [int(r[0]) for r in orders.limit(2).collect()]
     branch.delete(probe)                       # branch-side divergence
     src.upsert(orders.limit(1).withColumn(    # source-side divergence
         "o_totalprice", F.lit(0.0)
     ))
+    # One aggregate job per side (count + probe-key presence together);
+    # keep ONE real lookup() on the branch — the pruned point-read across
+    # referenced-root files is the interesting isolation path.
+    s_cnt, s_probe = src.snapshot().agg(
+        F.count(F.lit(1)),
+        F.sum(F.when(F.col("o_orderkey") == probe[0], 1).otherwise(0)),
+    ).collect()[0]
+    b_cnt = branch.snapshot().count()
     iso = bool(
-        branch.snapshot().count() == n0 - len(probe)
-        and src.snapshot().count() == n0
-        and src.lookup(probe[0]).count() == 1     # source still has it
+        b_cnt == n0 - len(probe)
+        and s_cnt == n0
+        and int(s_probe or 0) == 1                # source still has it
         and branch.lookup(probe[0]).count() == 0  # branch doesn't
     )
-    rows.append(stage("diverged", branch, iso))
+    rows.append(stage("diverged", branch, b_cnt, iso))
     branch.compact(max_files_per_partition=0)
     m = branch._read_manifest()
     rows.append(
         stage(
-            "materialized", branch,
+            "materialized", branch, branch.snapshot().count(),
             bool(not any(f.get("root") for f in m.files)),
         )
     )

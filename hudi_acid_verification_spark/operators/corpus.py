@@ -770,3 +770,192 @@ def pipeline_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(_MIX_TOKEN_BUDGET) * F.sqrt("n_tokens") / F.col("z")
         ).cast("bigint").alias("target_tokens"),
     )
+
+
+@query(
+    "pipeline_epoch_mixture",
+    oracle="""
+    WITH cfg AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               100 + CAST(('0x' || substr(md5('mix' || source), 1, 8))
+                          AS BIGINT) % 150 AS mult_x100
+        FROM documents GROUP BY 1
+    ),
+    plan AS (
+        SELECT source, n_docs, mult_x100,
+               (n_docs * mult_x100) // 100 AS desired,
+               ((n_docs * mult_x100) // 100) // n_docs AS epochs,
+               ((n_docs * mult_x100) // 100) % n_docs AS rem
+        FROM cfg
+    ),
+    ranked AS (
+        SELECT d.doc_id, d.source,
+               row_number() OVER (
+                   PARTITION BY d.source
+                   ORDER BY md5('e' || CAST(d.doc_id AS VARCHAR)), d.doc_id
+               ) AS rn
+        FROM documents d
+    ),
+    copies AS (
+        SELECT r.source, r.doc_id,
+               p.epochs + (CASE WHEN r.rn <= p.rem THEN 1 ELSE 0 END) AS c
+        FROM ranked r JOIN plan p ON p.source = r.source
+    )
+    SELECT c.source,
+           CAST(p.n_docs AS BIGINT) AS n_docs,
+           CAST(p.mult_x100 AS BIGINT) AS mult_x100,
+           CAST(sum(c.c) AS BIGINT) AS n_emitted,
+           CAST(sum(c.doc_id * c.c) AS BIGINT) AS emit_checksum,
+           (sum(c.c) = p.desired) AS budget_exact
+    FROM copies c JOIN plan p ON p.source = c.source
+    GROUP BY c.source, p.n_docs, p.mult_x100, p.desired
+    """,
+)
+def pipeline_epoch_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-replicated domain mixture — the OTHER half of mixture
+    sampling: when a domain's target share EXCEEDS its natural size, the
+    pipeline repeats the domain for a whole number of epochs plus a
+    deterministic fractional epoch (the standard up-sampling scheme for
+    high-quality-but-small sources). Each source gets a multiplier
+    (pseudo-config, md5-derived so both engines serve the identical plan;
+    a real run reads it from the mixture config), docs replicate
+    floor(multiplier) times, and the fractional remainder is filled by the
+    docs with the smallest seeded hash — a seeded, order-free choice that
+    is reproducible run-to-run and engine-to-engine. The emitted count per
+    source hits the token-budget target EXACTLY (witnessed by
+    ``budget_exact``), and ``emit_checksum`` (Σ doc_id·copies) pins WHICH
+    docs won the fractional epoch, not just how many.
+
+    Scale shape: the per-source plan is a tiny broadcast; replication is
+    ``explode(sequence(1, copies))`` — a narrow map-side blowup with no
+    shuffle beyond the final per-source aggregate; the remainder ranking
+    is one window over (source, hash), the only full shuffle in the plan.
+    At 100 TB epoch replication never materializes the repeats to storage
+    — downstream stages consume the exploded iterator exactly as here.
+    """
+    d = load(spark, sf_dir, "documents").select("doc_id", "source")
+    cfg = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs")).select(
+        "source",
+        "n_docs",
+        (
+            F.lit(100)
+            + F.conv(
+                F.substring(F.md5(F.concat(F.lit("mix"), F.col("source"))), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % 150
+        ).alias("mult_x100"),
+    )
+    plan = cfg.select(
+        "source", "n_docs", "mult_x100",
+        F.expr("(n_docs * mult_x100) DIV 100").alias("desired"),
+        F.expr("((n_docs * mult_x100) DIV 100) DIV n_docs").alias("epochs"),
+        F.expr("((n_docs * mult_x100) DIV 100) % n_docs").alias("rem"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit("e"), F.col("doc_id").cast("string"))), "doc_id"
+    )
+    ranked = d.withColumn("rn", F.row_number().over(w))
+    replicated = (
+        ranked.join(F.broadcast(plan), "source")
+        .withColumn(
+            "copies",
+            F.col("epochs") + F.when(F.col("rn") <= F.col("rem"), 1).otherwise(0),
+        )
+        .select(
+            "source", "doc_id", "desired", "n_docs", "mult_x100",
+            F.explode(F.expr("sequence(1, copies)")).alias("epoch_i"),
+        )
+    )
+    return replicated.groupBy("source", "n_docs", "mult_x100", "desired").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_emitted"),
+        F.sum("doc_id").cast("bigint").alias("emit_checksum"),
+    ).select(
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("mult_x100").cast("bigint").alias("mult_x100"),
+        "n_emitted",
+        "emit_checksum",
+        (F.col("n_emitted") == F.col("desired")).alias("budget_exact"),
+    )
+
+
+_CHUNK_W = 64   # context-window chunk size (tokens)
+_CHUNK_S = 48   # stride (tokens); W - S = 16 tokens of overlap
+
+
+@query(
+    "pipeline_chunk_overlap",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               len(list_filter(string_split(text, ' '), t -> t <> ''))
+                   AS n_tokens
+        FROM documents
+    ),
+    chunked AS (
+        SELECT doc_id, source, n_tokens,
+               CASE WHEN n_tokens <= {_CHUNK_W} THEN 1
+                    ELSE 1 + CAST(ceil(CAST(n_tokens - {_CHUNK_W} AS DOUBLE)
+                                       / {_CHUNK_S}) AS BIGINT) END AS n_chunks
+        FROM toks
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS corpus_tokens,
+           CAST(sum(n_chunks) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN n_tokens <= {_CHUNK_W} THEN n_tokens
+                         ELSE n_chunks * {_CHUNK_W}
+                              - (n_chunks - 1) * ({_CHUNK_W} - {_CHUNK_S})
+                    END) AS BIGINT) AS emitted_tokens_ub
+    FROM chunked GROUP BY 1
+    """,
+)
+def pipeline_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding context-window chunking — the RAG / long-context
+    preprocessor: cut each document into windows of {W} tokens with a
+    stride of {S} (16-token overlap keeps retrieval hits from losing
+    their sentence boundary). Emits per-source chunk inventory: document
+    count, corpus tokens, total chunks (1 + ceil((n−W)/S) for docs longer
+    than one window), and an emitted-token upper bound accounting for the
+    duplicated overlap — the storage/compute multiplier chunking costs.
+
+    The ceil() is exact cross-engine: its argument is a ratio of int64s
+    below 2^53, where double division is correctly rounded and both
+    engines ceil the identical quotient. Everything else is pure integer
+    arithmetic.
+
+    Scale shape: a narrow per-row projection (split once into a column,
+    count, arithmetic — no explode needed for the inventory; the actual
+    chunk-emission explode is ``sequence(0, n_chunks-1)``, map-side and
+    shuffle-free) followed by one partial-agg rollup.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.size(
+            F.filter(F.split("text", " "), lambda t: t != "")
+        ).cast("bigint").alias("n_tokens"),
+    )
+    n_chunks = F.when(F.col("n_tokens") <= _CHUNK_W, F.lit(1)).otherwise(
+        1
+        + F.ceil(
+            (F.col("n_tokens") - _CHUNK_W).cast("double") / F.lit(_CHUNK_S)
+        )
+    )
+    chunked = toks.withColumn("n_chunks", n_chunks.cast("bigint"))
+    emitted = F.when(
+        F.col("n_tokens") <= _CHUNK_W, F.col("n_tokens")
+    ).otherwise(
+        F.col("n_chunks") * _CHUNK_W
+        - (F.col("n_chunks") - 1) * (_CHUNK_W - _CHUNK_S)
+    )
+    return chunked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("corpus_tokens"),
+        F.sum("n_chunks").cast("bigint").alias("n_chunks"),
+        F.sum(emitted).cast("bigint").alias("emitted_tokens_ub"),
+    )

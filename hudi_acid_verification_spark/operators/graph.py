@@ -296,3 +296,270 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_degree",
         )
     )
+
+
+_CN_MOD = 3    # partkey hash-sample for the link-prediction subgraph
+_CN_TOP = 50
+
+
+def _common_neighbors_oracle() -> str:
+    return f"""
+    WITH e AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a
+        JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                       AND a.l_partkey < b.l_partkey
+        WHERE a.l_partkey % {_CN_MOD} = 0 AND b.l_partkey % {_CN_MOD} = 0
+    ),
+    deg AS (
+        SELECT x, CAST(count(*) AS BIGINT) AS d FROM (
+            SELECT u AS x FROM e UNION ALL SELECT v FROM e
+        ) GROUP BY x
+    ),
+    tri AS (
+        SELECT e1.u AS x, e1.v AS y, e2.v AS z
+        FROM e e1
+        JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+        JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+    ),
+    support AS (
+        SELECT lo, hi, CAST(count(*) AS BIGINT) AS common FROM (
+            SELECT x AS lo, y AS hi FROM tri
+            UNION ALL SELECT x, z FROM tri
+            UNION ALL SELECT y, z FROM tri
+        ) GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT s.lo, s.hi, s.common, dl.d AS deg_lo, dh.d AS deg_hi,
+               CAST(s.common AS DOUBLE)
+                   / (dl.d + dh.d - 2 - s.common) AS jaccard,
+               row_number() OVER (
+                   ORDER BY s.common DESC, s.lo, s.hi
+               ) AS rn
+        FROM support s
+        JOIN deg dl ON dl.x = s.lo
+        JOIN deg dh ON dh.x = s.hi
+    )
+    SELECT lo, hi, common, deg_lo, deg_hi, jaccard
+    FROM scored WHERE rn <= {_CN_TOP}
+    """
+
+
+@query("graph_common_neighbors", oracle=_common_neighbors_oracle())
+def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-prediction feature extraction: per-EDGE common-neighbor count
+    (triangle support) and neighbor-Jaccard similarity on a hash-sampled
+    co-purchase subgraph, top-{K} strongest ties — the classic
+    "people/parts also bought together" affinity score, and the edge-
+    strength signal community-detection prunes on (k-truss uses exactly
+    this support count).
+
+    Scale shape: the same degree-ordered orientation as
+    ``graph_triangle_count`` bounds wedge generation at O(m^1.5) under any
+    skew; each closed triangle then attributes +1 support to its three
+    edges via an explode + partial-agg count (no second pass over wedges).
+    Jaccard's denominator |N(a)∪N(b)| = deg(a)+deg(b)−2−common comes from
+    the broadcast-size degree table; the division is ONE IEEE op on exact
+    ints, so even the similarity VALUES hash-match. Hash-sampling the
+    vertex set (partkey % {M}) is the standard subgraph-eval protocol —
+    deterministic, engine-identical, and density-preserving.
+    """
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .filter(F.col("l_partkey") % _CN_MOD == 0)
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        edges.select(F.col("u").alias("x"))
+        .unionAll(edges.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("x").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("x").alias("v"), F.col("d").alias("dv"))
+    ranked = edges.join(du, "u").join(dv, "v")
+    lower_u = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ranked.select(
+        F.when(lower_u, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(
+            lower_u,
+            F.struct(F.col("dv").alias("deg"), F.col("v").alias("id")),
+        )
+        .otherwise(F.struct(F.col("du").alias("deg"), F.col("u").alias("id")))
+        .alias("dst"),
+    ).localCheckpoint(eager=False)
+    w1 = oriented.select("src", F.col("dst").alias("d1"))
+    w2 = oriented.select("src", F.col("dst").alias("d2"))
+    wedges = (
+        w1.join(w2, "src")
+        .filter(F.col("d1") < F.col("d2"))
+        .select(
+            "src",
+            F.col("d1").getField("id").alias("wu"),
+            F.col("d2").getField("id").alias("wv"),
+        )
+    )
+    closing = oriented.select(
+        F.col("src").alias("wu"),
+        F.col("dst").getField("id").alias("wv"),
+    )
+    tri = wedges.join(closing, ["wu", "wv"]).select(
+        F.col("src").alias("t1"), F.col("wu").alias("t2"), F.col("wv").alias("t3")
+    )
+    pair = lambda x, y: F.struct(  # noqa: E731
+        F.least(F.col(x), F.col(y)).alias("lo"),
+        F.greatest(F.col(x), F.col(y)).alias("hi"),
+    )
+    support = (
+        tri.select(
+            F.explode(
+                F.array(pair("t1", "t2"), pair("t1", "t3"), pair("t2", "t3"))
+            ).alias("e")
+        )
+        .select(F.col("e.lo").alias("lo"), F.col("e.hi").alias("hi"))
+        .groupBy("lo", "hi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("common"))
+    )
+    dl = deg.select(F.col("x").alias("lo"), F.col("d").alias("deg_lo"))
+    dh = deg.select(F.col("x").alias("hi"), F.col("d").alias("deg_hi"))
+    scored = (
+        support.join(dl, "lo")
+        .join(dh, "hi")
+        .select(
+            "lo", "hi", "common",
+            F.col("deg_lo").cast("bigint").alias("deg_lo"),
+            F.col("deg_hi").cast("bigint").alias("deg_hi"),
+            (
+                F.col("common").cast("double")
+                / (F.col("deg_lo") + F.col("deg_hi") - 2 - F.col("common"))
+            ).alias("jaccard"),
+        )
+    )
+    # (common DESC, lo, hi) is a TOTAL order — (lo, hi) is the unique edge
+    # key — so orderBy+limit selects exactly the oracle's row_number()<=K
+    # set while planning as TakeOrderedAndProject (per-partition top-K
+    # heaps merged at the driver; no single-partition window exchange).
+    return scored.orderBy(F.col("common").desc(), "lo", "hi").limit(_CN_TOP)
+
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 2
+
+
+def _kcore_oracle() -> str:
+    k, m = _KCORE_K, _CN_MOD
+    return f"""
+    WITH e0 AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a
+        JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                       AND a.l_partkey < b.l_partkey
+        WHERE a.l_partkey % {m} = 0 AND b.l_partkey % {m} = 0
+    ),
+    d0 AS (
+        SELECT x, count(*) AS d FROM (
+            SELECT u AS x FROM e0 UNION ALL SELECT v FROM e0
+        ) GROUP BY x
+    ),
+    v1 AS (SELECT x FROM d0 WHERE d >= {k}),
+    e1 AS (
+        SELECT e.u, e.v FROM e0 e
+        JOIN v1 a ON a.x = e.u JOIN v1 b ON b.x = e.v
+    ),
+    d1 AS (
+        SELECT x, count(*) AS d FROM (
+            SELECT u AS x FROM e1 UNION ALL SELECT v FROM e1
+        ) GROUP BY x
+    ),
+    v2 AS (SELECT x FROM d1 WHERE d >= {k}),
+    e2 AS (
+        SELECT e.u, e.v FROM e1 e
+        JOIN v2 a ON a.x = e.u JOIN v2 b ON b.x = e.v
+    )
+    SELECT * FROM (
+        SELECT 0 AS round,
+               CAST((SELECT count(*) FROM d0) AS BIGINT) AS n_nodes,
+               CAST((SELECT count(*) FROM e0) AS BIGINT) AS n_edges
+        UNION ALL
+        SELECT 1, CAST((SELECT count(*) FROM v1) AS BIGINT),
+                  CAST((SELECT count(*) FROM e1) AS BIGINT)
+        UNION ALL
+        SELECT 2, CAST((SELECT count(*) FROM v2) AS BIGINT),
+                  CAST((SELECT count(*) FROM e2) AS BIGINT)
+    )
+    """
+
+
+@query("graph_kcore_peel", oracle=_kcore_oracle())
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{K}-core decomposition by iterative peeling on the hash-sampled
+    co-purchase subgraph: repeatedly drop every vertex with degree < {K}
+    and the edges it carries — the densest-region extractor that feeds
+    community detection and fraud-ring mining (the loop is the textbook
+    distributed k-core algorithm; each peel can cascade, so one pass is
+    not enough). Rounds are pinned at {R} so the oracle can mirror them as
+    unrolled CTEs; the Spark side runs the SAME generic loop it would run
+    to fixpoint at scale. Reports per round the surviving node/edge counts.
+
+    Scale shape per round: one degree count (partial-agg shuffle on vertex
+    id) and one semi-join of the edge list against the surviving vertex
+    set — both partial-aggregated, none quadratic; the edge list only
+    SHRINKS, and the surviving-vertex frame is re-materialized per round
+    (localCheckpoint) to keep the iterative lineage flat, the same idiom
+    as dedup_components.
+    """
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .filter(F.col("l_partkey") % _CN_MOD == 0)
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def degrees(e: DataFrame) -> DataFrame:
+        return (
+            e.select(F.col("u").alias("x"))
+            .unionAll(e.select(F.col("v").alias("x")))
+            .groupBy("x")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+
+    rows = []
+    deg = degrees(edges)
+    rows.append((0, deg.count(), edges.count()))
+    for r in range(1, _KCORE_ROUNDS + 1):
+        alive = deg.filter(F.col("d") >= _KCORE_K).select("x")
+        edges = (
+            edges.join(alive.withColumnRenamed("x", "u"), "u", "semi")
+            .join(alive.withColumnRenamed("x", "v"), "v", "semi")
+            .select("u", "v")
+            .localCheckpoint()
+        )
+        n_alive = alive.count()
+        rows.append((r, n_alive, edges.count()))
+        deg = degrees(edges)
+    return spark.createDataFrame(
+        rows, "round int, n_nodes bigint, n_edges bigint"
+    )

@@ -87,6 +87,7 @@ def decode_wav(payload: bytes) -> dict:
         "peak": int(np.abs(arr).max()) if len(arr) else 0,
         "unit_sum": int(arr.sum()),
         "checksum": int(arr.sum() % _MOD),
+        "samples": arr,
     }
 
 
@@ -136,6 +137,7 @@ def decode_netpbm(payload: bytes) -> dict:
         "peak": int(raster.max()) if len(raster) else 0,
         "unit_sum": int(raster.sum()),
         "checksum": int(raster.sum() % _MOD),
+        "raster": payload[pos : pos + width * height * depth],
     }
 
 

@@ -305,3 +305,224 @@ def multimodal_container_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return containers.mapInPandas(decode, schema=out_schema)
+
+
+_AHASH_CELLS = 16  # perceptual-hash resolution (bits)
+
+
+def _ahash_oracle() -> str:
+    return f"""
+    WITH eligible AS (
+        SELECT doc_id, text, length(text) // 3 AS w
+        FROM documents
+        WHERE NOT regexp_matches(text, '[^\\x00-\\x7F]')
+          AND length(text) >= {3 * _AHASH_CELLS}
+    ),
+    px AS (
+        SELECT e.doc_id, e.w, u.i,
+               (ascii(substr(e.text, 3 * u.i + 1, 1))
+                + ascii(substr(e.text, 3 * u.i + 2, 1))
+                + ascii(substr(e.text, 3 * u.i + 3, 1))) // 3 AS gray,
+               (u.i * {_AHASH_CELLS}) // e.w AS cell
+        FROM eligible e,
+             LATERAL (SELECT unnest(generate_series(0, e.w - 1)) AS i) u
+    ),
+    cells AS (
+        SELECT doc_id, w, cell,
+               CAST(sum(gray) AS BIGINT) AS cell_sum,
+               CAST(count(*) AS BIGINT) AS cell_cnt
+        FROM px GROUP BY 1, 2, 3
+    ),
+    gtot AS (
+        SELECT doc_id, CAST(sum(cell_sum) AS BIGINT) AS g_sum
+        FROM cells GROUP BY 1
+    ),
+    hashes AS (
+        SELECT c.doc_id,
+               CAST(max(c.w) AS BIGINT) AS n_pixels,
+               CAST(sum(CASE WHEN c.cell_sum * c.w > g.g_sum * c.cell_cnt
+                             THEN 1 << c.cell ELSE 0 END) AS BIGINT) AS ahash
+        FROM cells c JOIN gtot g ON g.doc_id = c.doc_id
+        GROUP BY c.doc_id
+    )
+    SELECT doc_id, n_pixels, ahash,
+           CAST(count(*) OVER (PARTITION BY ahash) AS BIGINT) AS bucket_size
+    FROM hashes
+    """
+
+
+@query("multimodal_image_ahash", oracle=_ahash_oracle())
+def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash (average-hash) image near-duplication — the
+    multimodal counterpart of MinHash: synthesize a genuine binary PPM
+    strip per document (raster = leading bytes, the container_decode
+    protocol), DECODE it with the real netpbm codec inside mapInPandas,
+    downsample the gray channel into {C} cells, and emit one bit per cell
+    (cell mean > image mean). Equal hashes ⇒ perceptually-equal strips;
+    ``bucket_size`` > 1 marks near-dup candidate groups exactly the way
+    production image dedup buckets pHashes before a pixel-level rescore.
+
+    The comparison is exact end-to-end: the bit test is integer
+    cross-multiplied (cell_sum·n > img_sum·cell_cnt — no float mean), and
+    the oracle re-derives the identical raster from code points (ASCII
+    gate), so the decoded PIXELS, the hash VALUES, and the bucket sizes
+    all hash-match DuckDB.
+
+    Scale shape: encode+decode+hash are per-row Arrow-batched map work (no
+    shuffle, no driver bytes); the only exchange is the bucket-count
+    window keyed on the 16-bit hash — at 100 TB, the same plan with the
+    hash as the LSH bucket join key.
+    """
+    import numpy as np
+
+    from .media_codecs import decode_netpbm, encode_ppm
+
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(~F.col("text").rlike("[^\\x00-\\x7F]"))
+        .filter(F.length("text") >= 3 * _AHASH_CELLS)
+        .select("doc_id", "text")
+    )
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                w = len(b) // 3
+                payload = encode_ppm(b[: 3 * w].tobytes(), width=w, height=1)
+                img = decode_netpbm(payload)  # real codec path
+                raster = np.frombuffer(img["raster"], dtype=np.uint8).astype(
+                    np.int64
+                )
+                gray = (
+                    raster[0::3] + raster[1::3] + raster[2::3]
+                ) // 3
+                cells = (np.arange(w, dtype=np.int64) * _AHASH_CELLS) // w
+                cell_sum = np.bincount(cells, weights=gray).astype(np.int64)
+                cell_cnt = np.bincount(cells).astype(np.int64)
+                g_sum = int(gray.sum())
+                bits = ((cell_sum * w) > (g_sum * cell_cnt)).astype(np.int64)
+                ahash = int((bits << np.arange(_AHASH_CELLS)).sum())
+                rows.append((int(doc_id), int(w), ahash))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_pixels", "ahash"]
+            )
+
+    hashes = d.mapInPandas(
+        hash_batch, schema="doc_id bigint, n_pixels bigint, ahash bigint"
+    )
+    from pyspark.sql import Window
+
+    return hashes.select(
+        "doc_id",
+        "n_pixels",
+        "ahash",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("ahash"))
+        .cast("bigint")
+        .alias("bucket_size"),
+    )
+
+
+_VAD_FRAME = 40  # samples per energy frame
+
+
+def _audio_gate_oracle() -> str:
+    f = _VAD_FRAME
+    return f"""
+    WITH eligible AS (
+        SELECT doc_id, text, length(text) AS n
+        FROM documents
+        WHERE NOT regexp_matches(text, '[^\\x00-\\x7F]')
+          AND length(text) >= {2 * f}
+    ),
+    samples AS (
+        SELECT e.doc_id, e.n, u.i,
+               (ascii(substr(e.text, u.i + 1, 1)) - 128) * 256 AS s,
+               u.i // {f} AS frame
+        FROM eligible e,
+             LATERAL (SELECT unnest(generate_series(0, e.n - 1)) AS i) u
+        WHERE u.i < (e.n // {f}) * {f}
+    ),
+    frames AS (
+        SELECT doc_id, frame,
+               CAST(sum(s * s) AS BIGINT) AS energy
+        FROM samples GROUP BY 1, 2
+    ),
+    totals AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS nf,
+               CAST(sum(energy) AS BIGINT) AS te
+        FROM frames GROUP BY 1
+    )
+    SELECT f.doc_id,
+           t.nf AS n_frames,
+           CAST(sum(CASE WHEN f.energy * t.nf > t.te THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_active_frames,
+           t.te AS total_energy
+    FROM frames f JOIN totals t ON t.doc_id = f.doc_id
+    GROUP BY f.doc_id, t.nf, t.te
+    """
+
+
+@query("multimodal_audio_energy_gate", oracle=_audio_gate_oracle())
+def multimodal_audio_energy_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity-detection analog over REAL decoded audio: synthesize
+    a genuine RIFF/WAVE PCM16 container per document (samples =
+    (byte−128)·256, the container_decode protocol), decode it with the
+    real WAV codec inside mapInPandas, cut the sample stream into
+    {F}-sample frames, and flag ACTIVE frames — energy above the
+    per-clip mean, tested in exact integer cross-multiplied form
+    (energy·n_frames > total_energy), no float mean. This is the
+    speech-pipeline gate that drops silence before transcription; the
+    oracle re-derives the identical samples from code points (ASCII
+    gate), so frame energies, activity flags, and totals all hash-match.
+
+    Scale shape: encode+decode+frame-energy are per-row Arrow-batched map
+    work — no shuffle, no driver bytes; output is one row per clip. At
+    100 TB the same plan fetches payloads by uri inside the batch and the
+    energy gate prunes the corpus before the expensive ASR stage.
+    """
+    import numpy as np
+
+    from .media_codecs import decode_wav, encode_wav_pcm16
+
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(~F.col("text").rlike("[^\\x00-\\x7F]"))
+        .filter(F.length("text") >= 2 * _VAD_FRAME)
+        .select("doc_id", "text")
+    )
+
+    def gate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                samples = (b.astype(np.int64) - 128) * 256
+                payload = encode_wav_pcm16(samples, sample_rate=16000)
+                decoded = decode_wav(payload)  # real codec path
+                s = np.asarray(decoded["samples"], dtype=np.int64)
+                n_frames = len(s) // _VAD_FRAME
+                s = s[: n_frames * _VAD_FRAME]
+                energy = (
+                    (s * s).reshape(n_frames, _VAD_FRAME).sum(axis=1)
+                )
+                total = int(energy.sum())
+                active = int((energy * n_frames > total).sum())
+                rows.append((int(doc_id), int(n_frames), active, total))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_frames", "n_active_frames", "total_energy"
+                ],
+            )
+
+    return d.mapInPandas(
+        gate,
+        schema=(
+            "doc_id bigint, n_frames bigint, n_active_frames bigint, "
+            "total_energy bigint"
+        ),
+    )

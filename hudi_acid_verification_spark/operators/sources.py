@@ -215,3 +215,68 @@ def source_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFr
             F.sum("n_chars").cast("bigint").alias("total_chars"),
         )
     )
+
+
+@query(
+    "source_text_lines",
+    oracle="""
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           CAST(sum(length(text) - length(replace(text, ' ', '')) + 1)
+                AS BIGINT) AS total_tokens
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def source_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw text-line ingestion — the log-file / WET-extract edge of a
+    corpus pipeline: documents are rendered to a delimited line format
+    (``doc_id<TAB>lang<TAB>source<TAB>text``), written through Spark's
+    ``text`` sink, re-read with ``spark.read.text`` (one ``value`` column,
+    no schema, no parsing — the rawest source Spark has), and re-parsed
+    with ``regexp_extract`` projections. The oracle aggregates the
+    original parquet, so the claim is a LOSSLESS round trip through the
+    unstructured format plus a correct line parser.
+
+    Scale shape: text files split by line boundaries, so the read
+    parallelizes like any scan; parsing is a narrow codegen'd map
+    (regexp_extract), and the only exchange is the final partial-agg
+    groupBy. Schema-on-read from regex is exactly how raw crawl/log lands
+    at 100 TB before columnarization (and why you convert after one pass:
+    no pushdown, no pruning, full-line decode every query).
+    """
+    path = _stage_dir(sf_dir, "documents_textlines")
+    d = load(spark, sf_dir, "documents")
+    (
+        d.select(
+            F.concat_ws(
+                "\t",
+                F.col("doc_id").cast("string"),
+                "lang",
+                "source",
+                "text",
+            ).alias("value")
+        )
+        .write.mode("overwrite")
+        .format("text")
+        .save(path)
+    )
+    lines = spark.read.text(path)
+    parsed = lines.select(
+        F.regexp_extract("value", r"^([^\t]*)\t([^\t]*)\t([^\t]*)\t(.*)$", 2)
+        .alias("lang"),
+        F.regexp_extract("value", r"^([^\t]*)\t([^\t]*)\t([^\t]*)\t(.*)$", 3)
+        .alias("source"),
+        F.regexp_extract("value", r"^([^\t]*)\t([^\t]*)\t([^\t]*)\t(.*)$", 4)
+        .alias("text"),
+    )
+    n_tokens = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit(" ")))
+        + F.lit(1)
+    )
+    return parsed.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+        F.sum(n_tokens).cast("bigint").alias("total_tokens"),
+    )

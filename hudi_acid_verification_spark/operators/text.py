@@ -706,3 +706,155 @@ def text_vocab_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, s: acc + s["term"],
         ).alias("chi2"),
     )
+
+
+@query(
+    "text_sentence_segment",
+    oracle="""
+    WITH seg AS (
+        SELECT doc_id, lang,
+               list_filter(
+                   list_transform(regexp_split_to_array(text, '[.!?]+'),
+                                  s -> trim(s)),
+                   s -> s <> ''
+               ) AS sents
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST(len(sents) AS BIGINT) AS n_sentences,
+           CAST(coalesce(list_max(list_transform(sents, s -> length(s))), 0)
+                AS BIGINT) AS max_sent_chars,
+           CAST(coalesce(list_sum(list_transform(sents, s -> length(s))), 0)
+                AS BIGINT) AS total_sent_chars
+    FROM seg
+    """,
+)
+def text_sentence_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation statistics — the unit-of-text preprocessor
+    under sentence-level dedup, chunking-for-RAG, and readability scoring:
+    split each document on terminal punctuation runs ([.!?]+), trim, drop
+    empties, and report per-doc sentence count plus max/total sentence
+    length. Both engines run the SAME regex split + lambda pipeline
+    (Spark ``split``/``transform``/``filter`` HOFs ↔ DuckDB
+    ``regexp_split_to_array``/``list_transform``/``list_filter``), so the
+    segmentation itself — not just row counts — is hash-verified.
+
+    Scale shape: entirely narrow per-row array work inside whole-stage
+    codegen; no shuffle at all (the output is per-document). The array
+    materializes ONCE per row into a column before the per-sentence
+    lambdas touch it — re-evaluating split() inside a lambda is the
+    documented O(n²) trap (operators/__init__ lesson).
+    """
+    d = load(spark, sf_dir, "documents")
+    sents = F.filter(
+        F.transform(F.split("text", r"[.!?]+"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    seg = d.select("doc_id", "lang", sents.alias("sents"))
+    lens = F.transform("sents", lambda s: F.length(s))
+    return seg.select(
+        "doc_id",
+        "lang",
+        F.size("sents").cast("bigint").alias("n_sentences"),
+        F.coalesce(F.array_max(lens), F.lit(0))
+        .cast("bigint")
+        .alias("max_sent_chars"),
+        F.coalesce(
+            F.aggregate(lens, F.lit(0), lambda acc, x: acc + x), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("total_sent_chars"),
+    )
+
+
+@query(
+    "text_readability_fre",
+    oracle="""
+    WITH feats AS (
+        SELECT doc_id,
+               greatest(len(list_filter(
+                   list_transform(regexp_split_to_array(text, '[.!?]+'),
+                                  s -> trim(s)),
+                   s -> s <> '')), 1) AS n_sent,
+               length(text) - length(replace(text, ' ', '')) + 1 AS n_words,
+               length(regexp_replace(lower(text), '[aeiou]+', '#', 'g'))
+                 - length(regexp_replace(lower(text), '[aeiou]+', '', 'g'))
+                 AS n_syll
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_sent AS BIGINT) AS n_sentences,
+           CAST(n_syll AS BIGINT) AS n_syllables,
+           CAST(206835 - (1015 * n_words) // n_sent
+                       - (84600 * n_syll) // greatest(n_words, 1)
+                AS BIGINT) AS fre_x1000,
+           CASE WHEN 206835 - (1015 * n_words) // n_sent
+                       - (84600 * n_syll) // greatest(n_words, 1) >= 90000
+                THEN 'very_easy'
+                WHEN 206835 - (1015 * n_words) // n_sent
+                       - (84600 * n_syll) // greatest(n_words, 1) >= 60000
+                THEN 'standard'
+                WHEN 206835 - (1015 * n_words) // n_sent
+                       - (84600 * n_syll) // greatest(n_words, 1) >= 30000
+                THEN 'difficult'
+                ELSE 'very_difficult' END AS band
+    FROM feats
+    """,
+)
+def text_readability_fre(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease scoring in exact fixed-point arithmetic — the
+    classic readability gate corpus pipelines bucket documents by
+    (text simplification targets, grade-level routing, child-safety
+    tiers). Syllables use the standard vowel-group proxy, counted exactly
+    as (length after collapsing each [aeiou]+ run to one char) − (length
+    after deleting the runs) — one run ⇒ one count, no per-word loop. The
+    formula 206.835 − 1.015·(words/sentence) − 84.6·(syllables/word) is
+    served ×1000 with integer DIVs, so scores and bands are bit-identical
+    across engines (the float formula would disagree in the last ulp).
+
+    Scale shape: three regexp passes per row, zero shuffles, all inside
+    one WholeStageCodegen projection — readability of a 100 TB corpus
+    costs exactly one scan.
+    """
+    d = load(spark, sf_dir, "documents")
+    n_sent = F.greatest(
+        F.size(
+            F.filter(
+                F.transform(F.split("text", r"[.!?]+"), lambda s: F.trim(s)),
+                lambda s: s != "",
+            )
+        ),
+        F.lit(1),
+    )
+    n_words = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit(" ")))
+        + F.lit(1)
+    )
+    lowered = F.lower(F.col("text"))
+    n_syll = F.length(
+        F.regexp_replace(lowered, "[aeiou]+", "#")
+    ) - F.length(F.regexp_replace(lowered, "[aeiou]+", ""))
+    feats = d.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        n_sent.cast("bigint").alias("n_sentences"),
+        n_syll.cast("bigint").alias("n_syllables"),
+    )
+    fre = (
+        F.lit(206835)
+        - F.expr("(1015 * n_words) DIV n_sentences")
+        - F.expr("(84600 * n_syllables) DIV greatest(n_words, 1)")
+    )
+    return feats.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        fre.cast("bigint").alias("fre_x1000"),
+        F.when(fre >= 90000, "very_easy")
+        .when(fre >= 60000, "standard")
+        .when(fre >= 30000, "difficult")
+        .otherwise("very_difficult")
+        .alias("band"),
+    )

@@ -211,3 +211,165 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dist_us"
         ),
     )
+
+
+@query(
+    "event_burst_zscore",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(epoch_ns(ts) // 3600000000000 AS BIGINT) AS hour_id,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT event_type, hour_id, c,
+               CAST(coalesce(count(c) OVER trail, 0) AS BIGINT) AS s0,
+               CAST(coalesce(sum(c) OVER trail, 0) AS BIGINT) AS s1,
+               CAST(coalesce(sum(c * c) OVER trail, 0) AS BIGINT) AS s2
+        FROM hourly
+        WINDOW trail AS (
+            PARTITION BY event_type ORDER BY hour_id
+            RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING
+        )
+    )
+    SELECT event_type, hour_id, c AS n_events, s0 AS n_trailing,
+           (s0 >= 12 AND
+            (c * s0 - s1) * (c * s0 - s1) > 9 * (s0 * s2 - s1 * s1)
+            AND c * s0 > s1) AS is_burst
+    FROM stats
+    """,
+)
+def event_burst_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst / anomaly detection on event rates: flag any (event type,
+    hour) whose count sits more than 3 trailing standard deviations ABOVE
+    its own trailing-24-active-hour mean — the alerting primitive behind
+    rate-spike monitors. The z-score test is evaluated in EXACT integer
+    cross-multiplied form — (c·S0 − S1)² > 9·(S0·S2 − S1²), plus a
+    directional guard c·S0 > S1 — so no sqrt/divide ever runs and the
+    verdict is bit-identical across engines (a floating z would not be).
+
+    Scale shape: one partial-aggregated shuffle to hourly counts (the raw
+    events collapse ~10⁴:1 before any window), then ONE range-frame window
+    per event type over the tiny hourly series. Trailing statistics come
+    from the same RANGE BETWEEN frame both engines define identically on
+    the integer hour id; hours with zero events hold no row, so the
+    baseline is "trailing active hours" by construction — documented
+    semantics, not an accident.
+    """
+    hourly = (
+        load(spark, sf_dir, "events")
+        .select("event_type", F.expr("ts_ns DIV 3600000000000").alias("hour_id"))
+        .groupBy("event_type", "hour_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    trail = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_id")
+        .rangeBetween(-24, -1)
+    )
+    stats = hourly.select(
+        "event_type",
+        "hour_id",
+        "c",
+        F.coalesce(F.count("c").over(trail), F.lit(0)).alias("s0"),
+        F.coalesce(F.sum("c").over(trail), F.lit(0)).alias("s1"),
+        F.coalesce(F.sum(F.col("c") * F.col("c")).over(trail), F.lit(0)).alias("s2"),
+    )
+    lhs = (F.col("c") * F.col("s0") - F.col("s1"))
+    burst = (
+        (F.col("s0") >= 12)
+        & (lhs * lhs > 9 * (F.col("s0") * F.col("s2") - F.col("s1") * F.col("s1")))
+        & (F.col("c") * F.col("s0") > F.col("s1"))
+    )
+    return stats.select(
+        "event_type",
+        "hour_id",
+        F.col("c").cast("bigint").alias("n_events"),
+        F.col("s0").cast("bigint").alias("n_trailing"),
+        burst.alias("is_burst"),
+    )
+
+
+_EWMA_ALPHA = 30   # smoothing weight, percent
+_EWMA_SCALE = 100  # fixed-point scale on the smoothed value
+
+
+@query(
+    "event_ewma_daily",
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+        SELECT event_type,
+               CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    ord AS (
+        SELECT event_type, day, c,
+               row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+        FROM daily
+    ),
+    ew AS (
+        SELECT event_type, day, c, rn,
+               CAST(c * {_EWMA_SCALE} AS BIGINT) AS e
+        FROM ord WHERE rn = 1
+        UNION ALL
+        SELECT o.event_type, o.day, o.c, o.rn,
+               CAST(({_EWMA_ALPHA} * o.c * {_EWMA_SCALE}
+                     + (100 - {_EWMA_ALPHA}) * ew.e) // 100 AS BIGINT)
+        FROM ord o
+        JOIN ew ON ew.event_type = o.event_type AND o.rn = ew.rn + 1
+    )
+    SELECT event_type, day, c AS n_events, e AS ewma_x100 FROM ew
+    """,
+)
+def event_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily event rates — the
+    smoother behind every trend/alerting dashboard — in EXACT fixed-point
+    integer arithmetic: s₁ = c₁·{S}, sₜ = ({A}·cₜ·{S} + (100−{A})·sₜ₋₁)
+    DIV 100. An inherently SEQUENTIAL recurrence (each value depends on
+    the previous), so it cannot be a window aggregate; Spark evaluates it
+    as an ordered fold inside ONE higher-order ``aggregate`` lambda per
+    series, and the DuckDB oracle replays the identical recurrence with a
+    recursive CTE — integer state makes the two bit-identical at any
+    depth, where a float EWMA would drift.
+
+    Scale shape: raw events collapse to per-(type, day) counts in one
+    partial-agg shuffle (~10⁴:1); each series then folds WITHIN its group
+    — a per-key sequential scan, embarrassingly parallel ACROSS the
+    millions of keys a real deployment smooths (per user, per metric, per
+    page). The collect_list stays bounded by the series length, the
+    documented contract for HOF folds (time axis, not corpus axis).
+    """
+    daily = (
+        load(spark, sf_dir, "events")
+        .select("event_type", F.expr("ts_ns DIV 86400000000000").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    series = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("day", "c"))).alias("xs")
+    )
+    fold = F.expr(
+        f"""
+        aggregate(
+            xs,
+            CAST(array() AS ARRAY<STRUCT<day: BIGINT, c: BIGINT, e: BIGINT>>),
+            (acc, x) -> acc || array(named_struct(
+                'day', x.day, 'c', x.c,
+                'e', CASE WHEN size(acc) = 0 THEN x.c * {_EWMA_SCALE}
+                     ELSE ({_EWMA_ALPHA} * x.c * {_EWMA_SCALE}
+                           + (100 - {_EWMA_ALPHA}) * element_at(acc, -1).e)
+                          DIV 100 END))
+        )
+        """
+    )
+    return (
+        series.select("event_type", F.explode(fold).alias("s"))
+        .select(
+            "event_type",
+            F.col("s.day").alias("day"),
+            F.col("s.c").alias("n_events"),
+            F.col("s.e").alias("ewma_x100"),
+        )
+    )

@@ -505,3 +505,240 @@ def event_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _PATH_TOP)
         .select("path", "n_users")
     )
+
+
+@query(
+    "agg_pareto_coverage",
+    oracle="""
+    WITH rev AS (
+        SELECT c.c_nationkey AS nationkey, o.o_custkey,
+               CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT nationkey, o_custkey, cents,
+               sum(cents) OVER (
+                   PARTITION BY nationkey
+                   ORDER BY cents DESC, o_custkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum,
+               sum(cents) OVER (PARTITION BY nationkey) AS total
+        FROM rev
+    )
+    SELECT nationkey,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CASE WHEN 5 * (cum - cents) < 4 * total
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pareto,
+           CAST((sum(CASE WHEN 5 * (cum - cents) < 4 * total
+                          THEN 1 ELSE 0 END) * 10000) // count(*)
+                AS BIGINT) AS pareto_pct_x100,
+           CAST(max(total) AS BIGINT) AS total_cents
+    FROM ranked
+    GROUP BY 1
+    """,
+)
+def agg_pareto_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto (80/20) concentration analysis: per nation, the SMALLEST set
+    of customers whose revenue covers ≥80% of the nation's total — the
+    concentration-risk / whale-detection rollup every revenue dashboard
+    carries. A customer belongs to the Pareto set iff the running total
+    BEFORE them is still under the threshold; the test is the exact
+    integer cross-multiplication 5·(cum − cents) < 4·total (0.8 = 4/5),
+    so membership, counts, and the ×100 coverage percentage all
+    hash-match the oracle with no floating threshold anywhere.
+
+    Scale shape: one partial-agg shuffle to per-customer cents, a
+    customer-dim broadcast join for the nation key, then ONE window sort
+    per nation (the partition key bounds the sort's shuffle); the final
+    rollup collapses to ≤ nation-count rows. Revenue stays in bigint
+    cents end-to-end — the decimal-sum trap documented in
+    aggregations.py never arises.
+    """
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_nationkey").alias("nationkey"),
+    )
+    rev = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum("cents").cast("bigint").alias("cents"))
+        .join(F.broadcast(cust), "o_custkey")
+    )
+    w_cum = (
+        Window.partitionBy("nationkey")
+        .orderBy(F.col("cents").desc(), "o_custkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("nationkey")
+    ranked = rev.select(
+        "nationkey",
+        "cents",
+        F.sum("cents").over(w_cum).alias("cum"),
+        F.sum("cents").over(w_tot).alias("total"),
+    )
+    in_pareto = F.when(
+        5 * (F.col("cum") - F.col("cents")) < 4 * F.col("total"), 1
+    ).otherwise(0)
+    return ranked.groupBy("nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum(in_pareto).cast("bigint").alias("n_pareto"),
+        F.expr(
+            "CAST((sum(CASE WHEN 5 * (cum - cents) < 4 * total THEN 1 ELSE 0 "
+            "END) * 10000) DIV count(*) AS BIGINT)"
+        ).alias("pareto_pct_x100"),
+        F.max("total").cast("bigint").alias("total_cents"),
+    )
+
+
+@query(
+    "event_ab_assignment_lift",
+    oracle="""
+    WITH assigned AS (
+        SELECT user_id,
+               CASE WHEN CAST(('0x' || substr(md5('exp1:'
+                         || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                         % 2 = 0
+                    THEN 'A' ELSE 'B' END AS arm,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_views,
+               CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS converted
+        FROM events
+        GROUP BY 1
+    )
+    SELECT arm,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(converted) AS BIGINT) AS n_converted,
+           CAST((sum(converted) * 1000000) // count(*) AS BIGINT)
+               AS conv_rate_x1m,
+           CAST(sum(n_views) AS BIGINT) AS total_views
+    FROM assigned GROUP BY 1
+    """,
+)
+def event_ab_assignment_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout with DETERMINISTIC hash bucketing: users are
+    assigned to arms by a salted md5 of their id — the industry-standard
+    assignment function (same user ⇒ same arm forever, no assignment
+    table, no coordination) — then per-arm exposure and conversion
+    aggregate in one pass. Conversion rates are served ×10⁶ via integer
+    DIV, so the readout (the input to any significance test) is
+    bit-identical across engines; the z/χ² statistic itself is a driver-
+    side O(1) computation on these four integers, deliberately left out
+    of the distributed plan.
+
+    Scale shape: one partial-agg shuffle on user_id (the per-user
+    collapse), then a 2-row rollup. The assignment hash is a narrow
+    codegen'd expression — at 100 TB the experiment readout costs exactly
+    one scan of the exposure log, which is why hash-assignment won over
+    assignment tables in every large experimentation platform.
+    """
+    arm = F.when(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("exp1:"), F.col("user_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+        == 0,
+        "A",
+    ).otherwise("B")
+    per_user = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_views"),
+            F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("bigint")
+            .alias("converted"),
+        )
+        .withColumn("arm", arm)
+    )
+    return per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+        F.expr(
+            "CAST((sum(converted) * 1000000) DIV count(*) AS BIGINT)"
+        ).alias("conv_rate_x1m"),
+        F.sum("n_views").cast("bigint").alias("total_views"),
+    )
+
+
+@query(
+    "agg_gini_coefficient",
+    oracle="""
+    WITH rev AS (
+        SELECT c.c_nationkey AS nationkey, o.o_custkey,
+               CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT nationkey, cents,
+               row_number() OVER (
+                   PARTITION BY nationkey ORDER BY cents, o_custkey
+               ) AS i
+        FROM rev
+    )
+    SELECT nationkey,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(cents) AS BIGINT) AS total_cents,
+           CAST(((2 * sum(i * cents) - (count(*) + 1) * sum(cents)) * 10000)
+                // (count(*) * sum(cents)) AS BIGINT) AS gini_x10000
+    FROM ranked GROUP BY 1
+    """,
+)
+def agg_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini inequality coefficient of customer revenue per nation — the
+    scalar companion of ``agg_pareto_coverage`` (that one answers "how few
+    customers cover 80%", this one summarizes the whole Lorenz curve). The
+    rank-sum identity G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx) over ascending-
+    sorted values is evaluated entirely in int64 and served ×10⁴ with one
+    integer DIV — no float accumulates anywhere, so the coefficient
+    hash-matches the oracle exactly.
+
+    Scale shape: per-customer collapse (one partial-agg shuffle), a
+    broadcast dim join, ONE ranking window per nation (partition-bounded
+    sort), and a ≤ nation-count rollup. Ties rank deterministically by
+    customer key, mirrored in the oracle's ORDER BY.
+    """
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_nationkey").alias("nationkey"),
+    )
+    rev = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum("cents").cast("bigint").alias("cents"))
+        .join(F.broadcast(cust), "o_custkey")
+    )
+    w = Window.partitionBy("nationkey").orderBy("cents", "o_custkey")
+    ranked = rev.select(
+        "nationkey", "cents", F.row_number().over(w).cast("bigint").alias("i")
+    )
+    return ranked.groupBy("nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+        F.expr(
+            "CAST(((2 * sum(i * cents) - (count(*) + 1) * sum(cents)) * 10000)"
+            " DIV (count(*) * sum(cents)) AS BIGINT)"
+        ).alias("gini_x10000"),
+    )

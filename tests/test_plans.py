@@ -1054,3 +1054,81 @@ def test_sequence_gaps_run_length_output(spark):
     plan = plan_of(spark, "audit_sequence_gaps")
     assert "Join" not in plan
     assert "Window" in plan
+
+
+def test_tree_ensemble_pure_codegen(spark):
+    """GBDT serving compiles to CASE cascades: zero exchanges, zero
+    Python evals — inference runs at scan throughput inside
+    whole-stage codegen."""
+    plan = plan_of(spark, "ml_tree_ensemble_score")
+    for bad in ("Exchange", "BatchEvalPython", "ArrowEvalPython",
+                "MapInPandas", "Join", "Window"):
+        assert bad not in plan, f"{bad} leaked into the inference plan"
+    assert "codegen id" in plan  # CASE cascade fused into codegen stage
+
+
+def test_common_neighbors_oriented_no_cartesian(spark):
+    """Edge-support/Jaccard features reuse the degree-ordered wedge
+    orientation — never a cartesian or nested-loop pair join."""
+    plan = plan_of(spark, "graph_common_neighbors")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["multimodal_image_ahash", "multimodal_audio_energy_gate"]
+)
+def test_codec_ops_arrow_batched(spark, name):
+    """The real-codec decode paths must be Arrow-batched mapInPandas —
+    no row-at-a-time Python, no pair join."""
+    plan = plan_of(spark, name)
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ewma_folds_without_window(spark):
+    """The EWMA recurrence folds inside one HOF aggregate per series —
+    no window machinery, no join, shuffles bounded by the two
+    collapse aggregations."""
+    plan = plan_of(spark, "event_ewma_daily")
+    assert "Window" not in plan
+    assert "Join" not in plan
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles <= 2 * 2  # daily-count agg + series agg, double-printed
+
+
+def test_burst_zscore_collapses_before_window(spark):
+    """Burst detection aggregates raw events to (type, hour) counts
+    FIRST; the trailing RANGE frame runs over the collapsed series."""
+    plan = plan_of(spark, "event_burst_zscore")
+    assert "HashAggregate" in plan
+    assert "Window" in plan
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 2  # one scan, double-printed
+
+
+def test_kcore_peel_no_cartesian(spark):
+    """Each peeling round is a degree filter + semi-join on vertex id —
+    equi-joins only."""
+    plan = plan_of(spark, "graph_kcore_peel")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_gini_single_window_partitioning(spark):
+    """The Lorenz rank-sum identity needs one per-nation revenue agg and
+    one per-nation rank window — no self-join over customers."""
+    plan = plan_of(spark, "agg_gini_coefficient")
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+def test_ab_assignment_no_user_level_join(spark):
+    """Hash bucketing assigns arms inside the scan projection; the
+    readout is one partial-agg groupBy — no join back to users."""
+    plan = plan_of(spark, "event_ab_assignment_lift")
+    assert "HashAggregate" in plan
+    assert "Join" not in plan
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles <= 2 * 2  # per-user collapse + per-arm rollup
