@@ -116,6 +116,10 @@ _CERT_ORDER = [
     "text_readability_fre", "agg_pareto_coverage",
     "event_ab_assignment_lift", "agg_gini_coefficient",
     "pipeline_chunk_overlap", "multimodal_audio_energy_gate",
+    "event_seasonal_naive_eval", "event_cusum_changepoint",
+    "event_concurrency_peak", "graph_bfs_distance",
+    "pipeline_tokenizer_fertility", "dedup_prefix_boilerplate",
+    "search_bm25_topk",
     # tier 4 — rows-only by design
     "pipeline_bpe_merges", "pipeline_bpe_encode",
     "agg_approx_distinct", "multimodal_decode_features",

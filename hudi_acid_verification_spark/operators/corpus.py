@@ -959,3 +959,61 @@ def pipeline_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chunks").cast("bigint").alias("n_chunks"),
         F.sum(emitted).cast("bigint").alias("emitted_tokens_ub"),
     )
+
+
+@query(
+    "pipeline_tokenizer_fertility",
+    oracle="""
+    WITH d AS (
+        SELECT lang, source,
+               CAST(strlen(text) AS BIGINT) AS nbytes,
+               CAST(length(text) - length(replace(text, ' ', '')) + 1
+                    AS BIGINT) AS ntok
+        FROM documents
+    )
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(nbytes) AS BIGINT) AS total_bytes,
+           CAST(sum(ntok) AS BIGINT) AS total_tokens,
+           CAST((sum(nbytes) * 100) // sum(ntok) AS BIGINT)
+               AS bytes_per_token_x100,
+           CAST(sum(ntok) // count(*) AS BIGINT) AS tokens_per_doc
+    FROM d GROUP BY lang, source
+    """,
+)
+def pipeline_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fertility audit: bytes-per-token by (language, source) —
+    the compression diagnostic every tokenizer rollout ships with. A
+    whitespace tokenizer stands in for the trained one (same plan shape:
+    token counts come from string arithmetic inside the scan projection);
+    languages/sources whose bytes-per-token runs hot are the ones a BPE
+    vocabulary under-serves, and the per-slice token totals are exactly
+    the numbers a token-budgeted mixture (pipeline_domain_mix) consumes.
+
+    Exactness: byte counts are UTF-8 octet_length in both engines, token
+    counts the shared length-difference identity, and both ratios are
+    integer DIV — every output column hashes bit-for-bit.
+
+    Scale shape: one scan, all arithmetic in the projection, one
+    partial-agg shuffle keyed on the (lang, source) slice — the same
+    single-pass profile regardless of corpus size; no tokenizer UDF in
+    the hot path.
+    """
+    d = load(spark, sf_dir, "documents").select(
+        "lang",
+        "source",
+        F.octet_length("text").cast("bigint").alias("nbytes"),
+        F.expr(
+            "CAST(length(text) - length(replace(text, ' ', '')) + 1"
+            " AS BIGINT)"
+        ).alias("ntok"),
+    )
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nbytes").alias("total_bytes"),
+        F.sum("ntok").alias("total_tokens"),
+        F.expr("(sum(nbytes) * 100) DIV sum(ntok)").alias(
+            "bytes_per_token_x100"
+        ),
+        F.expr("sum(ntok) DIV count(*)").alias("tokens_per_doc"),
+    )

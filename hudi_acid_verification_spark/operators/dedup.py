@@ -697,3 +697,67 @@ def dedup_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_dup_pairs"),
         (F.col("split_a") != F.col("split_b")).alias("leaky"),
     )
+
+
+_BP_PREFIX_CHARS = 16  # leading window that captures templated headers
+_BP_TOP = 25
+
+
+@query(
+    "dedup_prefix_boilerplate",
+    oracle=f"""
+    WITH pref AS (
+        SELECT doc_id, substr(text, 1, {_BP_PREFIX_CHARS}) AS p
+        FROM documents
+    ),
+    grp AS (
+        SELECT md5(p) AS prefix_md5,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(min(doc_id) AS BIGINT) AS first_doc,
+               CAST(max(doc_id) AS BIGINT) AS last_doc
+        FROM pref GROUP BY p
+        HAVING count(*) >= 2
+    )
+    SELECT prefix_md5, n_docs, first_doc, last_doc FROM (
+        SELECT *, row_number() OVER (
+            ORDER BY n_docs DESC, prefix_md5
+        ) AS rnk FROM grp
+    ) WHERE rnk <= {_BP_TOP}
+    """,
+)
+def dedup_prefix_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-prefix detection: documents sharing their first
+    {C} characters — templated headers, scraper banners, license
+    preambles — surface as prefix groups with multiplicity ≥ 2, reported
+    as the top-{K} largest clusters. This is the cheap positional cousin
+    of shingle dedup: web-corpus boilerplate overwhelmingly anchors at
+    document START, so one substring + one groupBy finds it without any
+    pair join (the removal step then strips the shared prefix or drops
+    the group's non-canonical members — see dedup_canonical_pick).
+
+    Scale shape: the prefix is computed in the scan projection, the group
+    is one partial-agg shuffle on the (bounded-width) prefix key, and the
+    global top-{K} is TakeOrdered over the HAVING-filtered group frame —
+    group count ≤ distinct prefixes, already tiny. Group identity travels
+    as md5(prefix) so the output is fixed-width and hash-stable
+    cross-engine.
+    """
+    grp = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id", F.substring("text", 1, _BP_PREFIX_CHARS).alias("p")
+        )
+        .groupBy("p")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .select(F.md5("p").alias("prefix_md5"), "n_docs", "first_doc",
+                "last_doc")
+    )
+    return (
+        grp.orderBy(F.col("n_docs").desc(), "prefix_md5")
+        .limit(_BP_TOP)
+    )

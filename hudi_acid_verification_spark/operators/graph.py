@@ -563,3 +563,111 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "round int, n_nodes bigint, n_edges bigint"
     )
+
+
+_BFS_SEED_MOD = 33   # seeds: sampled vertices with partkey % 33 == 0
+_BFS_HOPS = 3        # pinned depth so the oracle can unroll
+
+
+def _bfs_oracle() -> str:
+    m, s, h = _CN_MOD, _BFS_SEED_MOD, _BFS_HOPS
+    assert h == 3, "oracle is unrolled for exactly 3 hops"
+    return f"""
+    WITH e0 AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a
+        JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                       AND a.l_partkey < b.l_partkey
+        WHERE a.l_partkey % {m} = 0 AND b.l_partkey % {m} = 0
+    ),
+    adj AS (
+        SELECT u AS src, v AS dst FROM e0
+        UNION ALL SELECT v, u FROM e0
+    ),
+    s0 AS (SELECT DISTINCT src AS v FROM adj WHERE src % {s} = 0),
+    h1 AS (
+        SELECT DISTINCT a.dst AS v FROM adj a JOIN s0 ON s0.v = a.src
+        WHERE a.dst NOT IN (SELECT v FROM s0)
+    ),
+    h2 AS (
+        SELECT DISTINCT a.dst AS v FROM adj a JOIN h1 ON h1.v = a.src
+        WHERE a.dst NOT IN (SELECT v FROM s0 UNION SELECT v FROM h1)
+    ),
+    h3 AS (
+        SELECT DISTINCT a.dst AS v FROM adj a JOIN h2 ON h2.v = a.src
+        WHERE a.dst NOT IN (SELECT v FROM s0 UNION SELECT v FROM h1
+                            UNION SELECT v FROM h2)
+    )
+    SELECT CAST(v AS BIGINT) AS vertex, CAST(hop AS BIGINT) AS hop FROM (
+        SELECT v, 0 AS hop FROM s0
+        UNION ALL SELECT v, 1 FROM h1
+        UNION ALL SELECT v, 2 FROM h2
+        UNION ALL SELECT v, 3 FROM h3
+    )
+    """
+
+
+@query("graph_bfs_distance", oracle=_bfs_oracle())
+def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distance on the hash-sampled co-purchase
+    graph: every vertex within {H} hops of any seed (partkey % {S} = 0)
+    gets its exact minimum hop count — the reachability/blast-radius
+    primitive behind influence propagation, abuse-ring expansion from
+    known-bad seeds, and feature generation ("distance to nearest
+    flagged account").
+
+    Level-synchronous frontier expansion, the canonical distributed BFS:
+    each round joins the CURRENT frontier (only) against the adjacency
+    list, anti-joins out already-visited vertices, and the union of
+    frontiers is the answer — every vertex enters exactly one frontier,
+    so the per-round work is O(edges touched), not O(V·E). Depth is
+    pinned at {H} so the DuckDB oracle can mirror the rounds as unrolled
+    CTEs; the Spark loop is the generic any-depth version, with
+    localCheckpoint keeping the iterative lineage flat (the
+    dedup_components idiom).
+
+    Scale shape: adjacency is one shuffle on src; each round is one
+    equi-join frontier⋈adj plus one left-anti against visited —
+    frontier-sized, not graph-sized; all integer ids, so the result
+    hashes bit-for-bit cross-engine.
+    """
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .filter(F.col("l_partkey") % _CN_MOD == 0)
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    e0 = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    adj = (
+        e0.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionAll(e0.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .localCheckpoint(eager=False)
+    )
+    frontier = (
+        adj.select(F.col("src").alias("v"))
+        .filter(F.col("v") % _BFS_SEED_MOD == 0)
+        .distinct()
+        .withColumn("hop", F.lit(0).cast("bigint"))
+        .localCheckpoint(eager=False)
+    )
+    visited = frontier
+    for hop in range(1, _BFS_HOPS + 1):
+        nxt = (
+            adj.join(frontier.select(F.col("v").alias("src")), "src")
+            .select(F.col("dst").alias("v"))
+            .distinct()
+            .join(visited.select("v"), "v", "left_anti")
+            .withColumn("hop", F.lit(hop).cast("bigint"))
+            .localCheckpoint(eager=False)
+        )
+        visited = visited.unionAll(nxt).localCheckpoint(eager=False)
+        frontier = nxt
+    return visited.select(F.col("v").alias("vertex"), "hop")

@@ -190,3 +190,106 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("final_rank").cast("bigint").alias("final_rank"),
         )
     )
+
+
+_BM25_TERMS = ("merge", "stream", "window")  # fixed query, present in vocab
+_BM25_TOP = 20
+# k1 = 1.2 and b = 0.75 as the rationals 12/10 and 75/100; clearing all
+# fractions from tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)) with
+# avgdl = T/N gives the integer form   22·T·tf / (10·T·tf + 3·T + 9·dl·N).
+_BM25_SCALE = 10_000
+
+
+def _bm25_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+               CAST(length(text) - length(replace(text, ' ', '')) + 1
+                    AS BIGINT) AS dl
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf, min(dl) AS dl
+        FROM toks WHERE term IN ({terms})
+        GROUP BY doc_id, term
+    ),
+    stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(length(text) - length(replace(text, ' ', '')) + 1)
+                    AS BIGINT) AS t
+        FROM documents
+    ),
+    df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    scored AS (
+        SELECT tf.doc_id,
+               CAST(sum(
+                   ((s.n - df.df + 1) * 22 * s.t * tf.tf * {_BM25_SCALE})
+                   // ((df.df + 1)
+                       * (10 * s.t * tf.tf + 3 * s.t + 9 * tf.dl * s.n))
+               ) AS BIGINT) AS score_x10k,
+               CAST(count(*) AS BIGINT) AS n_terms_hit
+        FROM tf, stats s
+        JOIN df ON df.term = tf.term
+        GROUP BY tf.doc_id
+    )
+    SELECT doc_id, score_x10k, n_terms_hit FROM (
+        SELECT *, row_number() OVER (
+            ORDER BY score_x10k DESC, doc_id
+        ) AS rnk FROM scored
+    ) WHERE rnk <= {_BM25_TOP}
+    """
+
+
+@query("search_bm25_topk", oracle=_bm25_oracle())
+def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval — the reference ranking function of every
+    search/RAG stack — for a fixed {Q}-term query, top-{K} documents, in
+    EXACT integer arithmetic. The classic score
+    idf · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) with k1=1.2, b=0.75 is
+    cleared of fractions (avgdl = T/N stays the rational T/N, never a
+    rounded float): per-term partial score =
+    (N−df+1)·22·T·tf·SCALE DIV ((df+1)·(10·T·tf + 3·T + 9·dl·N)),
+    using the rational idf (N−df+1)/(df+1) — monotone in the classic
+    log-idf, standard in exact-arithmetic engines. Integer DIV per term,
+    integer SUM across terms: bit-identical cross-engine, no ln(), no
+    float accumulation order to disagree on.
+
+    Scale shape: term postings come from one scan filtered to the query's
+    terms (predicate pushdown keeps it cheap); df and the (N, T) corpus
+    stats are broadcast-size frames joined back; the final top-{K} is
+    TakeOrdered. At 100 TB the posting-list filter is the inverted-index
+    probe a search index would serve — the join shape is identical.
+    """
+    docs = load(spark, sf_dir, "documents")
+    dl = F.expr(
+        "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)"
+    )
+    tf = (
+        docs.select("doc_id", dl.alias("dl"),
+                    F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl"))
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(dl).alias("t")
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    part = F.expr(
+        f"((n - df + 1) * 22 * t * tf * {_BM25_SCALE})"
+        " DIV ((df + 1) * (10 * t * tf + 3 * t + 9 * dl * n))"
+    )
+    scored = (
+        tf.crossJoin(F.broadcast(stats))
+        .join(F.broadcast(df), "term")
+        .select("doc_id", part.alias("part"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("part").alias("score_x10k"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+    )
+    return scored.orderBy(
+        F.col("score_x10k").desc(), "doc_id"
+    ).limit(_BM25_TOP)

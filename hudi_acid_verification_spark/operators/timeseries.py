@@ -373,3 +373,164 @@ def event_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s.e").alias("ewma_x100"),
         )
     )
+
+
+_SN_LAG_DAYS = 7  # seasonal period: same weekday one week earlier
+
+
+@query(
+    "event_seasonal_naive_eval",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    paired AS (
+        SELECT event_type, day, c,
+               max(c) OVER (
+                   PARTITION BY event_type ORDER BY day
+                   RANGE BETWEEN {_SN_LAG_DAYS} PRECEDING
+                         AND {_SN_LAG_DAYS} PRECEDING
+               ) AS fc
+        FROM daily
+    )
+    SELECT event_type,
+           CAST(count(fc) AS BIGINT) AS n_eval,
+           CAST((100 * sum(abs(c - fc))) // count(fc) AS BIGINT) AS mae_x100,
+           CAST(max(abs(c - fc)) AS BIGINT) AS max_abs_err,
+           CAST(sum(c - fc) AS BIGINT) AS bias
+    FROM paired WHERE fc IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def event_seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-accuracy baseline: evaluate the SEASONAL-NAIVE predictor
+    (tomorrow looks like the same weekday last week, the yardstick every
+    real forecasting model must beat) against observed daily event volume
+    — per-series MAE, worst miss, and signed bias, all in exact integers.
+
+    The lag is a calendar offset, not a row offset: the forecast for day d
+    is the count at day d-{P} exactly, fetched by a degenerate RANGE frame
+    ({P} PRECEDING AND {P} PRECEDING) over the integer day index — gaps in
+    the series yield NULL (no forecast) instead of silently sliding to the
+    nearest prior row the way a ROWS lag(7) would.
+
+    Scale shape: raw events collapse to (type, day) counts in one
+    partial-agg shuffle (~10⁴:1); the RANGE window and the error rollup
+    both run on the collapsed frame, partitioned by series key — at 100 TB
+    with millions of series (per page, per SKU) the plan is unchanged and
+    embarrassingly parallel across keys. MAE is reported ×100 via integer
+    DIV, so the comparison is bit-exact cross-engine.
+    """
+    daily = (
+        load(spark, sf_dir, "events")
+        .select("event_type", F.expr("ts_ns DIV 86400000000000").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rangeBetween(-_SN_LAG_DAYS, -_SN_LAG_DAYS)
+    )
+    paired = daily.withColumn("fc", F.max("c").over(w)).filter(
+        F.col("fc").isNotNull()
+    )
+    err = F.col("c") - F.col("fc")
+    return paired.groupBy("event_type").agg(
+        F.count("fc").alias("n_eval"),
+        F.expr("(100 * sum(abs(c - fc))) DIV count(fc)").alias("mae_x100"),
+        F.max(F.abs(err)).alias("max_abs_err"),
+        F.sum(err).alias("bias"),
+    )
+
+
+@query(
+    "event_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(c) AS BIGINT) AS total
+        FROM daily GROUP BY event_type
+    ),
+    walk AS (
+        SELECT d.event_type, d.day, d.c, t.n_days, t.total,
+               sum(d.c * t.n_days - t.total) OVER (
+                   PARTITION BY d.event_type ORDER BY d.day
+               ) AS p
+        FROM daily d JOIN tot t USING (event_type)
+    ),
+    stat AS (
+        SELECT event_type, day, c, n_days, total,
+               CAST(p - min(p) OVER (
+                   PARTITION BY event_type ORDER BY day
+               ) AS BIGINT) AS s
+        FROM walk
+    )
+    SELECT event_type, day AS change_day, c AS n_events_that_day,
+           s AS cusum_stat, n_days, total
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY event_type ORDER BY s DESC, day
+        ) AS rnk
+        FROM stat
+    ) WHERE rnk = 1
+    """,
+)
+def event_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-point detection by the CUSUM statistic — where did a
+    series' level shift? For each event type the detector reports the day
+    maximizing S_t = P_t − min_{i≤t} P_i, where P is the running sum of
+    mean-centered daily counts: the one-sided Page CUSUM, computed via the
+    prefix-sum identity instead of the sequential max(0, ·) recurrence —
+    which turns an inherently serial fold into TWO stock window
+    aggregates (running sum + running min) Catalyst already knows how to
+    partition.
+
+    Everything is exact integer arithmetic: deviations are scaled by the
+    series length (c·D − Σc, so the mean never becomes a fraction), making
+    the statistic and the argmax day bit-identical cross-engine; ties
+    break to the earliest day.
+
+    Scale shape: one partial-agg collapse of raw events to (type, day),
+    one broadcast-size per-series totals frame joined back, two windows
+    and the argmax rollup all partitioned by series key — millions of
+    independent series parallelize freely at 100 TB; no UDF, no fold.
+    """
+    daily = (
+        load(spark, sf_dir, "events")
+        .select("event_type", F.expr("ts_ns DIV 86400000000000").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"), F.sum("c").alias("total")
+    )
+    ordered = Window.partitionBy("event_type").orderBy("day")
+    walk = daily.join(F.broadcast(tot), "event_type").withColumn(
+        "p",
+        F.sum(F.col("c") * F.col("n_days") - F.col("total")).over(ordered),
+    )
+    stat = walk.withColumn("s", F.col("p") - F.min("p").over(ordered))
+    rnk = Window.partitionBy("event_type").orderBy(F.col("s").desc(), "day")
+    return (
+        stat.withColumn("rnk", F.row_number().over(rnk))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("change_day"),
+            F.col("c").alias("n_events_that_day"),
+            F.col("s").alias("cusum_stat"),
+            "n_days",
+            "total",
+        )
+    )

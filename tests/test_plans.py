@@ -1132,3 +1132,67 @@ def test_ab_assignment_no_user_level_join(spark):
     assert "Join" not in plan
     shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
     assert shuffles <= 2 * 2  # per-user collapse + per-arm rollup
+
+
+def test_seasonal_naive_range_lag_no_join(spark):
+    """The calendar lag must be a degenerate RANGE frame over the
+    collapsed daily series — no self-join back to fetch day-7."""
+    plan = plan_of(spark, "event_seasonal_naive_eval")
+    assert "Join" not in plan
+    assert "Window" in plan
+    assert plan.count("Scan parquet") == 2  # one scan, double-printed
+
+
+def test_cusum_prefix_sum_identity_windows(spark):
+    """CUSUM must come from the prefix-sum identity (running sum +
+    running min windows), never a sequential fold or pair join."""
+    plan = plan_of(spark, "event_cusum_changepoint")
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # per-series totals broadcast back
+
+
+def test_concurrency_sweep_collapses_to_boundaries(spark):
+    """The sweep-line runs over session boundaries (2 rows per session),
+    never raw events: the plan aggregates to sessions before the
+    global ordered window."""
+    plan = plan_of(spark, "event_concurrency_peak")
+    assert "HashAggregate" in plan or "SortAggregate" in plan
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 2  # one scan, double-printed
+
+
+def test_bfs_frontier_equi_joins_only(spark):
+    """Level-synchronous BFS must expand frontiers via equi-joins and
+    left-anti visited checks — no cartesian, no nested loop."""
+    plan = plan_of(spark, "graph_bfs_distance")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fertility_single_scan_single_shuffle(spark):
+    """Fertility is one scan + one partial-agg shuffle on (lang, source):
+    no join, no window, arithmetic in the projection."""
+    plan = plan_of(spark, "pipeline_tokenizer_fertility")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles <= 1 * 2  # one groupBy, double-printed
+    assert "partial_" in plan  # map-side combine before the exchange
+
+
+def test_prefix_boilerplate_no_pair_join_topk(spark):
+    """Boilerplate groups come from one groupBy on the bounded prefix;
+    the global top-K must be TakeOrdered, not a full sort."""
+    plan = plan_of(spark, "dedup_prefix_boilerplate")
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bm25_broadcasts_stats_and_df(spark):
+    """BM25's corpus stats and df frames must broadcast back into the
+    posting join; the final top-K is TakeOrdered."""
+    plan = plan_of(spark, "search_bm25_topk")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
