@@ -119,7 +119,8 @@ _CERT_ORDER = [
     "event_seasonal_naive_eval", "event_cusum_changepoint",
     "event_concurrency_peak", "graph_bfs_distance",
     "pipeline_tokenizer_fertility", "dedup_prefix_boilerplate",
-    "search_bm25_topk",
+    "search_bm25_topk", "sql_recursive_spine", "scalar_variant_shred",
+    "sql_pipe_syntax", "sql_scalar_udf",
     # tier 4 — rows-only by design
     "pipeline_bpe_merges", "pipeline_bpe_encode",
     "agg_approx_distinct", "multimodal_decode_features",

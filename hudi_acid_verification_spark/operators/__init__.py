@@ -82,6 +82,7 @@ def _import_all() -> None:
         graph,
         joins,
         ml,
+        modern_sql,
         multimodal,
         pipelines,
         pivoting,

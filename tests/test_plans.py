@@ -1196,3 +1196,32 @@ def test_bm25_broadcasts_stats_and_df(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_pipe_syntax_same_plan_discipline(spark):
+    """Pipe-syntax text must plan like the ANSI spelling: pushed filter,
+    partial aggregation — the dialect is front-end sugar only."""
+    plan = plan_of(spark, "sql_pipe_syntax")
+    assert "PushedFilters: [" in plan
+    assert "GreaterThanOrEqual(l_quantity,30.0)" in plan
+    assert "partial_" in plan.lower() or "Partial" in plan
+
+
+def test_sql_scalar_udf_inlines_no_python(spark):
+    """The catalog SQL UDF must inline into codegen: no Python eval
+    anywhere, one partial+final aggregate pair."""
+    plan = plan_of(spark, "sql_scalar_udf")
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert bad not in plan
+    assert "partial_" in plan.lower() or "Partial" in plan
+
+
+def test_variant_shred_single_aggregate(spark):
+    """VARIANT parse+extract stay in the scan projection; the rollup is
+    one partial-agg groupBy — no join, no window, no Python."""
+    plan = plan_of(spark, "scalar_variant_shred")
+    assert "Join" not in plan
+    for bad in ("BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in plan
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles <= 1 * 2  # one groupBy, double-printed
