@@ -120,14 +120,15 @@ _CERT_ORDER = [
     "event_concurrency_peak", "graph_bfs_distance",
     "pipeline_tokenizer_fertility", "dedup_prefix_boilerplate",
     "search_bm25_topk", "sql_recursive_spine", "scalar_variant_shred",
-    "sql_pipe_syntax", "sql_scalar_udf",
+    "sql_pipe_syntax", "sql_scalar_udf", "ml_confusion_eval",
+    "ml_calibration_bins", "pipeline_curriculum_phases",
     # tier 4 — rows-only by design
     "pipeline_bpe_merges", "pipeline_bpe_encode",
     "agg_approx_distinct", "multimodal_decode_features",
     "multimodal_frame_sample", "stream_watermark_late",
     "stream_stateful_fold", "stream_transform_with_state",
     "udf_cosine_pandas", "udf_state_fold", "source_binaryfile_ingest",
-    "udf_quality_model_pandas",
+    "udf_quality_model_pandas", "acid_table_detail",
     # tier 5 — green in CORRECTNESS_r01
     "agg_distinct", "agg_percentiles", "agg_stats_moments",
     "agg_arg_extremes", "similarity_topk", "similarity_ann_lsh",

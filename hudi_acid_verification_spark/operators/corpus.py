@@ -1017,3 +1017,85 @@ def pipeline_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.expr("sum(ntok) DIV count(*)").alias("tokens_per_doc"),
     )
+
+
+_CURR_PHASES = 3  # easy → medium → hard
+
+
+@query(
+    "pipeline_curriculum_phases",
+    oracle=f"""
+    WITH sized AS (
+        SELECT doc_id,
+               CAST(length(text) - length(replace(text, ' ', '')) + 1
+                    AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    by_len AS (
+        SELECT n_tokens,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS grp_tokens
+        FROM sized GROUP BY n_tokens
+    ),
+    walked AS (
+        SELECT n_tokens, n_docs, grp_tokens,
+               sum(grp_tokens) OVER (ORDER BY n_tokens) AS cum_tokens,
+               sum(grp_tokens) OVER () AS total_tokens
+        FROM by_len
+    )
+    SELECT CAST(((cum_tokens - 1) * {_CURR_PHASES}) // total_tokens
+                AS BIGINT) AS phase,
+           CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           CAST(sum(grp_tokens) AS BIGINT) AS phase_tokens,
+           CAST(min(n_tokens) AS BIGINT) AS len_lo,
+           CAST(max(n_tokens) AS BIGINT) AS len_hi
+    FROM walked
+    GROUP BY 1
+    """,
+)
+def pipeline_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum scheduling: split the corpus into {P} ordered training
+    phases of ~equal TOKEN budget, easiest (shortest) documents first —
+    the classic length-based curriculum. Phase boundaries land on
+    length-group boundaries, so assignment is a pure function of a
+    document's length, never its physical position.
+
+    Scale discipline (the weighted-median idiom): documents collapse to
+    the LENGTH VALUE DOMAIN first (one partial-agg groupBy — thousands of
+    distinct lengths, regardless of corpus size); the cumulative token
+    walk and the phase arithmetic run over that tiny frame. Phase id is
+    ((cum −1)·{P}) DIV total — exact integers, so the per-phase budgets
+    and length ranges hash cross-engine. At 100 TB the only corpus-sized
+    work is the initial collapse; a naive per-doc global sort + cumsum
+    would be the exact anti-pattern this avoids.
+    """
+    sized = load(spark, sf_dir, "documents").select(
+        F.expr(
+            "CAST(length(text) - length(replace(text, ' ', '')) + 1"
+            " AS BIGINT)"
+        ).alias("n_tokens"),
+    )
+    by_len = sized.groupBy("n_tokens").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("grp_tokens"),
+    )
+    cum = Window.orderBy("n_tokens").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = Window.partitionBy()
+    walked = by_len.withColumn(
+        "cum_tokens", F.sum("grp_tokens").over(cum)
+    ).withColumn("total_tokens", F.sum("grp_tokens").over(tot))
+    phase = F.expr(
+        f"CAST(((cum_tokens - 1) * {_CURR_PHASES}) DIV total_tokens"
+        " AS BIGINT)"
+    )
+    return (
+        walked.groupBy(phase.alias("phase"))
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("grp_tokens").alias("phase_tokens"),
+            F.min("n_tokens").alias("len_lo"),
+            F.max("n_tokens").alias("len_hi"),
+        )
+    )

@@ -121,3 +121,202 @@ def ml_tree_ensemble_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         score.cast("bigint").alias("margin_x100"),
         (score >= 0).alias("keep"),
     )
+
+
+# "Ground truth" stand-in for evaluating the served model: a rule label
+# independent of the tree features' exact cascade (mid-length docs with few
+# digits are "good"). A real pipeline joins human/model labels instead —
+# the evaluation plan is identical.
+_LABEL_SQL = "(n_tokens BETWEEN 30 AND 90 AND digit_cnt < 8)"
+
+
+def _feats_cte() -> str:
+    return """
+    WITH feats AS (
+        SELECT doc_id,
+               n_chars,
+               length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+               CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                    AS BIGINT) AS digit_cnt,
+               CAST((length(replace(text, ' ', '')) * 100)
+                   // (length(text) - length(replace(text, ' ', '')) + 1)
+                   AS BIGINT) AS avg_tok_len_x100
+        FROM documents
+    )
+    """
+
+
+def _confusion_oracle() -> str:
+    score = " + ".join(_tree_case_sql(*t) for t in _TREES)
+    return f"""
+    {_feats_cte()},
+    scored AS (
+        SELECT ({score} + {_BIAS} >= 0) AS pred, {_LABEL_SQL} AS label
+        FROM feats
+    ),
+    cm AS (
+        SELECT
+            CAST(sum(CASE WHEN pred AND label THEN 1 ELSE 0 END)
+                 AS BIGINT) AS tp,
+            CAST(sum(CASE WHEN pred AND NOT label THEN 1 ELSE 0 END)
+                 AS BIGINT) AS fp,
+            CAST(sum(CASE WHEN NOT pred AND label THEN 1 ELSE 0 END)
+                 AS BIGINT) AS fn,
+            CAST(sum(CASE WHEN NOT pred AND NOT label THEN 1 ELSE 0 END)
+                 AS BIGINT) AS tn
+        FROM scored
+    )
+    SELECT tp, fp, fn, tn,
+           CAST((tp * 10000) // (tp + fp) AS BIGINT) AS precision_x10k,
+           CAST((tp * 10000) // (tp + fn) AS BIGINT) AS recall_x10k,
+           CAST((2 * tp * 10000) // (2 * tp + fp + fn) AS BIGINT) AS f1_x10k
+    FROM cm
+    """
+
+
+@query("ml_confusion_eval", oracle=_confusion_oracle())
+def ml_confusion_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation IN the engine: confusion matrix plus
+    precision / recall / F1 of the served tree ensemble
+    (ml_tree_ensemble_score) against a label column — the gate-quality
+    readout every model-filtered data pipeline publishes next to its
+    dataset card. The label here is a deterministic rule stand-in; a
+    production run joins human labels and the plan is unchanged.
+
+    All four cells come from ONE full-scan aggregate (conditional sums —
+    no groupBy key, so the shuffle is four integers); the derived metrics
+    are integer cross-multiplications ×10⁴ with DIV, so every value
+    hashes cross-engine. F1 uses the 2tp/(2tp+fp+fn) identity to stay in
+    integers (no float precision/recall intermediates).
+
+    Scale shape: inference + label + the partial-agg conditional sums all
+    fuse into the scan stage; the final reduce moves 4 numbers. This is
+    the cheapest possible evaluation plan at any corpus size.
+    """
+    feats = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("n_chars"),
+        F.expr("length(text) - length(replace(text, ' ', '')) + 1").alias(
+            "n_tokens"
+        ),
+        F.expr(
+            "CAST(length(regexp_replace(text, '[^0-9]', '')) AS BIGINT)"
+        ).alias("digit_cnt"),
+        F.expr(
+            "CAST((length(replace(text, ' ', '')) * 100) DIV "
+            "(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT)"
+        ).alias("avg_tok_len_x100"),
+    )
+
+    def tree(feat, thr, feat2, thr2, leaves):
+        ll, lr, rl, rr = [F.lit(x) for x in leaves]
+        left = F.when(F.col(feat2) < thr2, ll).otherwise(lr)
+        right = F.when(F.col(feat2) < thr2, rl).otherwise(rr)
+        return F.when(F.col(feat) < thr, left).otherwise(right)
+
+    margin = sum((tree(*t) for t in _TREES), F.lit(0)) + F.lit(_BIAS)
+    scored = feats.select(
+        (margin >= 0).alias("pred"), F.expr(_LABEL_SQL).alias("label")
+    )
+    cm = scored.agg(
+        F.sum(F.when(F.col("pred") & F.col("label"), 1).otherwise(0))
+        .cast("bigint").alias("tp"),
+        F.sum(F.when(F.col("pred") & ~F.col("label"), 1).otherwise(0))
+        .cast("bigint").alias("fp"),
+        F.sum(F.when(~F.col("pred") & F.col("label"), 1).otherwise(0))
+        .cast("bigint").alias("fn"),
+        F.sum(F.when(~F.col("pred") & ~F.col("label"), 1).otherwise(0))
+        .cast("bigint").alias("tn"),
+    )
+    return cm.select(
+        "tp", "fp", "fn", "tn",
+        F.expr("(tp * 10000) DIV (tp + fp)").alias("precision_x10k"),
+        F.expr("(tp * 10000) DIV (tp + fn)").alias("recall_x10k"),
+        F.expr("(2 * tp * 10000) DIV (2 * tp + fp + fn)").alias("f1_x10k"),
+    )
+
+
+_CAL_BIN = 50  # margin_x100 units per calibration bin
+
+
+def _calibration_oracle() -> str:
+    score = " + ".join(_tree_case_sql(*t) for t in _TREES)
+    return f"""
+    {_feats_cte()},
+    scored AS (
+        SELECT CAST({score} + {_BIAS} AS BIGINT) AS margin,
+               {_LABEL_SQL} AS label
+        FROM feats
+    )
+    SELECT CAST(CASE WHEN margin >= 0 THEN margin // {_CAL_BIN}
+                     ELSE -((-margin + {_CAL_BIN} - 1) // {_CAL_BIN})
+                END AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_positive,
+           CAST((sum(CASE WHEN label THEN 1 ELSE 0 END) * 10000) // count(*)
+                AS BIGINT) AS positive_rate_x10k,
+           CAST(min(margin) AS BIGINT) AS margin_lo,
+           CAST(max(margin) AS BIGINT) AS margin_hi
+    FROM scored GROUP BY 1
+    """
+
+
+@query("ml_calibration_bins", oracle=_calibration_oracle())
+def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model calibration audit: bucket the served ensemble margin into
+    fixed-width bins and report the empirical positive rate per bin — a
+    well-calibrated gate's positive rate should rise monotonically with
+    the margin, and THIS table is how you check before trusting the
+    margin as a sampling weight (e.g. quality-weighted mixtures).
+
+    Binning uses floor-toward-negative-infinity on both engines (the
+    explicit CASE avoids the DIV-truncates-toward-zero mismatch for
+    negative margins); rates are ×10⁴ integer DIV. One scan, one
+    partial-agg groupBy on the bin id — the margin histogram costs the
+    same as any histogram at 100 TB.
+    """
+    feats = load(spark, sf_dir, "documents").select(
+        F.col("n_chars"),
+        F.expr("length(text) - length(replace(text, ' ', '')) + 1").alias(
+            "n_tokens"
+        ),
+        F.expr(
+            "CAST(length(regexp_replace(text, '[^0-9]', '')) AS BIGINT)"
+        ).alias("digit_cnt"),
+        F.expr(
+            "CAST((length(replace(text, ' ', '')) * 100) DIV "
+            "(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT)"
+        ).alias("avg_tok_len_x100"),
+    )
+
+    def tree(feat, thr, feat2, thr2, leaves):
+        ll, lr, rl, rr = [F.lit(x) for x in leaves]
+        left = F.when(F.col(feat2) < thr2, ll).otherwise(lr)
+        right = F.when(F.col(feat2) < thr2, rl).otherwise(rr)
+        return F.when(F.col(feat) < thr, left).otherwise(right)
+
+    margin = (
+        sum((tree(*t) for t in _TREES), F.lit(0)) + F.lit(_BIAS)
+    ).cast("bigint")
+    scored = feats.select(
+        margin.alias("margin"), F.expr(_LABEL_SQL).alias("label")
+    )
+    bin_expr = F.expr(
+        f"CAST(CASE WHEN margin >= 0 THEN margin DIV {_CAL_BIN} "
+        f"ELSE -((-margin + {_CAL_BIN} - 1) DIV {_CAL_BIN}) END AS BIGINT)"
+    )
+    return (
+        scored.groupBy(bin_expr.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("label"), 1).otherwise(0))
+            .cast("bigint").alias("n_positive"),
+            F.expr(
+                "CAST((sum(CASE WHEN label THEN 1 ELSE 0 END) * 10000)"
+                " DIV count(*) AS BIGINT)"
+            ).alias("positive_rate_x10k"),
+            F.min("margin").alias("margin_lo"),
+            F.max("margin").alias("margin_hi"),
+        )
+    )
