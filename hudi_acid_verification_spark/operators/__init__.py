@@ -76,6 +76,7 @@ def _import_all() -> None:
         composite,
         composite2,
         composite3,
+        constraints,
         corpus,
         curation,
         dedup,

@@ -761,3 +761,149 @@ def dedup_prefix_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         grp.orderBy(F.col("n_docs").desc(), "prefix_md5")
         .limit(_BP_TOP)
     )
+
+
+def _minhash_accuracy_oracle() -> str:
+    sig_cols = ", ".join(
+        f"min(({_a(k)} * h + {_b(k)}) % {_P}) AS s{k}" for k in range(_K)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {j} AS band_id, "
+        + " || '_' || ".join(f"s{j * _R + r}" for r in range(_R))
+        + " AS band_key FROM sigs"
+        for j in range(_BANDS)
+    )
+    matches = " + ".join(
+        f"CASE WHEN pa.s{k} = pb.s{k} THEN 1 ELSE 0 END" for k in range(_K)
+    )
+    return f"""
+    WITH {_SHINGLES_SQL},
+    sigs AS (SELECT doc_id, {sig_cols} FROM shingles GROUP BY doc_id),
+    bands AS ({band_selects}),
+    cands AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM bands x
+        JOIN bands y ON x.band_id = y.band_id AND x.band_key = y.band_key
+                    AND x.doc_id < y.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+    exact AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS n_common
+        FROM cands c
+        JOIN shingles a ON a.doc_id = c.doc_a
+        JOIN shingles b ON b.doc_id = c.doc_b AND b.h = a.h
+        GROUP BY 1, 2
+    ),
+    est AS (
+        SELECT c.doc_a, c.doc_b,
+               CAST({matches} AS BIGINT) AS n_matching
+        FROM cands c
+        JOIN sigs pa ON pa.doc_id = c.doc_a
+        JOIN sigs pb ON pb.doc_id = c.doc_b
+    )
+    SELECT e.doc_a, e.doc_b,
+           CAST((e.n_matching * 10000) // {_K} AS BIGINT) AS est_x10k,
+           CAST((COALESCE(x.n_common, 0) * 10000)
+                // (sa.n + sb.n - COALESCE(x.n_common, 0)) AS BIGINT)
+               AS exact_x10k,
+           CAST(abs((e.n_matching * 10000) // {_K}
+                - (COALESCE(x.n_common, 0) * 10000)
+                  // (sa.n + sb.n - COALESCE(x.n_common, 0)))
+               AS BIGINT) AS abs_err_x10k
+    FROM est e
+    LEFT JOIN exact x ON x.doc_a = e.doc_a AND x.doc_b = e.doc_b
+    JOIN sizes sa ON sa.doc_id = e.doc_a
+    JOIN sizes sb ON sb.doc_id = e.doc_b
+    """
+
+
+@query("dedup_minhash_accuracy", oracle=_minhash_accuracy_oracle())
+def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy evaluation IN the engine: for every LSH candidate
+    pair, the MinHash ESTIMATE of Jaccard (matching signature components
+    / K) next to the EXACT shingle-set Jaccard, with the absolute error —
+    the measurement that justifies (or indicts) a chosen K before anyone
+    trusts the sketch at 100 TB, the same measure-don't-guess pattern as
+    similarity_recall_eval for the ANN arm.
+
+    Both ratios are ×10⁴ integer DIV (K divides the match count; the
+    union size divides the intersection), so the error table hashes
+    bit-for-bit cross-engine.
+
+    Scale shape: candidates come from the banded LSH join (never
+    all-pairs); the estimate needs only the two K-component signatures
+    per pair (broadcast-size signature frame); the exact arm joins
+    shingles on (doc, hash) for candidates only — the identical
+    candidates-then-rescore cost profile as dedup_near_minhash itself,
+    so the evaluation is no more expensive than the dedup it audits.
+    """
+    sh = _shingles_spark(spark, sf_dir).cache()
+    sigs = sh.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(_a(k)) * F.col("h") + F.lit(_b(k))) % F.lit(_P)).alias(
+                f"s{k}"
+            )
+            for k in range(_K)
+        ]
+    )
+    bands = None
+    for j in range(_BANDS):
+        key = F.concat_ws("_", *[f"s{j * _R + r}" for r in range(_R)])
+        part = sigs.select(
+            "doc_id", F.lit(j).alias("band_id"), key.alias("band_key")
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    x = bands.select(F.col("doc_id").alias("doc_a"), "band_id", "band_key")
+    y = bands.select(F.col("doc_id").alias("doc_b"), "band_id", "band_key")
+    cands = (
+        x.join(y, ["band_id", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    pa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"s{k}").alias(f"a{k}") for k in range(_K)],
+    )
+    pb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"s{k}").alias(f"b{k}") for k in range(_K)],
+    )
+    n_matching = sum(
+        (
+            F.when(F.col(f"a{k}") == F.col(f"b{k}"), 1).otherwise(0)
+            for k in range(_K)
+        ),
+        F.lit(0),
+    ).cast("bigint")
+    est = (
+        cands.join(F.broadcast(pa), "doc_a")
+        .join(F.broadcast(pb), "doc_b")
+        .select("doc_a", "doc_b", n_matching.alias("n_matching"))
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), "h")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "h")
+    exact = (
+        cands.join(a, "doc_a")
+        .join(b, ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    joined = (
+        est.join(exact, ["doc_a", "doc_b"], "left")
+        .join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn("n_common", F.coalesce(F.col("n_common"), F.lit(0)))
+    )
+    est_x10k = F.expr(f"(n_matching * 10000) DIV {_K}")
+    exact_x10k = F.expr("(n_common * 10000) DIV (na + nb - n_common)")
+    return joined.select(
+        "doc_a",
+        "doc_b",
+        est_x10k.alias("est_x10k"),
+        exact_x10k.alias("exact_x10k"),
+        F.abs(est_x10k - exact_x10k).cast("bigint").alias("abs_err_x10k"),
+    )

@@ -1225,3 +1225,25 @@ def test_variant_shred_single_aggregate(spark):
         assert bad not in plan
     shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
     assert shuffles <= 1 * 2  # one groupBy, double-printed
+
+
+def test_constraint_suite_single_orders_aggregate(spark):
+    """All five orders checks must fuse into one scan's aggregate (the
+    count-distinct Expand shares it); the FK check is a counted
+    anti-join — no per-constraint jobs."""
+    plan = plan_of(spark, "quality_constraint_suite")
+    assert "LeftAnti" in plan
+    # the single countDistinct plans as a two-stage distinct aggregate
+    # fused with the plain sums — never a separate job per constraint
+    # orders is scanned twice total: once for the metric aggregate, once
+    # as the anti-join build side (each printed twice in formatted plans)
+    assert plan.count("orders.parquet") <= 2 * 2
+
+
+def test_minhash_accuracy_candidates_only(spark):
+    """The accuracy audit must price like the dedup it audits: LSH band
+    candidates, broadcast signature frames, no all-pairs join."""
+    plan = plan_of(spark, "dedup_minhash_accuracy")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
