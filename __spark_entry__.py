@@ -130,6 +130,7 @@ _CERT_ORDER = [
     "stream_stateful_fold", "stream_transform_with_state",
     "udf_cosine_pandas", "udf_state_fold", "source_binaryfile_ingest",
     "udf_quality_model_pandas", "acid_table_detail",
+    "acid_ttl_retention",
     # tier 5 — green in CORRECTNESS_r01
     "agg_distinct", "agg_percentiles", "agg_stats_moments",
     "agg_arg_extremes", "similarity_topk", "similarity_ann_lsh",

@@ -1298,6 +1298,97 @@ class AcidTable:
 
         return self._commit_dml(mutate, timeout, op="delete")
 
+    def delete_where(
+        self, col: str, lo=None, hi=None, timeout: float = 60.0
+    ) -> int:
+        """Predicate DELETE over a range of any stats-indexed column — the
+        Delta/Hudi ``DELETE FROM t WHERE col BETWEEN lo AND hi`` analog;
+        TTL retention is ``delete_where(ts_col, hi=cutoff)``.
+
+        COW classifies every live file against the manifest's column-stats
+        index into three classes:
+        - DISJOINT from the range → carries over untouched (never read);
+        - ENTIRELY INSIDE the range → dropped from the manifest without
+          being read (parquet footer min/max are exact, so every row
+          matches) — on a time-clustered table, retention is a
+          METADATA-ONLY commit, the same reason warehouses drop whole
+          partitions for TTL;
+        - straddling (or stats-less) → rewritten with the residual
+          ``NOT (lo <= col <= hi)`` filter.
+
+        MOR appends tombstones for the matching keys (stats-pruned
+        partition-resolved scan finds them; no base-file rewrite), the
+        same no-rewrite discipline as :meth:`delete`.
+        """
+
+        def fully_inside(f: dict, pk: str) -> bool:
+            if col == pk:
+                rng = [f.get("pk_min"), f.get("pk_max")]
+            else:
+                rng = (f.get("stats") or {}).get(col) or [None, None]
+            flo, fhi = rng
+            if flo is None or fhi is None:
+                return False  # no stats: never drop blind
+            try:
+                return (lo is None or flo >= lo) and (
+                    hi is None or fhi <= hi
+                )
+            except TypeError:
+                return False
+
+        def pred():
+            p = F.lit(True)
+            if lo is not None:
+                p = p & (F.col(col) >= F.lit(lo))
+            if hi is not None:
+                p = p & (F.col(col) <= F.lit(hi))
+            return p
+
+        def mutate(m: _Manifest) -> list[dict]:
+            if m.mode == "mor":
+                # stats prune at partition granularity (scan_range rule),
+                # then resolve and tombstone the matching keys
+                cand = [
+                    f for f in m.files
+                    if self._may_overlap(f, col, lo, hi, m.pk)
+                ]
+                parts = {f["partition"] for f in cand}
+                live = self._resolve(
+                    m, [f for f in m.files if f["partition"] in parts]
+                )
+                pairs = (
+                    live.filter(pred())
+                    .select(m.pk, m.partition_col)
+                    .dropDuplicates([m.pk])
+                )
+                tomb = pairs.select(
+                    *[
+                        F.col(c)
+                        if c in (m.pk, m.partition_col)
+                        else F.lit(None).cast(m.schema[c].dataType).alias(c)
+                        for c in m.schema.names
+                    ]
+                )
+                return m.files + self._write_delta(
+                    tomb, m, op="delete", seq=m.version + 1, kind="delta"
+                )
+            keep, drop, straddle = [], [], []
+            for f in m.files:
+                if not self._may_overlap(f, col, lo, hi, m.pk):
+                    keep.append(f)
+                elif fully_inside(f, m.pk):
+                    drop.append(f)
+                else:
+                    straddle.append(f)
+            if not straddle:
+                return keep  # metadata-only commit (drop + carry-over)
+            survivors = self._scan_files(m, straddle).select(
+                *m.schema.names
+            ).filter(~pred())
+            return keep + self._write_data(survivors, m)
+
+        return self._commit_dml(mutate, timeout, op="delete")
+
     # ------------------------------------------------- incremental / timeline
 
     def history(self) -> list[dict]:

