@@ -123,6 +123,7 @@ _CERT_ORDER = [
     "sql_pipe_syntax", "sql_scalar_udf", "ml_confusion_eval",
     "ml_calibration_bins", "pipeline_curriculum_phases",
     "quality_constraint_suite", "dedup_minhash_accuracy",
+    "similarity_matryoshka_prefix",
     # tier 4 — rows-only by design
     "pipeline_bpe_merges", "pipeline_bpe_encode",
     "agg_approx_distinct", "multimodal_decode_features",

@@ -1389,6 +1389,78 @@ class AcidTable:
 
         return self._commit_dml(mutate, timeout, op="delete")
 
+    def update_where(
+        self, col: str, set: dict, lo=None, hi=None, timeout: float = 60.0
+    ) -> int:
+        """Predicate UPDATE — ``UPDATE t SET ... WHERE lo <= col <= hi``
+        (the Delta/Hudi SQL UPDATE analog, completing the predicate-DML
+        triad with :meth:`delete_where`). ``set`` maps column name →
+        Column expression (or literal), evaluated against the matching
+        row; pk / partition / precombine columns are protected.
+
+        COW: files DISJOINT from the range (column-stats index) carry
+        over unread; every overlapping file rewrites with the SET applied
+        to matching rows only. MOR: the stats-pruned resolved matching
+        rows are re-emitted with the SET applied as an appended delta
+        (newest-seq wins on read) — no base rewrite, the same no-rewrite
+        discipline as MOR upsert.
+        """
+        m0 = self._read_manifest()
+        protected = {m0.pk, m0.partition_col}
+        if m0.precombine_col:
+            protected.add(m0.precombine_col)
+        bad = protected & set.keys()
+        if bad:
+            raise ValueError(f"update_where may not set {sorted(bad)}")
+
+        def pred():
+            p = F.lit(True)
+            if lo is not None:
+                p = p & (F.col(col) >= F.lit(lo))
+            if hi is not None:
+                p = p & (F.col(col) <= F.lit(hi))
+            return p
+
+        def apply_set(df: DataFrame, m: _Manifest, only_matching: bool):
+            cond = pred()
+            out = df
+            for c, expr in set.items():
+                val = expr if isinstance(expr, F.Column) else F.lit(expr)
+                val = val.cast(m.schema[c].dataType)
+                if only_matching:
+                    out = out.withColumn(
+                        c, F.when(cond, val).otherwise(F.col(c))
+                    )
+                else:
+                    out = out.withColumn(c, val)
+            return out.select(*m.schema.names)
+
+        def mutate(m: _Manifest) -> list[dict]:
+            if m.mode == "mor":
+                cand = [
+                    f for f in m.files
+                    if self._may_overlap(f, col, lo, hi, m.pk)
+                ]
+                parts = {f["partition"] for f in cand}
+                live = self._resolve(
+                    m, [f for f in m.files if f["partition"] in parts]
+                )
+                changed = apply_set(live.filter(pred()), m, False)
+                return m.files + self._write_delta(
+                    changed, m, op="update", seq=m.version + 1, kind="delta"
+                )
+            keep = [
+                f for f in m.files
+                if not self._may_overlap(f, col, lo, hi, m.pk)
+            ]
+            touch = [f for f in m.files if f not in keep]
+            if not touch:
+                return keep
+            old = self._scan_files(m, touch).select(*m.schema.names)
+            return keep + self._write_data(apply_set(old, m, True), m)
+
+        return self._commit_dml(mutate, timeout, op="update")
+
     # ------------------------------------------------- incremental / timeline
 
     def history(self) -> list[dict]:

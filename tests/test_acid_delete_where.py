@@ -91,3 +91,42 @@ def test_delete_where_mor_appends_tombstones_no_rewrite(spark):
     assert t.snapshot().count() == 20
     # time travel still sees the pre-delete table
     assert t.snapshot(version=m0.version).count() == 30
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_update_where_semantics(spark, mode):
+    t = _mk(spark, mode)
+    t.update_where("v", {"v": F.col("v") + 1}, lo=110, hi=140)
+    got = {r["pk"]: r["v"] for r in t.snapshot().collect()}
+    assert len(got) == 30  # no rows appear or vanish
+    for pk, v in got.items():
+        base = pk * 10
+        assert v == (base + 1 if 110 <= base <= 140 else base)
+
+
+def test_update_where_carries_disjoint_files(spark):
+    t = _mk(spark, "cow")
+    m0 = t._read_manifest()
+    t.update_where("v", {"v": F.lit(0)}, lo=110, hi=140)
+    m1 = t._read_manifest()
+    carried = {f["file"] for f in m0.files} & {f["file"] for f in m1.files}
+    assert len(carried) == 2  # d0 and d2 untouched, only d1 rewritten
+    assert t.snapshot().filter(F.col("v") == 0).count() == 4
+
+
+def test_update_where_protects_keys(spark):
+    t = _mk(spark, "cow")
+    with pytest.raises(ValueError):
+        t.update_where("v", {"pk": F.lit(1)}, hi=100)
+    with pytest.raises(ValueError):
+        t.update_where("v", {"part": F.lit("x")}, hi=100)
+
+
+def test_update_where_mor_time_travel(spark):
+    t = _mk(spark, "mor")
+    m0 = t._read_manifest()
+    t.update_where("v", {"v": F.col("v") * 2}, hi=50)
+    assert t.snapshot().filter(F.col("v") == 20).count() == 1  # pk 1: 10→20
+    # old snapshot unchanged
+    old = {r["pk"]: r["v"] for r in t.snapshot(version=m0.version).collect()}
+    assert old[1] == 10
