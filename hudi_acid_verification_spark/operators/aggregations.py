@@ -650,3 +650,90 @@ def agg_hierarchy_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("rev_mu").over(w_region)
         ).alias("nation_share_of_region"),
     )
+
+
+@query(
+    "agg_filter_clause",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+               AS n_finished,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    FILTER (WHERE o_orderstatus = 'O') AS BIGINT)
+               AS open_cents,
+           CAST(count(DISTINCT o_custkey) FILTER (WHERE o_orderstatus = 'P')
+                AS BIGINT) AS n_pending_customers
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI FILTER-clause aggregation — per-group conditional aggregates
+    in ONE pass (count/sum/distinct-count each over a different predicate)
+    instead of three self-joined subqueries. Both engines execute the
+    IDENTICAL SQL text; this is the idiom that replaces the
+    CASE-WHEN-inside-SUM contortion and keeps every conditional metric in
+    the same partial-aggregation pipeline.
+
+    Scale shape: one scan, one shuffle keyed by the group column; the
+    FILTER predicates evaluate map-side so partial aggregation still
+    compresses to O(groups) rows. The single DISTINCT triggers Spark's
+    expand-based two-phase distinct — bounded because it's one distinct
+    column, not a multi-distinct explosion.
+    """
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+                   AS n_finished,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                        FILTER (WHERE o_orderstatus = 'O') AS BIGINT)
+                   AS open_cents,
+               CAST(count(DISTINCT o_custkey)
+                        FILTER (WHERE o_orderstatus = 'P') AS BIGINT)
+                   AS n_pending_customers
+        FROM orders
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@query(
+    "agg_string_concat_ordered",
+    oracle="""
+    SELECT n.n_name,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           string_agg(s.s_name, ',' ORDER BY s.s_name) AS supplier_roster
+    FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def agg_string_concat_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ordered string aggregation (LISTAGG/STRING_AGG): the
+    per-nation supplier roster as ONE canonical comma-joined string. The
+    trap this operator pins: collect_list order is partition-arrival
+    order — nondeterministic under parallelism — so the roster is sorted
+    INSIDE the aggregate (array_sort before array_join), making the
+    result identical on 1 core or 1000 executors. DuckDB states the same
+    contract natively with string_agg(... ORDER BY).
+
+    Scale shape: partial collect_list compresses map-side; rosters are
+    bounded by group cardinality (suppliers per nation), the right
+    guardrail for any listagg at scale — an unbounded listagg on a fact
+    table is a driver OOM by design, not an engine gap.
+    """
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+            F.array_join(
+                F.array_sort(F.collect_list("s_name")), ","
+            ).alias("supplier_roster"),
+        )
+    )

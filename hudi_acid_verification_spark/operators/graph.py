@@ -671,3 +671,96 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         visited = visited.unionAll(nxt).localCheckpoint(eager=False)
         frontier = nxt
     return visited.select(F.col("v").alias("vertex"), "hop")
+
+
+_LPA_ROUNDS = 3  # fixed label-propagation rounds (unrolled in the oracle)
+_LPA_ORDER_MOD = 7  # deterministic order-slice keeps the demo graph small
+
+
+def _lpa_round_cte(i: int) -> str:
+    prev = f"l{i - 1}"
+    return f"""
+    l{i} AS (
+        SELECT {prev}.node,
+               least({prev}.lbl, coalesce(min(nb.lbl), {prev}.lbl)) AS lbl
+        FROM {prev}
+        LEFT JOIN ee ON ee.u = {prev}.node
+        LEFT JOIN {prev} nb ON nb.node = ee.v
+        GROUP BY {prev}.node, {prev}.lbl
+    )"""
+
+
+@query(
+    "graph_label_propagation",
+    oracle=f"""
+    WITH e AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        WHERE a.l_orderkey % {_LPA_ORDER_MOD} = 0
+    ),
+    ee AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+    l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM ee),
+    {",".join(_lpa_round_cte(i) for i in range(1, _LPA_ROUNDS + 1))}
+    SELECT CAST(lbl AS BIGINT) AS label,
+           CAST(count(*) AS BIGINT) AS n_members
+    FROM l{_LPA_ROUNDS} GROUP BY lbl
+    """,
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-round min-label propagation (synchronous LPA) on a sliced
+    part co-purchase graph: every node starts labeled with its own id and
+    each round adopts the minimum label in its closed neighborhood. Three
+    rounds give the 3-hop community structure — the bounded-round sibling
+    of the run-to-convergence connected components in
+    ``dedup_components`` (operators/ann.py), and the shape GraphX's Pregel
+    would execute. The oracle UNROLLS the identical three rounds as CTEs,
+    so every intermediate labeling — not just the final histogram — is
+    pinned by construction.
+
+    Scale shape: per round, one join of the label table against the
+    symmetric edge list and one partial-aggregated min — the canonical
+    iterate at 100 TB (shuffle keyed by node, never materializing
+    neighborhoods). The edge list is built once and localCheckpoint'd so
+    the three rounds don't replay the O(k²)-per-order pair explosion;
+    rounds are fixed (not converged), so plan depth is bounded and no
+    driver-side convergence check is needed.
+    """
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % _LPA_ORDER_MOD == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    ee = e.unionAll(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=False)
+    labels = ee.select(F.col("u").alias("node")).distinct().withColumn(
+        "lbl", F.col("node")
+    )
+    for _ in range(_LPA_ROUNDS):
+        nb_min = (
+            ee.join(labels, ee.v == labels.node)
+            .groupBy(ee.u.alias("node"))
+            .agg(F.min("lbl").alias("nb_lbl"))
+        )
+        labels = (
+            labels.join(nb_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("lbl"), F.coalesce("nb_lbl", F.col("lbl"))
+                ).alias("lbl"),
+            )
+        )
+    return labels.groupBy(F.col("lbl").alias("label")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )

@@ -365,3 +365,49 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(cents).cast("bigint").alias("revenue_cents"),
         )
     )
+
+
+@query(
+    "join_lateral_topn",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.price_cents
+    FROM customer c, LATERAL (
+        SELECT o.o_orderkey,
+               CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)
+                   AS price_cents
+        FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+        ORDER BY o.o_totalprice DESC, o.o_orderkey
+        LIMIT 3
+    ) t
+    WHERE c.c_custkey % 50 = 0
+    """,
+)
+def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery — per-customer top-3 orders by price,
+    written the way an analyst writes it (a dependent subquery with ORDER
+    BY ... LIMIT) rather than the way an engine wants it (window + rank).
+    Both engines run the IDENTICAL SQL text: Spark's DecorrelateInnerQuery
+    rewrites the per-row LIMIT into a partitioned row_number filter, so
+    what executes is the window plan — no nested-loop re-execution of the
+    inner query per outer row, which is the difference between O(n·m) and
+    one shuffle at 100 TB. Ties are broken by o_orderkey, making the top-3
+    total-ordered and the result hash-stable.
+    """
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.price_cents
+        FROM customer c JOIN LATERAL (
+            SELECT o.o_orderkey,
+                   CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)
+                       AS price_cents
+            FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY o.o_totalprice DESC, o.o_orderkey
+            LIMIT 3
+        ) t
+        WHERE c.c_custkey % 50 = 0
+        """
+    )

@@ -181,3 +181,110 @@ def hof_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
         ).alias("dot_self_q"),
     )
+
+
+@query(
+    "scalar_try_arith_ansi",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN CAST(l_quantity AS BIGINT) = 25 THEN NULL
+                ELSE CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                     / (CAST(l_quantity AS BIGINT) - 25)
+           END AS price_per_excess_qty,
+           CASE WHEN CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                     > 9223
+                THEN NULL
+                ELSE CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                     * 1000000000000000
+           END AS scaled_or_null,
+           CAST(NULL AS VARCHAR) AS missing_token
+    FROM lineitem
+    WHERE l_orderkey % 20 = 0
+    """,
+)
+def scalar_try_arith_ansi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode error-safe arithmetic — the `try_*` function family that
+    makes Spark 4's ANSI-on default survivable in bulk ETL: division by
+    zero, bigint overflow, and out-of-bounds element access each yield
+    NULL instead of failing the 1000-executor job at row 10^12 of 10^13.
+    The oracle states the same semantics as explicit guards (CASE WHEN
+    the error condition THEN NULL), so Spark's try_divide/try_multiply/
+    try_element_at are verified to null out EXACTLY the error rows and
+    compute bit-identical values elsewhere (the division is one IEEE
+    double op on exact integer inputs in both engines).
+
+    Scale shape: pure per-row projection inside whole-stage codegen —
+    no shuffle, no UDF; the modulus predicate pushes to the parquet scan.
+    """
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 20 == 0
+    )
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast(
+        "bigint"
+    )
+    qty = F.col("l_quantity").cast("bigint")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(cents, qty - F.lit(25)).alias("price_per_excess_qty"),
+        F.try_multiply(cents, F.lit(1000000000000000).cast("bigint")).alias(
+            "scaled_or_null"
+        ),
+        F.try_element_at(
+            F.split(F.col("l_returnflag"), " "), F.lit(99)
+        ).alias("missing_token"),
+    )
+
+
+@query(
+    "scalar_interval_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) AS order_day,
+           CAST(CAST(o_orderdate AS DATE) + 90 AS DATE)
+               AS due_day,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE)
+               AS review_day,
+           CAST(date_trunc('quarter', CAST(o_orderdate AS DATE)) AS DATE)
+               AS quarter_start,
+           CAST(date_diff('day', DATE '1995-01-01',
+                          CAST(o_orderdate AS DATE)) AS BIGINT)
+               AS days_since_epoch_start,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end
+    FROM orders
+    WHERE o_orderkey % 25 = 0
+    """,
+)
+def scalar_interval_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar/interval arithmetic — the due-date, review-window, and
+    fiscal-bucket expressions of every SLA and cohort pipeline: day and
+    month interval addition (month addition clamps to month end in BOTH
+    engines — the semantic worth pinning), quarter truncation, day
+    difference from a fixed epoch, and last-day-of-month. All outputs are
+    DATE or BIGINT, so the hash comparison certifies the calendar math
+    itself, including leap-year and month-length edge cases present in
+    the 1995–2001 fixture range.
+
+    Oracle note: the day-interval term is written `date + 90` (integer
+    day addition) rather than `+ INTERVAL 90 DAY` because DuckDB 1.0.0's
+    subexpression elimination collapses two `CAST(col AS DATE) +
+    INTERVAL ...` columns into whichever interval appears first,
+    returning identical (wrong) values for both.
+
+    Scale shape: pure per-row projection in whole-stage codegen; the
+    modulus sample keeps certified output compact without changing the
+    plan shape.
+    """
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 25 == 0)
+    day = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        day.alias("order_day"),
+        F.date_add(day, 90).alias("due_day"),
+        F.add_months(day, 3).alias("review_day"),
+        F.date_trunc("quarter", day).cast("date").alias("quarter_start"),
+        F.datediff(day, F.lit("1995-01-01").cast("date"))
+        .cast("bigint")
+        .alias("days_since_epoch_start"),
+        F.last_day(day).alias("month_end"),
+    )

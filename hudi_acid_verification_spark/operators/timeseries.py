@@ -534,3 +534,200 @@ def event_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total",
         )
     )
+
+
+@query(
+    "window_drawdown_max",
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderpriority AS priority,
+               CAST(o_orderdate AS DATE) AS day,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS rev_cents
+        FROM orders GROUP BY 1, 2
+    ),
+    dd AS (
+        SELECT priority, day, rev_cents,
+               max(rev_cents) OVER (
+                   PARTITION BY priority ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS peak_cents
+        FROM daily
+    ),
+    r AS (
+        SELECT priority, day, rev_cents, peak_cents,
+               peak_cents - rev_cents AS drawdown_cents,
+               row_number() OVER (
+                   PARTITION BY priority
+                   ORDER BY peak_cents - rev_cents DESC, day
+               ) AS rnk,
+               count(*) OVER (PARTITION BY priority) AS n_days
+        FROM dd
+    )
+    SELECT priority, day AS trough_day, peak_cents,
+           rev_cents AS trough_cents, drawdown_cents AS max_drawdown_cents,
+           CAST(n_days AS BIGINT) AS n_days
+    FROM r WHERE rnk = 1
+    """,
+)
+def window_drawdown_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per priority segment — the risk metric of any
+    revenue/throughput series: the deepest drop of a daily level series
+    below its running historical peak, reported with the trough day that
+    realizes it (earliest day on ties, so the answer is total-ordered).
+
+    Scale shape: one shuffle to (priority, day) partial-aggregated daily
+    cents, then two window passes over the SAME (priority ORDER BY day)
+    sort — Catalyst reuses one Sort+Exchange for both the running max and
+    the ranking, and days-per-series is bounded (≤ a few thousand rows per
+    partition regardless of fact-table size), so the window state never
+    spills. All arithmetic is exact integer cents.
+    """
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderdate").cast("date").alias("day"),
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("rev_cents")
+        )
+    )
+    series = Window.partitionBy("priority").orderBy("day")
+    dd = daily.withColumn(
+        "peak_cents",
+        F.max("rev_cents").over(
+            series.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    ).withColumn("drawdown_cents", F.col("peak_cents") - F.col("rev_cents"))
+    ranked = dd.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("priority").orderBy(
+                F.col("drawdown_cents").desc(), "day"
+            )
+        ),
+    ).withColumn(
+        "n_days",
+        F.count(F.lit(1)).over(Window.partitionBy("priority")).cast("bigint"),
+    )
+    return ranked.filter(F.col("rnk") == 1).select(
+        "priority",
+        F.col("day").alias("trough_day"),
+        "peak_cents",
+        F.col("rev_cents").alias("trough_cents"),
+        F.col("drawdown_cents").alias("max_drawdown_cents"),
+        "n_days",
+    )
+
+
+@query(
+    "event_hazard_table",
+    oracle="""
+    WITH horizon AS (SELECT max(CAST(ts AS DATE)) AS h FROM events),
+    su AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS s_day
+        FROM events WHERE event_type = 'signup' GROUP BY 1
+    ),
+    pu AS (
+        SELECT e.user_id, min(CAST(e.ts AS DATE)) AS c_day
+        FROM events e JOIN su ON su.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND CAST(e.ts AS DATE) >= su.s_day
+        GROUP BY 1
+    ),
+    u AS (
+        SELECT su.user_id,
+               date_diff('day', su.s_day, h.h) AS h_off,
+               date_diff('day', su.s_day, pu.c_day) AS c_off
+        FROM su CROSS JOIN horizon h
+        LEFT JOIN pu ON pu.user_id = su.user_id
+    ),
+    offs AS (SELECT DISTINCT c_off AS d FROM u WHERE c_off IS NOT NULL)
+    SELECT CAST(o.d AS BIGINT) AS day_offset,
+           CAST((SELECT count(*) FROM u
+                 WHERE coalesce(u.c_off, u.h_off) >= o.d) AS BIGINT)
+               AS n_at_risk,
+           CAST((SELECT count(*) FROM u WHERE u.c_off = o.d) AS BIGINT)
+               AS n_converted
+    FROM offs o
+    """,
+)
+def event_hazard_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete survival/hazard table for signup→purchase conversion: for
+    each day-offset d since a user's first signup, how many users were
+    still at risk (not yet converted, observation window reaching d) and
+    how many converted exactly at d. The discrete Kaplan–Meier estimator
+    is n_converted/n_at_risk per row — kept as exact integer numerator and
+    denominator so the table hash-verifies bit-for-bit.
+
+    A user's at-risk interval is [0, risk_end] with
+    risk_end = coalesce(first_conversion_offset, censor_offset) (a
+    conversion inside the window always has c_off <= h_off), so
+    n_at_risk(d) = #users with risk_end >= d — a DESCENDING cumulative sum
+    over the per-offset user counts, NOT a per-(user, day) explode: the
+    shuffled state is one row per user then one row per distinct offset,
+    regardless of corpus size. The oracle states the same quantity as the
+    naive correlated count so the rewrite itself is verified.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("day"), "event_type"
+    )
+    horizon = ev.agg(F.max("day").alias("h"))
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("day").alias("s_day"))
+    )
+    pu = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(su, "user_id")
+        .filter(F.col("day") >= F.col("s_day"))
+        .groupBy("user_id")
+        .agg(F.min("day").alias("c_day"))
+    )
+    u = (
+        su.crossJoin(F.broadcast(horizon))
+        .join(pu, "user_id", "left")
+        .select(
+            "user_id",
+            F.datediff("h", "s_day").alias("h_off"),
+            F.datediff("c_day", "s_day").alias("c_off"),
+        )
+    )
+    u = u.withColumn("risk_end", F.coalesce("c_off", "h_off"))
+    end_counts = u.groupBy(F.col("risk_end").alias("d")).agg(
+        F.count(F.lit(1)).alias("n_end")
+    )
+    conv_counts = (
+        u.filter(F.col("c_off").isNotNull())
+        .groupBy(F.col("c_off").alias("d"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_converted"))
+    )
+    dom = end_counts.select("d").union(conv_counts.select("d")).distinct()
+    # collapsed frame (one row per distinct offset): constant partition key
+    # keeps WindowExec single-partition by declaration, not accident
+    desc = (
+        Window.partitionBy(F.lit(0))
+        .orderBy(F.col("d").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tbl = (
+        dom.join(end_counts, "d", "left")
+        .withColumn(
+            "n_at_risk",
+            F.sum(F.coalesce("n_end", F.lit(0))).over(desc).cast("bigint"),
+        )
+        .join(conv_counts, "d", "left")
+        .filter(F.col("n_converted").isNotNull())
+    )
+    return tbl.select(
+        F.col("d").cast("bigint").alias("day_offset"),
+        "n_at_risk",
+        "n_converted",
+    )

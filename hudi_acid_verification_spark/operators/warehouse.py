@@ -874,3 +874,70 @@ def event_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("n_boundaries"),
         )
     )
+
+
+_SMALL_FILES = 64  # fragmented layout width (one file per shuffle task)
+_COMPACTED_FILES = 4  # post-compaction layout width
+
+
+@query(
+    "warehouse_small_file_compaction",
+    oracle=f"""
+    SELECT CAST({_SMALL_FILES} AS BIGINT) AS files_before,
+           CAST({_COMPACTED_FILES} AS BIGINT) AS files_after,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM lineitem
+    """,
+)
+def warehouse_small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The small-files problem, demonstrated and fixed: write lineitem
+    fragmented across {_SMALL_FILES} parquet files (what a 64-task
+    streaming micro-batch or over-parallel ETL leaves behind), then
+    compact to {_COMPACTED_FILES} right-sized files, proving (a) the file
+    counts before/after and (b) that compaction is content-lossless (row
+    count + exact revenue-cents fingerprint, both oracle-verified against
+    the source table).
+
+    File counting is DISTRIBUTED — ``input_file_name()`` distinct over a
+    metadata-only projection, never a driver-side directory listing, so
+    the same audit runs against an object store holding millions of
+    files. Explicit ``repartition(n)`` is deliberately exempt from AQE
+    partition coalescing, which is what makes the produced file count
+    deterministic. At 100 TB the compaction target is sized from bytes
+    (maxRecordsPerFile / target file size), but the witness — count files
+    via the scan, fingerprint before vs after — is exactly this one.
+    """
+    src = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    from .sources import _stage_dir
+
+    frag = _stage_dir(sf_dir, "lineitem_fragmented")
+    compacted = _stage_dir(sf_dir, "lineitem_compacted")
+    src.repartition(_SMALL_FILES).write.mode("overwrite").parquet(frag)
+    frag_df = spark.read.parquet(frag)
+    frag_df.repartition(_COMPACTED_FILES).write.mode("overwrite").parquet(
+        compacted
+    )
+    comp_df = spark.read.parquet(compacted)
+
+    def n_files(df: DataFrame):
+        return (
+            df.select(F.input_file_name().alias("f"))
+            .distinct()
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        )
+
+    before = n_files(frag_df).select(F.col("n").alias("files_before"))
+    after = n_files(comp_df).select(F.col("n").alias("files_after"))
+    audit = comp_df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("cents").cast("bigint").alias("revenue_cents"),
+    )
+    return before.crossJoin(after).crossJoin(audit)
