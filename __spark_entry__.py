@@ -124,6 +124,11 @@ _CERT_ORDER = [
     "ml_calibration_bins", "pipeline_curriculum_phases",
     "quality_constraint_suite", "dedup_minhash_accuracy",
     "similarity_matryoshka_prefix",
+    "agg_filter_clause", "agg_string_concat_ordered",
+    "graph_label_propagation", "join_lateral_topn",
+    "scalar_try_arith_ansi", "scalar_interval_arithmetic",
+    "window_drawdown_max", "event_hazard_table",
+    "warehouse_small_file_compaction",
     # tier 4 — rows-only by design
     "pipeline_bpe_merges", "pipeline_bpe_encode",
     "agg_approx_distinct", "multimodal_decode_features",
