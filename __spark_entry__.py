@@ -128,7 +128,8 @@ _CERT_ORDER = [
     "graph_label_propagation", "join_lateral_topn",
     "scalar_try_arith_ansi", "scalar_interval_arithmetic",
     "window_drawdown_max", "event_hazard_table",
-    "warehouse_small_file_compaction",
+    "warehouse_small_file_compaction", "dedup_prefix_filter_join",
+    "quality_k_anonymity", "quality_lang_drift_tv", "join_strategy_hints",
     # tier 4 — rows-only by design
     "pipeline_bpe_merges", "pipeline_bpe_encode",
     "agg_approx_distinct", "multimodal_decode_features",

@@ -24,7 +24,7 @@ adversarial case this cap exists for.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import load, query
@@ -906,4 +906,159 @@ def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         est_x10k.alias("est_x10k"),
         exact_x10k.alias("exact_x10k"),
         F.abs(est_x10k - exact_x10k).cast("bigint").alias("abs_err_x10k"),
+    )
+
+
+# --- PPJoin-style prefix-filtered exact set-similarity join ----------------
+# Jaccard threshold as an exact rational (numerator/denominator) so every
+# filter is integer arithmetic — no float ceil()/threshold drift between
+# engines.
+_PF_T_NUM = 7
+_PF_T_DEN = 10
+
+
+@query(
+    "dedup_prefix_filter_join",
+    oracle=f"""
+    WITH toks AS (
+        SELECT DISTINCT doc_id, tok
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+        WHERE tok <> ''
+    ),
+    df AS (SELECT tok, count(*) AS df FROM toks GROUP BY tok),
+    sized AS (
+        SELECT t.doc_id, t.tok,
+               count(*) OVER (PARTITION BY t.doc_id) AS n_tok,
+               row_number() OVER (
+                   PARTITION BY t.doc_id ORDER BY r.df, r.tok) AS pos
+        FROM toks t JOIN df r ON r.tok = t.tok
+    ),
+    prefix AS (
+        SELECT doc_id, tok, n_tok FROM sized
+        WHERE pos <= n_tok
+                     - CAST(floor(({_PF_T_NUM} * n_tok + {_PF_T_DEN} - 1)
+                                  / {_PF_T_DEN}.0) AS BIGINT) + 1
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.n_tok AS na, b.n_tok AS nb
+        FROM prefix a JOIN prefix b
+          ON b.tok = a.tok AND b.doc_id > a.doc_id
+        WHERE {_PF_T_DEN} * least(a.n_tok, b.n_tok)
+              >= {_PF_T_NUM} * greatest(a.n_tok, b.n_tok)
+    ),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, c.na, c.nb,
+               count(*) AS n_inter
+        FROM cand c
+        JOIN toks x ON x.doc_id = c.doc_a
+        JOIN toks y ON y.doc_id = c.doc_b AND y.tok = x.tok
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_a, doc_b,
+           CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+           CAST(n_inter AS BIGINT) AS n_inter,
+           CAST(n_inter AS DOUBLE) / (na + nb - n_inter) AS jaccard
+    FROM inter
+    WHERE {_PF_T_DEN} * n_inter >= {_PF_T_NUM} * (na + nb - n_inter)
+    """,
+)
+def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join via positional prefix filtering (the
+    PPJoin family) — the deterministic alternative to MinHash when recall
+    must be 1.0: two documents with token-Jaccard >= 0.7 MUST share at
+    least one token in their (|T| - ceil(t*|T|) + 1)-length prefix of the
+    globally rarity-ordered token list, so candidates come from an
+    equi-join on prefix tokens only, never all pairs.
+
+    Scale shape (100 TB): the prefix keeps only each document's RAREST
+    tokens (global (df, tok) ascending order), so the candidate join's key
+    distribution is anti-skewed by construction — hot boilerplate tokens
+    sit at the END of the order and never enter any prefix, the inverse of
+    the stop-shingle cap the exact-pair dedups need. Three shuffles total:
+    token df count, per-doc position ranking, candidate equi-join; the
+    length-compatibility filter (t*max <= min sizes, exact integer form)
+    prunes candidates before the intersection count. Every predicate is
+    integer arithmetic; the output jaccard is one final double division of
+    exact counts.
+
+    Complements `dedup_near_minhash` (probabilistic, O(N*bands)) and
+    `dedup_ngram_jaccard` (df-capped approximate universe): this operator
+    is exact over the FULL token universe with recall 1.0 at equality of
+    cost only when similarity is high-threshold.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    # The global token order is (df, tok) ITSELF — totally ordered because
+    # tok is unique — so per-doc positions come from one windowed sort per
+    # document, with NO global single-partition rank materialization.
+    sized = (
+        toks.join(dfreq, "tok")
+        .withColumn(
+            "n_tok", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+        )
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "tok")
+            ),
+        )
+    )
+    # prefix length = n - ceil(t*n) + 1, ceil as exact integer arithmetic
+    ceil_tn = F.floor(
+        (F.lit(_PF_T_NUM) * F.col("n_tok") + F.lit(_PF_T_DEN - 1))
+        / F.lit(float(_PF_T_DEN))
+    ).cast("bigint")
+    prefix = sized.filter(
+        F.col("pos") <= F.col("n_tok") - ceil_tn + 1
+    ).select("doc_id", "tok", "n_tok")
+    pa = prefix.select(
+        F.col("doc_id").alias("doc_a"), "tok", F.col("n_tok").alias("na")
+    )
+    pb = prefix.select(
+        F.col("doc_id").alias("doc_b"), "tok", F.col("n_tok").alias("nb")
+    )
+    cand = (
+        pa.join(pb, "tok")
+        .filter(F.col("doc_b") > F.col("doc_a"))
+        .filter(
+            F.lit(_PF_T_DEN) * F.least("na", "nb")
+            >= F.lit(_PF_T_NUM) * F.greatest("na", "nb")
+        )
+        .select("doc_a", "doc_b", "na", "nb")
+        .distinct()
+    )
+    ta = toks.select(F.col("doc_id").alias("doc_a"), "tok")
+    tb = toks.select(F.col("doc_id").alias("doc_b"), "tok")
+    inter = (
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "tok"])
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.filter(
+            F.lit(_PF_T_DEN) * F.col("n_inter")
+            >= F.lit(_PF_T_NUM)
+            * (F.col("na") + F.col("nb") - F.col("n_inter"))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("na").cast("bigint").alias("na"),
+            F.col("nb").cast("bigint").alias("nb"),
+            F.col("n_inter").cast("bigint").alias("n_inter"),
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
     )

@@ -411,3 +411,53 @@ def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c.c_custkey % 50 = 0
         """
     )
+
+
+@query(
+    "join_strategy_hints",
+    oracle="""
+    SELECT n.n_name,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           CAST(sum(CAST(floor(s.s_acctbal * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS acctbal_cents
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def join_strategy_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical join-strategy steering via hints — the knob you reach for
+    when AQE's estimates are wrong at 100 TB: the same logical
+    supplier-x-nation join executed with an explicit BROADCAST hint on the
+    25-row dimension (the plan Catalyst should pick anyway) UNIONed with a
+    SHUFFLE_HASH-hinted copy over a disjoint key split, so the one result
+    exercises both physical strategies and proves strategy choice never
+    changes the answer.
+
+    Scale judgment: broadcasting the nation dimension eliminates the
+    fact-side exchange entirely; SHUFFLE_HASH beats sort-merge when one
+    side is modest and sorted output is not needed (skips both sorts).
+    Hints are per-subtree here — exactly how a production pipeline pins a
+    strategy for one pathological join without disabling AQE globally.
+    """
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    cents = F.floor(F.col("s_acctbal") * 100 + F.lit(0.5)).cast("bigint")
+    lo = (
+        s.filter(F.col("s_nationkey") < 12)
+        .join(n.hint("broadcast"), s.s_nationkey == n.n_nationkey)
+        .select("n_name", cents.alias("cents"))
+    )
+    hi = (
+        s.filter(F.col("s_nationkey") >= 12)
+        .join(n.hint("shuffle_hash"), s.s_nationkey == n.n_nationkey)
+        .select("n_name", cents.alias("cents"))
+    )
+    return (
+        lo.unionAll(hi)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+            F.sum("cents").cast("bigint").alias("acctbal_cents"),
+        )
+    )

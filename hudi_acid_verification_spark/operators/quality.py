@@ -632,3 +632,145 @@ def audit_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("next_k") - 1).alias("gap_end"),
         (F.col("next_k") - F.col("k") - 1).cast("bigint").alias("gap_len"),
     )
+
+
+_K_ANON = 5  # groups smaller than this are re-identification risks
+
+
+@query(
+    "quality_k_anonymity",
+    oracle=f"""
+    WITH qi AS (
+        SELECT event_type,
+               CAST(extract(hour FROM ts) AS BIGINT) AS hour_of_day,
+               CAST(floor(value / 50.0) AS BIGINT) AS value_band,
+               user_id
+        FROM events
+    ),
+    eq AS (
+        SELECT event_type, hour_of_day, value_band,
+               count(*) AS class_size,
+               count(DISTINCT user_id) AS n_users
+        FROM qi GROUP BY 1, 2, 3
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(sum(CASE WHEN class_size < {_K_ANON}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_risky_classes,
+           CAST(sum(CASE WHEN class_size < {_K_ANON}
+                         THEN class_size ELSE 0 END) AS BIGINT)
+               AS n_risky_rows,
+           CAST(min(class_size) AS BIGINT) AS min_k,
+           CAST(sum(class_size) AS BIGINT) AS n_rows,
+           CAST(sum(n_users) AS BIGINT) AS sum_class_users
+    FROM eq GROUP BY event_type
+    """,
+)
+def quality_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier tuple — the privacy gate a
+    training-data release runs before publishing event logs: bucket rows
+    into equivalence classes by (event_type, hour-of-day, value band) and
+    report, per event_type, how many classes fall below k={_K_ANON}
+    members (re-identification risk), how many rows they expose, and the
+    worst-case k.
+
+    Scale shape: one partial-aggregated shuffle on the QI tuple (class
+    sizes), then a rollup to |event_type| rows — both map-side combined.
+    The distinct-user count per class rides the same first shuffle via
+    count(DISTINCT) expanded per-class (class keys are already the
+    shuffle key, so no second expand). All outputs exact int64.
+    """
+    e = load(spark, sf_dir, "events")
+    qi = e.select(
+        "event_type",
+        F.hour("ts").cast("bigint").alias("hour_of_day"),
+        F.floor(F.col("value") / 50.0).cast("bigint").alias("value_band"),
+        "user_id",
+    )
+    eq = qi.groupBy("event_type", "hour_of_day", "value_band").agg(
+        F.count(F.lit(1)).alias("class_size"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    risky = F.col("class_size") < _K_ANON
+    return eq.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.sum(F.when(risky, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_risky_classes"),
+        F.sum(F.when(risky, F.col("class_size")).otherwise(0))
+        .cast("bigint")
+        .alias("n_risky_rows"),
+        F.min("class_size").cast("bigint").alias("min_k"),
+        F.sum("class_size").cast("bigint").alias("n_rows"),
+        F.sum("n_users").cast("bigint").alias("sum_class_users"),
+    )
+
+
+@query(
+    "quality_lang_drift_tv",
+    oracle="""
+    WITH per AS (
+        SELECT source, lang, count(*) AS n
+        FROM documents GROUP BY 1, 2
+    ),
+    src AS (SELECT source, sum(n) AS n_src FROM per GROUP BY source),
+    langm AS (SELECT lang, sum(n) AS n_lang FROM per GROUP BY lang),
+    tot AS (SELECT sum(n) AS n_tot FROM per),
+    full_grid AS (
+        SELECT s.source, g.lang, s.n_src, g.n_lang, t.n_tot,
+               coalesce(p.n, 0) AS n
+        FROM src s CROSS JOIN langm g CROSS JOIN tot t
+        LEFT JOIN per p ON p.source = s.source AND p.lang = g.lang
+    )
+    SELECT source,
+           CAST(max(n_src) AS BIGINT) AS n_docs,
+           CAST(sum(abs(n * n_tot - n_lang * n_src)) AS BIGINT)
+               AS tv_numer_x2,
+           CAST(max(n_src) * max(n_tot) AS BIGINT) AS tv_denom,
+           CAST(sum(abs(n * n_tot - n_lang * n_src)) AS DOUBLE)
+               / (2.0 * max(n_src) * max(n_tot)) AS tv_distance
+    FROM full_grid
+    GROUP BY source
+    """,
+)
+def quality_lang_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total-variation distance between each source's language mix and the
+    corpus-global mix — the domain-drift gate of a multi-source ingest:
+    TV(p_src, p_global) = 1/2 * sum_lang |p - q|, computed EXACTLY as
+    integers (|n*N_tot - n_lang*N_src| summed, divided once at the end),
+    so the drift ranking is bit-stable across engines and partitionings —
+    unlike a KL divergence whose per-term logs would drift in the last
+    ulp.
+
+    Scale shape: one shuffle to (source, lang) counts (tiny domain), then
+    broadcast-sized marginals cross-joined into the full grid so absent
+    (source, lang) cells contribute their |0 - q| mass; the final rollup
+    is |sources| rows. The fact table is touched exactly once.
+    """
+    d = load(spark, sf_dir, "documents")
+    per = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    per = per.cache()
+    src = per.groupBy("source").agg(F.sum("n").alias("n_src"))
+    glob = per.groupBy("lang").agg(F.sum("n").alias("n_lang"))
+    tot = per.agg(F.sum("n").alias("n_tot"))
+    grid = (
+        F.broadcast(src)
+        .crossJoin(F.broadcast(glob))
+        .crossJoin(F.broadcast(tot))
+        .join(per, ["source", "lang"], "left")
+        .withColumn("n", F.coalesce(F.col("n"), F.lit(0)))
+    )
+    numer = F.sum(
+        F.abs(
+            F.col("n") * F.col("n_tot") - F.col("n_lang") * F.col("n_src")
+        )
+    )
+    return grid.groupBy("source").agg(
+        F.max("n_src").cast("bigint").alias("n_docs"),
+        numer.cast("bigint").alias("tv_numer_x2"),
+        (F.max("n_src") * F.max("n_tot")).cast("bigint").alias("tv_denom"),
+        (
+            numer.cast("double")
+            / (F.lit(2.0) * F.max("n_src") * F.max("n_tot"))
+        ).alias("tv_distance"),
+    )
