@@ -130,6 +130,9 @@ _CERT_ORDER = [
     "window_drawdown_max", "event_hazard_table",
     "warehouse_small_file_compaction", "dedup_prefix_filter_join",
     "quality_k_anonymity", "quality_lang_drift_tv", "join_strategy_hints",
+    "source_xml_roundtrip", "sql_group_by_all",
+    "pipeline_preference_pairs", "warehouse_column_stats",
+    "pipeline_sft_masking",
     # tier 4 — rows-only by design
     "pipeline_bpe_merges", "pipeline_bpe_encode",
     "agg_approx_distinct", "multimodal_decode_features",

@@ -678,15 +678,27 @@ def _lsh_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "qv", "nrm", F.concat(*bit_cols).alias("bucket")
     )
     n_bands = _N_PLANES // _EMB_BAND_BITS
-    bands = None
-    for j in range(n_bands):
-        part = sig.select(
-            "vec_id", "qv", "nrm",
-            F.lit(j).alias("band_id"),
-            F.substring("bucket", j * _EMB_BAND_BITS + 1, _EMB_BAND_BITS)
-            .alias("band_key"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    # one generator projection (explode of the in-row band structs), not an
+    # n_bands-way union that would replan the signature projection — and,
+    # absent exchange reuse, recompute the hyperplane dots — once per band
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("int").alias("band_id"),
+                F.substring(
+                    "bucket", j * _EMB_BAND_BITS + 1, _EMB_BAND_BITS
+                ).alias("band_key"),
+            )
+            for j in range(n_bands)
+        ]
+    )
+    bands = sig.select(
+        "vec_id", "qv", "nrm", F.explode(band_structs).alias("bd")
+    ).select(
+        "vec_id", "qv", "nrm",
+        F.col("bd.band_id").alias("band_id"),
+        F.col("bd.band_key").alias("band_key"),
+    )
 
     def rescore(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(

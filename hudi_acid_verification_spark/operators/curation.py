@@ -435,3 +435,104 @@ def dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") == 1)
         .select("doc_id", "source", "lang", "n_chars", "group_size")
     )
+
+
+# Preference-pair margin floor: ×10⁴ lexical-diversity points the chosen
+# document must clear the rejected one by for the pair to be trainable.
+_PREF_MIN_MARGIN = 500
+
+
+@query(
+    "pipeline_preference_pairs",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang, source,
+               CAST((len(list_distinct(string_split(text, ' '))) * 10000)
+                    // len(string_split(text, ' ')) AS BIGINT) AS score
+        FROM documents
+    ),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (
+                   PARTITION BY lang, source
+                   ORDER BY score DESC, doc_id
+               ) AS rb,
+               row_number() OVER (
+                   PARTITION BY lang, source
+                   ORDER BY score ASC, doc_id DESC
+               ) AS rw
+        FROM scored
+    )
+    SELECT b.lang, b.source,
+           b.doc_id AS chosen_id, w.doc_id AS rejected_id,
+           b.score AS chosen_score, w.score AS rejected_score,
+           b.score - w.score AS margin
+    FROM (SELECT * FROM ranked WHERE rb = 1) b
+    JOIN (SELECT * FROM ranked WHERE rw = 1) w
+      ON b.lang = w.lang AND b.source = w.source
+    WHERE b.doc_id <> w.doc_id
+      AND b.score - w.score >= {_PREF_MIN_MARGIN}
+    """,
+)
+def pipeline_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair construction — the DPO/RLHF data-prep step: within
+    each comparable cohort (lang, source), pair the highest-scoring
+    document (chosen) with the lowest-scoring one (rejected) and keep the
+    pair only when the quality margin is decisive (≥ {_PREF_MIN_MARGIN}
+    ×10⁻⁴). The score is a lexical-diversity proxy — distinct-token ratio
+    in ×10⁴ integer arithmetic — so chosen/rejected/margin all hash
+    bit-for-bit cross-engine (a learned reward model would slot into the
+    same shape via the text_quality_model serving path).
+
+    Scale shape: ONE window exchange on the cohort key carries both rank
+    directions (best-first and worst-first are two row_numbers over the
+    same partition — same shuffle), the two rank=1 extracts self-join on
+    the cohort key (tiny frames: one row per cohort each side), and the
+    margin gate is a post-join filter. No per-pair recompute, no
+    all-pairs: at 100 TB the cost is the one groupBy-shaped exchange any
+    cohort statistic already pays.
+    """
+    d = load(spark, sf_dir, "documents")
+    # integer DIV end-to-end (no IEEE division) so scores hash cross-engine
+    scored = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.expr(
+            "(CAST(size(array_distinct(split(text, ' '))) AS BIGINT)"
+            " * 10000) DIV size(split(text, ' '))"
+        ).alias("score"),
+    )
+    wb = Window.partitionBy("lang", "source").orderBy(
+        F.col("score").desc(), "doc_id"
+    )
+    ww = Window.partitionBy("lang", "source").orderBy(
+        F.col("score").asc(), F.col("doc_id").desc()
+    )
+    ranked = scored.select(
+        "doc_id", "lang", "source", "score",
+        F.row_number().over(wb).alias("rb"),
+        F.row_number().over(ww).alias("rw"),
+    )
+    best = ranked.filter(F.col("rb") == 1).select(
+        "lang", "source",
+        F.col("doc_id").alias("chosen_id"),
+        F.col("score").alias("chosen_score"),
+    )
+    worst = ranked.filter(F.col("rw") == 1).select(
+        "lang", "source",
+        F.col("doc_id").alias("rejected_id"),
+        F.col("score").alias("rejected_score"),
+    )
+    return (
+        best.join(worst, ["lang", "source"])
+        .filter(F.col("chosen_id") != F.col("rejected_id"))
+        .withColumn(
+            "margin", F.col("chosen_score") - F.col("rejected_score")
+        )
+        .filter(F.col("margin") >= _PREF_MIN_MARGIN)
+        .select(
+            "lang", "source", "chosen_id", "rejected_id",
+            "chosen_score", "rejected_score", "margin",
+        )
+    )

@@ -219,6 +219,41 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_sigs(sh: DataFrame) -> DataFrame:
+    """K-component MinHash signatures from the shingle frame: one
+    partial-agg groupBy computing all K universal-hash minima together."""
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                (F.lit(_a(k)) * F.col("h") + F.lit(_b(k))) % F.lit(_P)
+            ).alias(f"s{k}")
+            for k in range(_K)
+        ]
+    )
+
+
+def _sig_bands(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_key) rows via ONE generator projection —
+    explode of the B in-row band structs — instead of a B-way union that
+    would replan (and without exchange reuse, recompute) the signature
+    aggregation once per band."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("int").alias("band_id"),
+                F.concat_ws(
+                    "_", *[f"s{j * _R + r}" for r in range(_R)]
+                ).alias("band_key"),
+            )
+            for j in range(_BANDS)
+        ]
+    )
+    return sigs.select("doc_id", F.explode(band_structs).alias("bd")).select(
+        "doc_id", F.col("bd.band_id").alias("band_id"),
+        F.col("bd.band_key").alias("band_key"),
+    )
+
+
 def _minhash_oracle() -> str:
     sig_cols = ", ".join(
         f"min(({_a(k)} * h + {_b(k)}) % {_P}) AS s{k}" for k in range(_K)
@@ -267,21 +302,8 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle hash, so Spark and DuckDB derive identical candidates.
     """
     sh = _shingles_spark(spark, sf_dir).cache()
-    sigs = sh.groupBy("doc_id").agg(
-        *[
-            F.min((F.lit(_a(k)) * F.col("h") + F.lit(_b(k))) % F.lit(_P)).alias(
-                f"s{k}"
-            )
-            for k in range(_K)
-        ]
-    )
-    bands = None
-    for j in range(_BANDS):
-        key = F.concat_ws("_", *[f"s{j * _R + r}" for r in range(_R)])
-        part = sigs.select(
-            "doc_id", F.lit(j).alias("band_id"), key.alias("band_key")
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    sigs = _minhash_sigs(sh)
+    bands = _sig_bands(sigs)
     x = bands.select(F.col("doc_id").alias("doc_a"), "band_id", "band_key")
     y = bands.select(F.col("doc_id").alias("doc_b"), "band_id", "band_key")
     cands = (
@@ -838,21 +860,10 @@ def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the evaluation is no more expensive than the dedup it audits.
     """
     sh = _shingles_spark(spark, sf_dir).cache()
-    sigs = sh.groupBy("doc_id").agg(
-        *[
-            F.min((F.lit(_a(k)) * F.col("h") + F.lit(_b(k))) % F.lit(_P)).alias(
-                f"s{k}"
-            )
-            for k in range(_K)
-        ]
-    )
-    bands = None
-    for j in range(_BANDS):
-        key = F.concat_ws("_", *[f"s{j * _R + r}" for r in range(_R)])
-        part = sigs.select(
-            "doc_id", F.lit(j).alias("band_id"), key.alias("band_key")
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    # sigs feeds three consumers (bands, pa, pb) — cache so the K-way
+    # minima aggregation runs once, not once per consumer subtree
+    sigs = _minhash_sigs(sh).cache()
+    bands = _sig_bands(sigs)
     x = bands.select(F.col("doc_id").alias("doc_a"), "band_id", "band_key")
     y = bands.select(F.col("doc_id").alias("doc_b"), "band_id", "band_key")
     cands = (

@@ -211,3 +211,38 @@ def sql_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag
         """
     )
+
+
+# Runs VERBATIM in Spark 4 and DuckDB: both dialects resolve GROUP BY ALL
+# from the non-aggregate select items and ORDER BY ALL left-to-right.
+_GROUP_BY_ALL_TEXT = """
+    SELECT o_orderpriority,
+           o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS sum_price
+    FROM orders
+    WHERE o_orderdate >= DATE '1995-01-01'
+    GROUP BY ALL
+    ORDER BY ALL
+"""
+
+
+@query("sql_group_by_all", oracle=_GROUP_BY_ALL_TEXT)
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY ALL`` / ``ORDER BY ALL`` front door (Spark 4, same
+    dialect as DuckDB/Snowflake): the grouping key list is inferred from
+    the non-aggregate select items, so wide exploratory rollups don't
+    repeat column lists that drift out of sync. The oracle runs the
+    LITERAL same text in DuckDB — parity by construction, the
+    recursive-CTE precedent.
+
+    Plan-wise this is pure front-end resolution sugar: Catalyst expands
+    ALL during analysis and the physical plan is the ordinary
+    partial-agg + shuffle + sort of the explicit spelling (decimal-cast
+    sum for order-independent, hash-stable money totals).
+    """
+    from hudi_acid_verification_spark.catalog import register_fixtures
+
+    register_fixtures(spark, sf_dir)
+    return spark.sql(_GROUP_BY_ALL_TEXT)

@@ -806,3 +806,78 @@ def pipeline_quality_bucket_sample(spark: SparkSession, sf_dir: str) -> DataFram
             F.when(F.col("hb") * 100 < F.col("keep_pct") * 256, 1).otherwise(0)
         ).cast("bigint").alias("n_kept"),
     )
+
+
+# SFT loss-masking policy: the leading ceil(25%) of each document's tokens
+# play the prompt role (masked out of the loss); the rest are response
+# tokens the trainer supervises on.
+_SFT_PROMPT_NUM = 1
+_SFT_PROMPT_DEN = 4
+
+
+@query(
+    "pipeline_sft_masking",
+    oracle=f"""
+    WITH per_doc AS (
+        SELECT lang, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST((len(string_split(text, ' ')) * {_SFT_PROMPT_NUM}
+                     + {_SFT_PROMPT_DEN} - 1) // {_SFT_PROMPT_DEN}
+                    AS BIGINT) AS prompt_tokens
+        FROM documents
+    )
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(prompt_tokens) AS BIGINT) AS masked_tokens,
+           CAST(sum(n_tokens - prompt_tokens) AS BIGINT) AS loss_tokens,
+           CAST((sum(n_tokens - prompt_tokens) * 10000) // sum(n_tokens)
+                AS BIGINT) AS loss_frac_x10k
+    FROM per_doc
+    GROUP BY lang, source
+    """,
+)
+def pipeline_sft_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT loss-mask accounting — the instruction-tuning data-prep step:
+    each document's leading ceil(N/{_SFT_PROMPT_DEN}) tokens are PROMPT
+    (excluded from the loss), the remainder is RESPONSE (supervised), and
+    the pipeline reports, per (lang, source) cohort, the token budget the
+    trainer will actually learn from: total vs masked vs loss-bearing
+    tokens and the loss fraction in ×10⁴ integer arithmetic. A real chat
+    template would find the prompt/response boundary with a role marker;
+    the fixed-ratio policy exercises the identical plan with an
+    engine-exact boundary (ceil via integer (n·a+b−1) DIV b).
+
+    Scale shape: the per-doc token count and mask split are narrow
+    codegen'd projections inside the scan (no explode — counting needs
+    sizes, not token rows), and the cohort rollup is one partial-agg
+    shuffle on (lang, source). The division happens AFTER the sums, on
+    the collapsed frame. At 100 TB this is a single map+reduce over the
+    corpus — the cheapest possible shape for a token-budget audit.
+    """
+    d = load(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.col("text"), " ")).cast("bigint")
+    per_doc = d.select(
+        "lang",
+        "source",
+        n_tokens.alias("n_tokens"),
+        F.expr(
+            f"CAST((size(split(text, ' ')) * {_SFT_PROMPT_NUM}"
+            f" + {_SFT_PROMPT_DEN} - 1) DIV {_SFT_PROMPT_DEN} AS BIGINT)"
+        ).alias("prompt_tokens"),
+    )
+    return (
+        per_doc.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.sum("prompt_tokens").cast("bigint").alias("masked_tokens"),
+            F.sum(F.col("n_tokens") - F.col("prompt_tokens"))
+            .cast("bigint")
+            .alias("loss_tokens"),
+        )
+        .withColumn(
+            "loss_frac_x10k",
+            F.expr("(loss_tokens * 10000) DIV total_tokens"),
+        )
+    )

@@ -66,6 +66,23 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip(spark, sf_dir, "documents", "orc")
 
 
+@query("source_xml_roundtrip", oracle="SELECT * FROM nation")
+def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nation → XML → read back with explicit schema. Spark 4 ships the
+    (formerly spark-xml) XML data source built in: the writer emits one
+    ``<nation>`` element per row with entity-escaped text, the reader
+    parses it back, so the round trip is lossless even for markup-unsafe
+    characters. XML is the B2B/feed-ingestion edge format (the oracle is
+    the original parquet view, same claim as the CSV/JSON twins).
+
+    Scale notes: XML files are NOT splittable inside a document — the
+    reader parallelizes per FILE, so landing many medium files (as the
+    writer's per-task output naturally does) keeps ingest parallel; like
+    CSV/JSON there is no pushdown, so convert to columnar after one pass.
+    """
+    return _roundtrip(spark, sf_dir, "nation", "xml", rowTag="nation")
+
+
 @query(
     "source_partitioned_pruned",
     oracle="SELECT doc_id, text, source, n_chars, lang FROM documents WHERE lang = 'en'",

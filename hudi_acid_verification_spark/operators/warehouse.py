@@ -941,3 +941,68 @@ def warehouse_small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFra
         F.sum("cents").cast("bigint").alias("revenue_cents"),
     )
     return before.crossJoin(after).crossJoin(audit)
+
+
+# ANALYZE-profile column list: integer + string columns only (double/
+# timestamp min/max would render engine-specifically as strings).
+_STATS_COLS = [
+    "l_orderkey", "l_partkey", "l_suppkey",
+    "l_linenumber", "l_returnflag", "l_linestatus",
+]
+
+
+def _column_stats_oracle() -> str:
+    arms = " UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS column_name,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+               CAST(count(DISTINCT {c}) AS BIGINT) AS ndv,
+               min(CAST({c} AS VARCHAR)) AS min_str,
+               max(CAST({c} AS VARCHAR)) AS max_str
+        FROM lineitem
+        """
+        for c in _STATS_COLS
+    )
+    return arms
+
+
+@query("warehouse_column_stats", oracle=_column_stats_oracle())
+def warehouse_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE-style exact column statistics — row count, null
+    count, exact NDV, and rendered domain bounds per column — the
+    profile a cost-based optimizer (and every data-quality dashboard)
+    keeps per table. Bounds are min/max over the STRING rendering
+    (lexicographic), deliberately: one representation covers every
+    column type identically in both engines, which is what makes the
+    profile hash-comparable (numeric bounds per-type live in
+    quality_null_profile / the AcidTable manifest stats).
+
+    Scale shape: ONE pass over the table — the column list unpivots in
+    the scan projection via ``stack`` into (column_name, value) pairs,
+    then a single partial-agg groupBy on column_name computes count /
+    nulls / exact NDV / bounds; the alternative (one aggregate pass per
+    column, as the oracle spells it) reads the table K times. NDV per
+    column is exact count(DISTINCT value) WITHIN a group — Spark plans
+    it as a two-phase expand-free distinct-on-(col,value) partial agg,
+    shuffled by column_name only; at 100 TB you'd swap in HLL
+    (approx_count_distinct, sketch_hll_merge's path) per the profiling
+    SLA, same plan shape.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    stack_expr = "stack({n}, {args}) AS (column_name, value)".format(
+        n=len(_STATS_COLS),
+        args=", ".join(
+            f"'{c}', CAST({c} AS STRING)" for c in _STATS_COLS
+        ),
+    )
+    unpiv = li.selectExpr(stack_expr)
+    return unpiv.groupBy("column_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("value")).cast("bigint").alias(
+            "n_nulls"
+        ),
+        F.countDistinct("value").cast("bigint").alias("ndv"),
+        F.min("value").alias("min_str"),
+        F.max("value").alias("max_str"),
+    )
