@@ -132,7 +132,8 @@ _CERT_ORDER = [
     "quality_k_anonymity", "quality_lang_drift_tv", "join_strategy_hints",
     "source_xml_roundtrip", "sql_group_by_all",
     "pipeline_preference_pairs", "warehouse_column_stats",
-    "pipeline_sft_masking",
+    "pipeline_sft_masking", "similarity_knn_graph",
+    "scalar_binary_codecs", "pipeline_tokenizer_oov_rate",
     # tier 4 — rows-only by design
     "pipeline_bpe_merges", "pipeline_bpe_encode",
     "agg_approx_distinct", "multimodal_decode_features",

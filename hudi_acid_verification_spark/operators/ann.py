@@ -732,10 +732,11 @@ def _lsh_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _components_cte() -> str:
-    """Recursive-CTE closure over the SAME banded-LSH candidate pairs the
-    operator consumes (the scale-path edge set — identical and
-    deterministic in both engines), not the all-pairs scan."""
+def _scored_pairs_cte() -> str:
+    """Shared oracle prefix: the banded-LSH candidate pairs WITH their
+    exact cosines (``scored(lo, hi, cosine)``) — the same deterministic
+    edge set ``_lsh_band_pairs`` produces in Spark. Consumers append their
+    own arms (components closure, kNN-graph ranking)."""
     from .similarity import _N_PLANES, _PLANES
 
     values = ", ".join(
@@ -777,12 +778,23 @@ def _components_cte() -> str:
         JOIN elems eb ON eb.vec_id = c.hi AND eb.i = ea.i
         GROUP BY 1, 2
     ),
-    pairs AS (
-        SELECT d.lo, d.hi
+    scored AS (
+        SELECT d.lo, d.hi,
+               CAST(d.dot AS DOUBLE) / (na.nrm * nb.nrm) AS cosine
         FROM dots d
         JOIN norms na ON na.vec_id = d.lo
         JOIN norms nb ON nb.vec_id = d.hi
         WHERE CAST(d.dot AS DOUBLE) / (na.nrm * nb.nrm) >= {_DUP_TAU}
+    )"""
+
+
+def _components_cte() -> str:
+    """Recursive-CTE closure over the SAME banded-LSH candidate pairs the
+    operator consumes (the scale-path edge set — identical and
+    deterministic in both engines), not the all-pairs scan."""
+    return _scored_pairs_cte() + """,
+    pairs AS (
+        SELECT lo, hi FROM scored
     ),
     edges AS (
         SELECT lo AS src, hi AS dst FROM pairs
@@ -1274,4 +1286,76 @@ def dedup_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_leaky_pairs"
             ),
         )
+    )
+
+
+_KNN_K = 5  # neighbors kept per node in the kNN graph
+
+
+def _knn_graph_oracle() -> str:
+    return (
+        _scored_pairs_cte()
+        + f""",
+    sym AS (
+        SELECT lo AS vec_id, hi AS neighbor_id, cosine FROM scored
+        UNION ALL
+        SELECT hi AS vec_id, lo AS neighbor_id, cosine FROM scored
+    ),
+    ranked AS (
+        SELECT vec_id, neighbor_id, cosine,
+               row_number() OVER (
+                   PARTITION BY vec_id
+                   ORDER BY cosine DESC, neighbor_id
+               ) AS rnk
+        FROM sym
+    )
+    SELECT vec_id, neighbor_id, CAST(rnk AS BIGINT) AS knn_rank, cosine
+    FROM ranked WHERE rnk <= {_KNN_K}
+    """
+    )
+
+
+@query("similarity_knn_graph", oracle=_knn_graph_oracle())
+def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate kNN-GRAPH construction — each vector's top-{K}
+    strongest neighbors among its LSH candidates, the adjacency list that
+    seeds NN-Descent refinement, SNN/HDBSCAN-style density clustering,
+    and graph-based ANN serving (HNSW's layer-0 analog). Distinct from
+    the pairwise dedup view: the output is a per-NODE ranked adjacency
+    (both directions of every scored pair compete within each node's
+    list), not a canonicalized duplicate map.
+
+    Scale shape: candidates and exact cosines come from the shared
+    banded-LSH bucket rescore (``_lsh_band_pairs`` — O(N·bands) shuffle,
+    bucket-local int64 matmul, never all-pairs); the graph step adds one
+    band-dedup partial agg, a symmetrize projection (union of the two
+    directions — no new shuffle width), and ONE window over vec_id for
+    the top-{K} cut. At 100 TB the window is the same exchange a
+    groupBy(vec_id) would pay, and K bounds the output to O(N·K) edges.
+    Cosines are exact int64 dots / double norm products — bit-identical
+    cross-engine, so even the RANKING hashes.
+    """
+    pairs = (
+        _lsh_band_pairs(spark, sf_dir)
+        .groupBy("lo", "hi")
+        .agg(F.max("cosine").alias("cosine"))  # per-band emissions agree
+    )
+    sym = pairs.select(
+        F.col("lo").alias("vec_id"),
+        F.col("hi").alias("neighbor_id"),
+        "cosine",
+    ).unionByName(
+        pairs.select(
+            F.col("hi").alias("vec_id"),
+            F.col("lo").alias("neighbor_id"),
+            "cosine",
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), "neighbor_id"
+    )
+    return (
+        sym.withColumn("knn_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("knn_rank") <= _KNN_K)
+        .select("vec_id", "neighbor_id", "knn_rank", "cosine")
     )

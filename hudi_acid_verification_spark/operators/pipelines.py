@@ -881,3 +881,77 @@ def pipeline_sft_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(loss_tokens * 10000) DIV total_tokens"),
         )
     )
+
+
+_OOV_VOCAB_SIZE = 100  # top-V corpus tokens form the in-vocab set
+
+
+@query(
+    "pipeline_tokenizer_oov_rate",
+    oracle=f"""
+    WITH toks AS (
+        SELECT source, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    freq AS (
+        SELECT tok, count(*) AS n FROM toks GROUP BY tok
+    ),
+    vocab AS (
+        SELECT tok FROM (
+            SELECT tok, row_number() OVER (ORDER BY n DESC, tok) AS rnk
+            FROM freq
+        ) WHERE rnk <= {_OOV_VOCAB_SIZE}
+    )
+    SELECT t.source,
+           CAST(count(*) AS BIGINT) AS total_tokens,
+           CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS oov_tokens,
+           CAST((sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 10000)
+                // count(*) AS BIGINT) AS oov_x10k
+    FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
+    GROUP BY t.source
+    """,
+)
+def pipeline_tokenizer_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary audit: the fraction of corpus tokens a
+    top-{_OOV_VOCAB_SIZE} frequency vocabulary fails to cover, per
+    source — the coverage half of the tokenizer-rollout diagnostic
+    (pipeline_tokenizer_fertility is the compression half): a source
+    with a hot OOV rate is the one whose text will fragment into
+    byte-fallback garbage under the deployed vocab.
+
+    Scale shape: token frequencies are one partial-agg shuffle over the
+    exploded token stream; the top-V cut is a window over the COLLAPSED
+    frequency frame (|distinct tokens| rows, not |tokens|); membership is
+    a BROADCAST left join of the token stream against the V-row vocab
+    (Spark auto-broadcasts it — no shuffle of the stream); the per-source
+    rollup is the only other exchange. ×10⁴ integer DIV on the collapsed
+    sums keeps every column hash-exact. At 100 TB the vocab side is
+    O(V) regardless of corpus size — the canonical broadcast-dimension
+    shape.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    # top-V via TakeOrderedAndProject (per-partition partial top-V, driver
+    # merge of V-row heaps) — never a single-partition global window
+    vocab = (
+        freq.orderBy(F.col("n").desc(), "tok")
+        .limit(_OOV_VOCAB_SIZE)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("total_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("oov_tokens"),
+        )
+        .withColumn(
+            "oov_x10k", F.expr("(oov_tokens * 10000) DIV total_tokens")
+        )
+    )

@@ -288,3 +288,49 @@ def scalar_interval_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("days_since_epoch_start"),
         F.last_day(day).alias("month_end"),
     )
+
+
+@query(
+    "scalar_binary_codecs",
+    oracle="""
+    SELECT p_partkey,
+           md5(p_name) AS md5_hex,
+           sha256(p_name) AS sha256_hex,
+           base64(encode(p_name)) AS b64,
+           hex(p_name) AS hex_upper,
+           CAST(
+               decode(from_base64(base64(encode(p_name)))) = p_name
+               AND decode(unhex(hex(p_name))) = p_name
+               AS BOOLEAN
+           ) AS roundtrip_ok
+    FROM part
+    """,
+)
+def scalar_binary_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary/codec scalar surface: md5 + sha256 digests, base64 and hex
+    encodes, and a both-ways round-trip witness per row — the content-
+    addressing primitives every dedup key, cache key, shard router, and
+    external-system handoff is built on (dedup_exact's md5 keys,
+    pipeline_shard_assignment's hash router, source_binaryfile_ingest's
+    blob fingerprints all specialize this).
+
+    Every function is a JVM built-in evaluated inside the scan projection
+    (whole-stage codegen, no shuffle, no UDF); digests/encodings of UTF-8
+    bytes are engine-independent by specification, which the oracle's
+    DuckDB twins confirm byte-for-byte — including agreement on hex CASE
+    (both engines emit uppercase) and base64 padding.
+    """
+    p = load(spark, sf_dir, "part")
+    b64 = F.base64(F.col("p_name").cast("binary"))
+    hx = F.hex(F.col("p_name"))
+    return p.select(
+        "p_partkey",
+        F.md5("p_name").alias("md5_hex"),
+        F.sha2(F.col("p_name"), 256).alias("sha256_hex"),
+        b64.alias("b64"),
+        hx.alias("hex_upper"),
+        (
+            (F.unbase64(b64).cast("string") == F.col("p_name"))
+            & (F.unhex(hx).cast("string") == F.col("p_name"))
+        ).alias("roundtrip_ok"),
+    )
