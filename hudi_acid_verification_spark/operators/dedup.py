@@ -926,6 +926,12 @@ def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # engines.
 _PF_T_NUM = 7
 _PF_T_DEN = 10
+# Candidate-emission ceiling: Σ_t df_prefix(t)² over prefix tokens bounds the
+# candidate join's output volume and is computable from the tiny prefix table
+# BEFORE the join runs. Above this the prefix filter has degenerated (tiny
+# vocabulary / low threshold) and continuing means near-all-pairs work — fail
+# loudly instead, same discipline as dedup_embedding_cosine's vector ceiling.
+_PF_EMIT_MAX = 500_000_000
 
 
 @query(
@@ -987,10 +993,22 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens (global (df, tok) ascending order), so the candidate join's key
     distribution is anti-skewed by construction — hot boilerplate tokens
     sit at the END of the order and never enter any prefix, the inverse of
-    the stop-shingle cap the exact-pair dedups need. Three shuffles total:
-    token df count, per-doc position ranking, candidate equi-join; the
-    length-compatibility filter (t*max <= min sizes, exact integer form)
-    prunes candidates before the intersection count. Every predicate is
+    the stop-shingle cap the exact-pair dedups need. Candidates are pruned
+    by TWO integer filters before any verification: the length filter
+    (t*max <= min) and PPJoin's POSITIONAL filter — a match on prefix
+    token w at ranks (pos_a, pos_b) bounds the total overlap by
+    min(na-pos_a, nb-pos_b)+1, which must reach the minimum required
+    overlap ceil(t/(1+t)*(na+nb)). The positional bound is exact for the
+    pair's FIRST common token in the global order; a truly-similar pair's
+    first common token is always in both prefixes (it has the smallest
+    rank of any common token), so recall stays 1.0 while candidates drop
+    by the bound's selectivity. Verification then joins the SURVIVING
+    pairs against per-doc sorted token ARRAYS (one collect_list per doc)
+    and counts the overlap with array_intersect — O(candidates) rows
+    carrying two arrays, never a re-explosion of the full token table
+    against the pair set. A candidate-count ceiling (_PF_CAND_MAX) makes
+    a degenerate corpus (vocabulary too small for prefixes to select)
+    fail loudly instead of silently running all-pairs. Every predicate is
     integer arithmetic; the output jaccard is one final double division of
     exact counts.
 
@@ -1006,6 +1024,8 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("tok") != "")
         .distinct()
+        .localCheckpoint()  # reused 3× (df count, ranking, verify arrays);
+        # one distinct shuffle, not three replans of the explode+distinct
     )
     dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     # The global token order is (df, tok) ITSELF — totally ordered because
@@ -1028,32 +1048,109 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(_PF_T_NUM) * F.col("n_tok") + F.lit(_PF_T_DEN - 1))
         / F.lit(float(_PF_T_DEN))
     ).cast("bigint")
-    prefix = sized.filter(
-        F.col("pos") <= F.col("n_tok") - ceil_tn + 1
-    ).select("doc_id", "tok", "n_tok")
+    prefix = (
+        sized.filter(F.col("pos") <= F.col("n_tok") - ceil_tn + 1)
+        .select("doc_id", "tok", "n_tok", "pos")
+        .localCheckpoint()  # tiny (≈0.3·|toks|); joined against itself and
+        # aggregated for the emission guard — materialize once
+    )
+    # Pre-join guard: Σ_t df_prefix(t)² upper-bounds the candidate join's
+    # emission count and costs one aggregation over the tiny prefix table.
+    # A degenerate corpus (vocabulary too small for prefix selection to
+    # prune) fails loudly here instead of silently running near-all-pairs.
+    est_emissions = (
+        prefix.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).alias("e"))
+        .collect()[0]["e"]
+    ) or 0
+    if est_emissions > _PF_EMIT_MAX:
+        raise ValueError(
+            f"dedup_prefix_filter_join: prefix-token join would emit up to "
+            f"{est_emissions} candidate rows (> {_PF_EMIT_MAX}) — the corpus "
+            f"vocabulary is too small / threshold too low for prefix "
+            f"selection to prune; running the join would be near-all-pairs "
+            f"work. Use dedup_near_minhash (probabilistic) for this corpus."
+        )
     pa = prefix.select(
-        F.col("doc_id").alias("doc_a"), "tok", F.col("n_tok").alias("na")
+        F.col("doc_id").alias("doc_a"),
+        "tok",
+        F.col("n_tok").alias("na"),
+        F.col("pos").alias("pos_a"),
     )
     pb = prefix.select(
-        F.col("doc_id").alias("doc_b"), "tok", F.col("n_tok").alias("nb")
+        F.col("doc_id").alias("doc_b"),
+        "tok",
+        F.col("n_tok").alias("nb"),
+        F.col("pos").alias("pos_b"),
     )
+    # minimum required overlap: alpha = ceil(t/(1+t) * (na+nb)), with
+    # t = NUM/DEN  ⇒  t/(1+t) = NUM/(NUM+DEN) — exact integer ceil
+    _sum_nd = _PF_T_NUM + _PF_T_DEN
+    alpha = F.floor(
+        (F.lit(_PF_T_NUM) * (F.col("na") + F.col("nb")) + F.lit(_sum_nd - 1))
+        / F.lit(float(_sum_nd))
+    ).cast("bigint")
     cand = (
-        pa.join(pb, "tok")
+        # ROUND-ROBIN repartition + explicit broadcast: the prefix table is
+        # tiny, so AQE would coalesce a shuffle join to ONE partition and
+        # the multi-million-row emission would run single-task; and hashing
+        # on `tok` would skew (emission per token ∝ df², hot prefix tokens
+        # dominate). Round-robin spreads probe rows evenly and the
+        # broadcast join needs no co-partitioning, so each task emits
+        # ~|pa|/64 · avg-df rows regardless of token skew.
+        pa.repartition(64)
+        .join(F.broadcast(pb), "tok")
         .filter(F.col("doc_b") > F.col("doc_a"))
         .filter(
             F.lit(_PF_T_DEN) * F.least("na", "nb")
             >= F.lit(_PF_T_NUM) * F.greatest("na", "nb")
         )
-        .select("doc_a", "doc_b", "na", "nb")
+        # PPJoin positional filter: overlap from this token onward is at
+        # most min(na-pos_a, nb-pos_b)+1; for a >=t pair the FIRST common
+        # token satisfies this bound with the TOTAL overlap, and that token
+        # is in both prefixes whenever any common token is — recall 1.0.
+        .filter(
+            F.least(
+                F.col("na") - F.col("pos_a"), F.col("nb") - F.col("pos_b")
+            )
+            + F.lit(1)
+            >= alpha
+        )
+        # distinct on the PAIR KEY only — na/nb are functions of doc_id and
+        # come back from the verify arrays, so the dedup shuffle carries two
+        # int64s per row, not four
+        .select("doc_a", "doc_b")
         .distinct()
     )
-    ta = toks.select(F.col("doc_id").alias("doc_a"), "tok")
-    tb = toks.select(F.col("doc_id").alias("doc_b"), "tok")
+    # verification: overlap via array_intersect on per-doc SORTED token
+    # arrays — candidates carry two arrays each, the token table is never
+    # re-exploded against the pair set; |tarr| re-derives n_tok exactly
+    arrs = toks.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("tok")).alias("tarr")
+    )
     inter = (
-        cand.join(ta, "doc_a")
-        .join(tb, ["doc_b", "tok"])
-        .groupBy("doc_a", "doc_b", "na", "nb")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+        cand.join(
+            arrs.select(
+                F.col("doc_id").alias("doc_a"), F.col("tarr").alias("ta")
+            ),
+            "doc_a",
+        )
+        .join(
+            arrs.select(
+                F.col("doc_id").alias("doc_b"), F.col("tarr").alias("tb")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size("ta").cast("bigint").alias("na"),
+            F.size("tb").cast("bigint").alias("nb"),
+            F.size(F.array_intersect("ta", "tb"))
+            .cast("bigint")
+            .alias("n_inter"),
+        )
     )
     return (
         inter.filter(

@@ -1247,3 +1247,20 @@ def test_minhash_accuracy_candidates_only(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_prefix_filter_join_positional_and_array_verify(spark):
+    """The PPJoin candidate join must CARRY AND USE the positional ranks
+    (the filter that keeps it off the all-pairs cliff), the candidate
+    build side must broadcast (round-robin probe spread, no token-skewed
+    shuffle), and verification must run on per-doc token ARRAYS
+    (array_intersect), never by re-exploding the token table against the
+    pair set."""
+    plan = plan_of(spark, "dedup_prefix_filter_join")
+    assert "pos_a" in plan and "pos_b" in plan, (
+        "positional filter dropped from the candidate join"
+    )
+    assert "array_intersect" in plan, (
+        "verification no longer uses per-doc token arrays"
+    )
+    assert "BroadcastHashJoin" in plan
