@@ -185,21 +185,39 @@ def _certified_names() -> set[str]:
     return done
 
 
+# How the ~50-entry certification window splits between pending oracled
+# queries and pending rows-only demos: rows-only demos queued strictly
+# behind 100+ pending oracled entries would never reach the driver, so up
+# to _WINDOW_ROWS_ONLY of them ride in every window after the first
+# _WINDOW_ORACLED oracled entries.
+_WINDOW_ORACLED = 35
+_WINDOW_ROWS_ONLY = 15
+
+
 def _ordered_names() -> list[str]:
     """Certification-priority order: the gate checks only the FIRST ~50
-    entries each round, so rotate automatically — never-certified oracled
-    queries first, then never-certified rows-only demos, then everything
-    already certified in a past round (re-certification is harmless).
-    Within each class, _CERT_ORDER's hand-tuned order holds; registry names
-    missing from _CERT_ORDER are appended so a new operator can never be
-    silently dropped."""
+    entries each round, so rotate automatically — never-certified queries
+    first, then everything already certified in a past round
+    (re-certification is harmless). Each window interleaves pending
+    rows-only demos after the first _WINDOW_ORACLED pending oracled
+    entries so the demos' driver rows land within a round or two instead
+    of queueing behind the whole oracled backlog. Within each class,
+    _CERT_ORDER's hand-tuned order holds; registry names missing from
+    _CERT_ORDER are appended so a new operator can never be silently
+    dropped."""
     listed = [n for n in _CERT_ORDER if n in ops.QUERIES]
     base = listed + [n for n in ops.QUERIES if n not in set(listed)]
     done = _certified_names()
     pending_oracled = [n for n in base if n not in done and n in ops.ORACLES]
     pending_rows = [n for n in base if n not in done and n not in ops.ORACLES]
     certified = [n for n in base if n in done]
-    return pending_oracled + pending_rows + certified
+    return (
+        pending_oracled[:_WINDOW_ORACLED]
+        + pending_rows[:_WINDOW_ROWS_ONLY]
+        + pending_oracled[_WINDOW_ORACLED:]
+        + pending_rows[_WINDOW_ROWS_ONLY:]
+        + certified
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:

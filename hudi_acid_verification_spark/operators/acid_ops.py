@@ -914,15 +914,11 @@ def acid_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).count()
     s2 = stage("added", nulls_before == n0)
     # DML against the evolved shape
-    evolved = T.StructType(
-        list(schema.fields)
-        + [T.StructField("review_score", T.LongType(), True)]
-    )
     scored = orders.limit(5).select(
         "o_orderkey", "o_orderpriority", "o_totalprice",
         (F.col("o_orderkey") % 5).cast("long").alias("review_score"),
     )
-    table.upsert(spark.createDataFrame(scored.collect(), evolved))
+    table.upsert(scored)  # written distributed — no driver round-trip
     n_scored = table.snapshot().filter(
         F.col("review_score").isNotNull()
     ).count()

@@ -41,6 +41,25 @@ _N_QUERIES = 8       # vec_id < 8 are the query vectors
 _NPROBE = 2
 _TOP_K = 5
 _EMB_BAND_BITS = 2   # hyperplane-LSH band width for dedup_embedding_lsh
+# --- LSH scale parameterization --------------------------------------------
+# ≤ _LSH_SMALL_N vectors: the 8-plane / 2-bit-band signature the DuckDB
+# oracles encode (recall-tuned for the fixtures' tau=0.35). Above it the
+# 2-bit bands are all-pairs-in-disguise (4 keys/band ⇒ ~68% of ALL pairs
+# become candidates), so the signature widens to 64 planes in 8-bit bands:
+# P(candidate | random pair) = 1-(1-2^-8)^8 ≈ 3% instead of 68%, and falls
+# further as tau-tuned production thresholds raise per-plane agreement.
+_LSH_SMALL_N = 100_000
+_LSH_LARGE_PLANES = 64
+_LSH_LARGE_BAND_BITS = 8
+# Bucket-population cap: a (band, key) bucket above this re-salts into
+# ceil(cnt/cap) sub-groups and every salt PAIR becomes one rescore group, so
+# no applyInPandas task ever materializes more than ~2·cap vectors — the
+# single-task OOM lever for hot buckets. All pairs are preserved: a pair
+# with salts (u, v) lands in exactly the (min,max)=(u,v) group.
+_LSH_BUCKET_CAP = 4096
+# Row-chunk of the in-bucket cosine matmul: peak memory per task is
+# chunk × group-size doubles instead of group-size².
+_LSH_MATMUL_CHUNK = 1024
 
 
 @query(
@@ -645,8 +664,11 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: int64 matmul dots (elements ≤ 3e6, 64 dims → < 2^63), then
     the same double divide by the norm product both engines compute —
-    bit-identical to the oracle. Skew lever: a hot bucket re-salts by
-    lengthening its band key, same as any skewed join key.
+    bit-identical to the oracle. Scale levers (live in ``_salted_bands`` /
+    ``_lsh_band_pairs``): the signature auto-widens to 64 planes / 8-bit
+    bands above 100k vectors, hot buckets re-salt into ≤ ~2·cap-row salt
+    pair groups, and the in-bucket matmul is row-chunked — no single task
+    ever holds an N/4-sized cosine matrix.
     """
     pairs = _lsh_band_pairs(spark, sf_dir)
     return pairs.groupBy(F.col("hi").alias("vec_id")).agg(
@@ -655,29 +677,41 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lsh_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded hyperplane-LSH candidate pairs with exact ≥τ cosines:
-    (lo, hi, cosine) with lo < hi, possibly emitted once per matching band
-    (consumers either aggregate idempotently or dropDuplicates). This is
-    the shared scale-path pair generator for ``dedup_embedding_lsh`` and
-    ``dedup_components`` — O(N·bands) shuffle, bucket-local int64 matmul
-    rescoring, never an all-pairs scan or a driver-side corpus collect.
-    """
-    import numpy as np
-    import pandas as pd
+def _salted_bands(
+    spark: SparkSession, sf_dir: str, bucket_cap: int = _LSH_BUCKET_CAP
+) -> DataFrame:
+    """Banded signature rows (vec_id, qv, nrm, band_id, band_key, salt,
+    g1, g2) with oversized buckets re-salted: a bucket of cnt vectors
+    splits into s = ceil(cnt/cap) salts and each vector replicates into
+    its s salt-PAIR groups (g1, g2) = (min(salt, partner), max(...)), so
+    every within-bucket pair appears in exactly one group and no group
+    holds more than ~2·cap vectors. Normal buckets (cnt ≤ cap) stay one
+    group (0, 0) with no replication — the common case pays only the
+    broadcast of the (tiny) oversized-bucket list.
 
-    from .similarity import _N_PLANES, _PLANES
+    Signature width scales with corpus size (8 planes/2-bit bands ≤
+    ``_LSH_SMALL_N`` — the oracle regime — else 64 planes/8-bit bands);
+    parameters are data-derived, never hard-coded in consumers."""
+    from .similarity import _DIM, _N_PLANES, _PLANES, _w
 
     emb = _load_quantized(spark, sf_dir)
+    n_vec = emb.count()  # parquet metadata count — cheap, and the honest
+    # way to pick the signature width for the corpus actually given
+    if n_vec <= _LSH_SMALL_N:
+        n_planes, band_bits = _N_PLANES, _EMB_BAND_BITS
+        planes = _PLANES
+    else:
+        n_planes, band_bits = _LSH_LARGE_PLANES, _LSH_LARGE_BAND_BITS
+        planes = [[_w(p, i) for i in range(_DIM)] for p in range(n_planes)]
     bit_cols = []
-    for pl in range(_N_PLANES):
-        wvec = F.array(*[F.lit(w).cast("bigint") for w in _PLANES[pl]])
+    for pl in range(n_planes):
+        wvec = F.array(*[F.lit(w).cast("bigint") for w in planes[pl]])
         dot = _dot_q(F.col("qv"), wvec)
         bit_cols.append(F.when(dot > 0, F.lit("1")).otherwise(F.lit("0")))
     sig = emb.select(
         "vec_id", "qv", "nrm", F.concat(*bit_cols).alias("bucket")
     )
-    n_bands = _N_PLANES // _EMB_BAND_BITS
+    n_bands = n_planes // band_bits
     # one generator projection (explode of the in-row band structs), not an
     # n_bands-way union that would replan the signature projection — and,
     # absent exchange reuse, recompute the hyperplane dots — once per band
@@ -686,7 +720,7 @@ def _lsh_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.struct(
                 F.lit(j).cast("int").alias("band_id"),
                 F.substring(
-                    "bucket", j * _EMB_BAND_BITS + 1, _EMB_BAND_BITS
+                    "bucket", j * band_bits + 1, band_bits
                 ).alias("band_key"),
             )
             for j in range(n_bands)
@@ -699,8 +733,60 @@ def _lsh_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bd.band_id").alias("band_id"),
         F.col("bd.band_key").alias("band_key"),
     )
+    # oversized-bucket census: partial-agg count, keep ONLY buckets over the
+    # cap (tiny under any healthy banding) and broadcast it back — the bands
+    # frame itself is not shuffled for the census
+    big = (
+        bands.groupBy("band_id", "band_key")
+        .agg(F.count(F.lit(1)).alias("bcnt"))
+        .filter(F.col("bcnt") > bucket_cap)
+    )
+    return (
+        bands.join(F.broadcast(big), ["band_id", "band_key"], "left")
+        .withColumn(
+            "nsalt",
+            F.ceil(
+                F.coalesce(F.col("bcnt"), F.lit(1)) / F.lit(bucket_cap)
+            ).cast("int"),
+        )
+        .withColumn(
+            "salt",
+            F.pmod(F.xxhash64("vec_id"), F.col("nsalt")).cast("int"),
+        )
+        .withColumn(
+            "partner",
+            F.explode(F.sequence(F.lit(0), F.col("nsalt") - F.lit(1))),
+        )
+        .select(
+            "vec_id", "qv", "nrm", "band_id", "band_key", "salt",
+            F.least("salt", "partner").alias("g1"),
+            F.greatest("salt", "partner").alias("g2"),
+        )
+    )
 
-    def rescore(pdf: pd.DataFrame) -> pd.DataFrame:
+
+def _lsh_band_pairs(
+    spark: SparkSession, sf_dir: str, bucket_cap: int = _LSH_BUCKET_CAP
+) -> DataFrame:
+    """Banded hyperplane-LSH candidate pairs with exact ≥τ cosines:
+    (lo, hi, cosine) with lo < hi, possibly emitted once per matching band
+    (consumers either aggregate idempotently or dropDuplicates). This is
+    the shared scale-path pair generator for ``dedup_embedding_lsh`` and
+    ``dedup_components`` — O(N·bands) shuffle, bucket-local int64 matmul
+    rescoring, never an all-pairs scan or a driver-side corpus collect.
+    Scale levers (all live, see ``_salted_bands``): signature width scales
+    with corpus size, hot buckets re-salt to ≤ ~2·cap rows per task, and
+    the in-bucket matmul runs in ``_LSH_MATMUL_CHUNK``-row chunks so peak
+    task memory is chunk × group-size, never group-size²."""
+    import numpy as np
+    import pandas as pd
+
+    bands = _salted_bands(spark, sf_dir, bucket_cap)
+    chunk = _LSH_MATMUL_CHUNK  # bind at plan-build time: the closure ships
+    # the value to workers, so tests (and callers) can override the module
+    # constant without relying on worker-side module state
+
+    def rescore(key, pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
             {
                 "lo": np.array([], np.int64),
@@ -710,24 +796,40 @@ def _lsh_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if len(pdf) < 2:
             return empty
+        g1, g2 = int(key[2]), int(key[3])
         order = np.argsort(pdf["vec_id"].to_numpy(np.int64))
         ids = pdf["vec_id"].to_numpy(np.int64)[order]
         mat = np.stack(pdf["qv"].to_numpy()[order]).astype(np.int64)
         nrm = pdf["nrm"].to_numpy(np.float64)[order]
-        cos = (mat @ mat.T).astype(np.float64) / np.outer(nrm, nrm)
-        iu, ju = np.triu_indices(len(ids), k=1)  # sorted ⇒ ids[iu] < ids[ju]
-        keep = cos[iu, ju] >= _DUP_TAU
-        if not keep.any():
-            return empty
-        return pd.DataFrame(
-            {
-                "lo": ids[iu[keep]],
-                "hi": ids[ju[keep]],
-                "cosine": cos[iu, ju][keep],
-            }
-        )
+        salt = pdf["salt"].to_numpy(np.int64)[order]
+        n = len(ids)
+        out = []
+        gj = np.arange(n)[None, :]
+        for i0 in range(0, n, chunk):
+            i1 = min(i0 + chunk, n)
+            cos = (mat[i0:i1] @ mat.T).astype(np.float64) / np.outer(
+                nrm[i0:i1], nrm
+            )
+            gi = np.arange(i0, i1)[:, None]
+            keep = (gj > gi) & (cos >= _DUP_TAU)
+            if g1 != g2:
+                # mixed-salt group: same-salt pairs belong to their own
+                # (i, i) group — emitting them here would double-count
+                keep &= salt[i0:i1, None] != salt[None, :]
+            ii, jj = np.nonzero(keep)
+            if len(ii):
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "lo": ids[i0 + ii],  # ids ascending ⇒ lo < hi
+                            "hi": ids[jj],
+                            "cosine": cos[ii, jj],
+                        }
+                    )
+                )
+        return pd.concat(out, ignore_index=True) if out else empty
 
-    return bands.groupBy("band_id", "band_key").applyInPandas(
+    return bands.groupBy("band_id", "band_key", "g1", "g2").applyInPandas(
         rescore, "lo bigint, hi bigint, cosine double"
     )
 

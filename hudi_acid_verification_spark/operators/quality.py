@@ -746,6 +746,12 @@ def quality_lang_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-sized marginals cross-joined into the full grid so absent
     (source, lang) cells contribute their |0 - q| mass; the final rollup
     is |sources| rows. The fact table is touched exactly once.
+
+    Precision: the cross products n·N_tot are computed in DECIMAL(38,0)
+    (DuckDB widens to HUGEINT), so the arithmetic never wraps. The
+    bigint OUTPUT columns tv_numer_x2/tv_denom bound the reportable
+    corpus at n_src·n_tot < 2^63 (~3e9 docs in one source); beyond that,
+    consume tv_distance (double) and drop the integer witnesses.
     """
     d = load(spark, sf_dir, "documents")
     per = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
@@ -760,9 +766,11 @@ def quality_lang_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(per, ["source", "lang"], "left")
         .withColumn("n", F.coalesce(F.col("n"), F.lit(0)))
     )
+    dec = "decimal(38,0)"
     numer = F.sum(
         F.abs(
-            F.col("n") * F.col("n_tot") - F.col("n_lang") * F.col("n_src")
+            F.col("n").cast(dec) * F.col("n_tot").cast(dec)
+            - F.col("n_lang").cast(dec) * F.col("n_src").cast(dec)
         )
     )
     return grid.groupBy("source").agg(

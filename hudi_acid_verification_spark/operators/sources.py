@@ -80,7 +80,14 @@ def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     writer's per-task output naturally does) keeps ingest parallel; like
     CSV/JSON there is no pushdown, so convert to columnar after one pass.
     """
-    return _roundtrip(spark, sf_dir, "nation", "xml", rowTag="nation")
+    # ignoreSurroundingSpaces defaults to TRUE in Spark 4's XML reader —
+    # without the explicit false, any string value with leading/trailing
+    # whitespace would be silently trimmed on read and break the lossless
+    # claim (the fixtures happen to have none; hold it by construction).
+    return _roundtrip(
+        spark, sf_dir, "nation", "xml",
+        rowTag="nation", ignoreSurroundingSpaces="false",
+    )
 
 
 @query(

@@ -920,6 +920,16 @@ def warehouse_small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFra
 
     frag = _stage_dir(sf_dir, "lineitem_fragmented")
     compacted = _stage_dir(sf_dir, "lineitem_compacted")
+    # The oracle states files_before/_after as literals; that equality
+    # needs every round-robin partition non-empty (one file each). Guard
+    # it instead of trusting the fixture: a tiny corpus fails loudly.
+    n_src = src.count()
+    if n_src < _SMALL_FILES:
+        raise ValueError(
+            f"warehouse_small_file_compaction needs >= {_SMALL_FILES} rows "
+            f"for a deterministic {_SMALL_FILES}-file fragmented layout "
+            f"(got {n_src})"
+        )
     src.repartition(_SMALL_FILES).write.mode("overwrite").parquet(frag)
     frag_df = spark.read.parquet(frag)
     frag_df.repartition(_COMPACTED_FILES).write.mode("overwrite").parquet(

@@ -1264,3 +1264,88 @@ def test_prefix_filter_join_positional_and_array_verify(spark):
         "verification no longer uses per-doc token arrays"
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_lsh_resalted_path_equals_unsalted(spark):
+    """Forcing a tiny bucket cap must (a) keep every rescore group at or
+    under ~2·cap rows (the hot-bucket OOM lever) and (b) produce EXACTLY
+    the same deduped (lo, hi) pair set as the uncapped run — salting
+    repartitions the work, never the answer."""
+    from pyspark.sql import functions as F
+
+    from hudi_acid_verification_spark.operators import ann
+
+    cap = 32
+    bands = ann._salted_bands(spark, SF_SMALL, bucket_cap=cap)
+    sizes = (
+        bands.groupBy("band_id", "band_key", "g1", "g2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.max("c").alias("m"))
+        .collect()[0]["m"]
+    )
+    assert sizes <= 3 * cap, f"rescore group grew to {sizes} rows (cap {cap})"
+    salted = {
+        (r["lo"], r["hi"])
+        for r in ann._lsh_band_pairs(spark, SF_SMALL, bucket_cap=cap)
+        .select("lo", "hi")
+        .dropDuplicates()
+        .collect()
+    }
+    plain = {
+        (r["lo"], r["hi"])
+        for r in ann._lsh_band_pairs(spark, SF_SMALL)
+        .select("lo", "hi")
+        .dropDuplicates()
+        .collect()
+    }
+    assert salted == plain
+
+
+def test_lsh_chunked_matmul_equals_whole(spark, monkeypatch):
+    """A pathologically small matmul chunk must not change the pair set —
+    chunking bounds peak task memory, never the math."""
+    from hudi_acid_verification_spark.operators import ann
+
+    def pairs():
+        return {
+            (r["lo"], r["hi"])
+            for r in ann._lsh_band_pairs(spark, SF_SMALL)
+            .select("lo", "hi")
+            .dropDuplicates()
+            .collect()
+        }
+
+    whole = pairs()
+    monkeypatch.setattr(ann, "_LSH_MATMUL_CHUNK", 7)
+    assert pairs() == whole
+
+
+def test_lsh_wide_signature_path_is_sound(spark, monkeypatch):
+    """Force the >100k-vector parameterization (64 planes / 8-bit bands)
+    on the fixture corpus: every emitted pair must still be a TRUE ≥τ
+    pair with its exact cosine, verified against the raw embeddings —
+    the wide signature changes candidate RECALL, never correctness."""
+    from hudi_acid_verification_spark.operators import ann
+
+    monkeypatch.setattr(ann, "_LSH_SMALL_N", 0)
+    wide = ann._lsh_band_pairs(spark, SF_SMALL).select(
+        "lo", "hi", "cosine"
+    ).dropDuplicates(["lo", "hi"]).collect()
+    assert len(wide) > 0, "wide path emitted nothing on the fixture"
+    emb = {
+        r["vec_id"]: r["embedding"]
+        for r in ann.load(spark, SF_SMALL, "embeddings").collect()
+    }
+    import math
+
+    scale = 10_000_000
+    for r in wide:
+        a = [math.floor(x * scale + 0.5) for x in emb[r["lo"]]]
+        b = [math.floor(x * scale + 0.5) for x in emb[r["hi"]]]
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        cos = dot / (na * nb)
+        assert r["lo"] < r["hi"]
+        assert cos >= ann._DUP_TAU, f"wide path emitted a sub-τ pair {r}"
+        assert abs(cos - r["cosine"]) < 1e-12
