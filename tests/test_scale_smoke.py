@@ -99,3 +99,58 @@ def test_prefix_join_prunes_on_realistic_vocabulary(spark, scale_dir):
     # hash-sampled 30-token docs over 5k tokens: expected Jaccard between
     # distinct docs ~ 30²/5000 / 60 ≈ 0.003 — essentially no >=0.7 pairs
     assert n < 1_000
+
+
+def test_prefix_join_equals_bruteforce_with_boundary_ties(spark):
+    """Recall-1.0 witness for the positional filter: a seeded 300-doc
+    corpus over a 60-token vocabulary (dense enough for many near-dup
+    pairs, including pairs at EXACTLY jaccard 0.7 — 10/10-token sets with
+    7 shared is a constructed tie) must reproduce the brute-force pair
+    set exactly, values included."""
+    import itertools
+    import random
+
+    rng = random.Random(20260815)
+    vocab = [f"t{i}" for i in range(60)]
+    docs = []
+    for i in range(280):
+        k = rng.randint(8, 14)
+        docs.append((i, sorted(rng.sample(vocab, k))))
+    # constructed boundary pairs: |A|=|B|=10, |A∩B|=7 → jaccard 7/13 < 0.7;
+    # |A∩B|=8 → 8/12 = 0.666… < 0.7; |A|=|B|=10, inter=9 → 9/11 ≥ 0.7;
+    # and an exact-tie family: |A|=7,|B|=7,inter=6 → 6/8=0.75; plus
+    # inter/union == 7/10 exactly: |A|=10,|B|=11,inter=?  use A⊂B sizes
+    # 7 and 10 → 7/10 == t exactly (>= must KEEP it)
+    a = sorted(rng.sample(vocab, 7))
+    b = sorted(set(a) | set(rng.sample([v for v in vocab if v not in a], 3)))
+    docs.append((1000, a))        # |A|=7
+    docs.append((1001, b))        # |B|=10, inter=7, union=10 → exactly 0.7
+    rows = [(i, " ".join(toks), "en", "syn", 0) for i, toks in docs]
+    import os
+    import shutil
+    import tempfile
+
+    base = os.path.join(
+        tempfile.gettempdir(), "hudi_acid_verification_spark", "pf_brute"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.mode("overwrite").parquet(os.path.join(base, "documents.parquet"))
+
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["na"], r["nb"], r["n_inter"])
+        for r in dedup.dedup_prefix_filter_join(spark, base).collect()
+    }
+
+    sets = {i: set(t) for i, t in docs}
+    want = {}
+    for x, y in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[x] & sets[y])
+        union = len(sets[x] | sets[y])
+        if 10 * inter >= 7 * union:
+            want[(x, y)] = (len(sets[x]), len(sets[y]), inter)
+    assert (1000, 1001) in want, "boundary-tie pair missing from truth set"
+    assert got == want
+    shutil.rmtree(base, ignore_errors=True)
