@@ -118,6 +118,41 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _pair_edges(li) -> DataFrame:
+    """DISTINCT co-purchase edges (u < v) from a (l_orderkey, l_partkey)
+    projection, with ONE order-key shuffle: per-order sorted distinct part
+    arrays (collect_set) explode into in-row combinations. The self-join
+    formulation shuffles the projection TWICE (both join sides) plus the
+    raw pair stream for the distinct; this shape shuffles the projection
+    once and the pair stream once. The pair set is identical — the
+    per-order array is sorted ascending and distinct, so u < v by
+    construction, and the per-order fan-out is bounded by the lineitems
+    of ONE order (k²/2 pairs for k items, k ≤ ~7 in this schema)."""
+    pairs = F.flatten(
+        F.transform(
+            F.col("parts"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("parts"), i + F.lit(2), F.size(F.col("parts"))
+                ),
+                lambda y: F.struct(x.alias("u"), y.alias("v")),
+            ),
+        )
+    )
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        # explicit round-robin spread: AQE coalesces the small per-order
+        # aggregate to ~1 partition, which would run the combination
+        # explode and the pair-distinct's map side single-task
+        .repartition(32)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.u", "p.v")
+        .distinct()
+    )
+
+
 @query(
     "graph_triangle_count",
     oracle="""
@@ -158,20 +193,12 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     order, so the count equals the oracle's u<v<w enumeration.
 
     Edge building is bounded by construction: pairs explode within an
-    order (≤ k lineitems → k²/2 pairs), never across orders.
+    order (≤ k lineitems → k²/2 pairs), never across orders — and runs
+    as ONE order-key shuffle (per-order sorted part arrays → in-row
+    combinations, ``_pair_edges``) instead of a two-sided self-join.
     """
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.alias("a")
-    b = li.alias("b")
-    edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .distinct()
-    )
-    edges = edges.localCheckpoint(eager=False)
+    edges = _pair_edges(li).localCheckpoint(eager=False)
     deg = (
         edges.select(F.col("u").alias("x"))
         .unionAll(edges.select(F.col("v").alias("x")))
@@ -195,7 +222,13 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.struct(F.col("du").alias("deg"), F.col("u").alias("id"))
         )
         .alias("dst"),  # carry (degree, id) so wedge ordering is total
-    ).localCheckpoint(eager=False)
+    )
+    # explicit src partitioning before the checkpoint: the oriented edge
+    # list is small in bytes, so AQE would coalesce it to very few
+    # partitions — and the O(m^1.5) wedge self-join right below would run
+    # nearly single-task. A user repartition on the wedge key survives
+    # AQE and co-locates both wedge sides.
+    oriented = oriented.repartition(32, "src").localCheckpoint(eager=False)
     w1 = oriented.select("src", F.col("dst").alias("d1"))
     w2 = oriented.select("src", F.col("dst").alias("d2"))
     wedges = (
@@ -259,16 +292,7 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     two partial-aggregated exchanges; the histogram itself is driver-tiny.
     """
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.alias("a")
-    b = li.alias("b")
-    edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .distinct()
-    )
+    edges = _pair_edges(li)
     deg = (
         edges.select(F.col("u").alias("x"))
         .unionAll(edges.select(F.col("v").alias("x")))
@@ -369,17 +393,7 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_partkey")
         .filter(F.col("l_partkey") % _CN_MOD == 0)
     )
-    a = li.alias("a")
-    b = li.alias("b")
-    edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    edges = _pair_edges(li).localCheckpoint(eager=False)
     deg = (
         edges.select(F.col("u").alias("x"))
         .unionAll(edges.select(F.col("v").alias("x")))
@@ -526,17 +540,7 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_partkey")
         .filter(F.col("l_partkey") % _CN_MOD == 0)
     )
-    a = li.alias("a")
-    b = li.alias("b")
-    edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .distinct()
-        .localCheckpoint()
-    )
+    edges = _pair_edges(li).localCheckpoint()
 
     def degrees(e: DataFrame) -> DataFrame:
         return (
@@ -636,16 +640,7 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_partkey")
         .filter(F.col("l_partkey") % _CN_MOD == 0)
     )
-    a = li.alias("a")
-    b = li.alias("b")
-    e0 = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .distinct()
-    )
+    e0 = _pair_edges(li)
     adj = (
         e0.select(F.col("u").alias("src"), F.col("v").alias("dst"))
         .unionAll(e0.select(F.col("v").alias("src"), F.col("u").alias("dst")))
@@ -731,15 +726,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_orderkey") % _LPA_ORDER_MOD == 0)
         .select("l_orderkey", "l_partkey")
     )
-    a, b = li.alias("a"), li.alias("b")
-    e = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .distinct()
-    )
+    e = _pair_edges(li)
     ee = e.unionAll(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint(eager=False)

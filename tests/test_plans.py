@@ -1349,3 +1349,26 @@ def test_lsh_wide_signature_path_is_sound(spark, monkeypatch):
         assert r["lo"] < r["hi"]
         assert cos >= ann._DUP_TAU, f"wide path emitted a sub-τ pair {r}"
         assert abs(cos - r["cosine"]) < 1e-12
+
+
+def test_pair_edges_is_single_scan_no_join(spark):
+    """The co-purchase edge list must build from ONE scan of the lineitem
+    projection (per-order arrays → in-row combinations), never a two-sided
+    self-join: no Join operator, and at most the groupBy + spread +
+    distinct exchanges."""
+    from pyspark.sql import functions as F
+
+    from hudi_acid_verification_spark.operators import load
+    from hudi_acid_verification_spark.operators.graph import _pair_edges
+
+    li = load(spark, SF_SMALL, "lineitem").select("l_orderkey", "l_partkey")
+    df = _pair_edges(li)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "Join" not in plan
+    assert plan.count("lineitem.parquet") <= 1 * 2  # one scan, double-printed
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles <= 3 * 2
