@@ -294,6 +294,43 @@ class AcidTable:
             .select(*m.schema.names)
         )
 
+    def _pk_closed_partitions(self, m: _Manifest, parts: set) -> set:
+        """Close a partition set under pk-range overlap (to a fixpoint).
+
+        MOR resolution and delta folding are only correct over a file set
+        containing ALL of a key's rows — and a key's rows (bases, full
+        deltas, partial payloads, tombstones) can span partitions after a
+        cross-partition upsert or a matched merge, because delta files
+        land in the SOURCE row's partition while the shadowed base stays
+        in the target's. Any file outside the set whose pk range overlaps
+        a file inside pulls its partition in; files without pk stats are
+        included conservatively. Manifest metadata only — no data read.
+        On layouts where the pk correlates with the partition (or after
+        ``cluster()``), the closure stays tight; uncorrelated layouts
+        degrade toward a full resolve — the honest price of per-key
+        completeness without a global key index.
+        """
+
+        def overlaps(a: dict, b: dict) -> bool:
+            alo, ahi = a.get("pk_min"), a.get("pk_max")
+            blo, bhi = b.get("pk_min"), b.get("pk_max")
+            if alo is None or ahi is None or blo is None or bhi is None:
+                return True
+            return not (ahi < blo or alo > bhi)
+
+        parts = set(parts)
+        grew = True
+        while grew:
+            grew = False
+            inside = [f for f in m.files if f["partition"] in parts]
+            for f in m.files:
+                if f["partition"] not in parts and any(
+                    overlaps(f, g) for g in inside
+                ):
+                    parts.add(f["partition"])
+                    grew = True
+        return parts
+
     def _resolve_with_partials(self, m: _Manifest, df: DataFrame) -> DataFrame:
         """MOR resolution when partial-update payloads are present (Hudi
         ``PartialUpdateAvroPayload`` analog).
@@ -1151,9 +1188,17 @@ class AcidTable:
                     c for c in m.schema.names if c not in (m.pk, m.partition_col)
                 }
                 src = self._precombine(source.select(*m.schema.names), m)
-                if set(upd) == full:
-                    # complete rows: latest-wins replacement is exact — plain
-                    # delta upsert, no payload marker needed
+                if set(upd) == full and (
+                    partition_from_key or partitions is not None
+                ):
+                    # complete rows AND partition = f(pk) declared by the
+                    # caller (explicitly, or implicitly via a caller-supplied
+                    # partition set): latest-wins replacement is exact —
+                    # plain delta upsert, no payload marker needed. Without
+                    # that declaration the shortcut would be WRONG: a matched
+                    # row must KEEP its target partition, but a plain upsert
+                    # delta carries the SOURCE partition (caught by the
+                    # model-based lifecycle test, seed 101).
                     return m.files + self._write_delta(
                         src, m, op="upsert", seq=m.version + 1, kind="delta"
                     )
@@ -1347,12 +1392,17 @@ class AcidTable:
         def mutate(m: _Manifest) -> list[dict]:
             if m.mode == "mor":
                 # stats prune at partition granularity (scan_range rule),
-                # then resolve and tombstone the matching keys
+                # then resolve and tombstone the matching keys; pk-closure
+                # because a partition-SUBSET resolve can yield stale values
+                # for keys whose newer rows live in other partitions — the
+                # range test would then select keys from history, not state
                 cand = [
                     f for f in m.files
                     if self._may_overlap(f, col, lo, hi, m.pk)
                 ]
-                parts = {f["partition"] for f in cand}
+                parts = self._pk_closed_partitions(
+                    m, {f["partition"] for f in cand}
+                )
                 live = self._resolve(
                     m, [f for f in m.files if f["partition"] in parts]
                 )
@@ -1441,13 +1491,22 @@ class AcidTable:
                     f for f in m.files
                     if self._may_overlap(f, col, lo, hi, m.pk)
                 ]
-                parts = {f["partition"] for f in cand}
+                # pk-closure: resolving a partition SUBSET can yield stale
+                # values for keys whose newer rows (full deltas, partial
+                # payloads, tombstones) live in other partitions — the
+                # predicate would then match against history, not state
+                parts = self._pk_closed_partitions(
+                    m, {f["partition"] for f in cand}
+                )
                 live = self._resolve(
                     m, [f for f in m.files if f["partition"] in parts]
                 )
                 changed = apply_set(live.filter(pred()), m, False)
+                # written as op="upsert": these are COMPLETE resolved rows
+                # acting as new bases — the partial-payload resolution
+                # path only recognizes upsert/partial/delete markers
                 return m.files + self._write_delta(
-                    changed, m, op="update", seq=m.version + 1, kind="delta"
+                    changed, m, op="upsert", seq=m.version + 1, kind="delta"
                 )
             keep = [
                 f for f in m.files
@@ -1793,6 +1852,23 @@ class AcidTable:
             }
             if not crowded:
                 return m.files
+            if m.mode == "mor" and any(
+                f["partition"] in crowded and f.get("op") in ("partial", "delete")
+                for f in m.files
+            ):
+                # Folding a PARTIAL payload without its base row, or a
+                # TOMBSTONE without the shadowed base it kills, corrupts
+                # the table: the payload/tombstone file lands in the
+                # SOURCE row's partition while the base may live in a
+                # different one (matched merges never move rows;
+                # cross-partition upserts shadow the old base in place).
+                # A base-less payload would resolve as an insert in the
+                # wrong partition; a folded tombstone disappears while
+                # the shadowed base it killed RESURRECTS. Close the fold
+                # set under pk-range overlap so every affected key's rows
+                # fold together. Plain full-row deltas are safe to fold
+                # alone (the new base outranks any shadowed one by seq).
+                crowded = self._pk_closed_partitions(m, crowded)
             keep = [f for f in m.files if f["partition"] not in crowded]
             touch = [f for f in m.files if f["partition"] in crowded]
             if m.mode == "mor":

@@ -1306,3 +1306,54 @@ def test_zorder_wide_column_list_no_bit_overflow(spark, tmp_path):
     assert by_z == sorted(by_z)
     with pytest.raises(ValueError, match="63"):
         t._with_zvalue(df, [f"c{i % 6}" for i in range(70)])
+
+
+def test_mor_merge_keeps_target_partition_on_partition_mismatch(spark, mor_table):
+    """A matched MERGE must never move the row to the source's partition
+    (the reference's matched branch updates dataValue only) — including
+    when update_cols covers every non-key column, and including across a
+    compaction whose crowded set initially excludes the base row's
+    partition (the payload file lands in the SOURCE partition; folding it
+    without its base would flip the partition). Regression for the
+    model-test finding (seed 101)."""
+    t = mor_table
+    t.upsert(rows(spark, [("PK1", "P2", "v1")]))
+    t.merge(rows(spark, [("PK1", "P1", "v2")]), update_cols=["dataValue"])
+    assert snap_dict(t) == {"PK1": ("P2", "v2")}
+    t.compact()
+    assert snap_dict(t) == {"PK1": ("P2", "v2")}
+    t.audit_unique()
+
+
+def test_mor_compact_does_not_resurrect_cross_partition_tombstone(spark, mor_table):
+    """Folding a tombstone without the cross-partition base it shadows
+    must not resurrect the key: the fold set closes under pk-range
+    overlap so the shadowed base folds (and dies) together with the
+    tombstone. Regression for the resurrection repro."""
+    t = mor_table
+    t.upsert(rows(spark, [("PK1", "P2", "v1")]))
+    t.compact()  # P2 becomes a single quiet base file
+    t.upsert(rows(spark, [("PK1", "P1", "v2")]))  # cross-partition move
+    t.delete(["PK1"])
+    assert snap_dict(t) == {}
+    t.compact()
+    assert snap_dict(t) == {}, "deleted key resurrected by compaction"
+
+
+def test_mor_update_where_sees_partial_payload_state(spark, tmp_path):
+    """Predicate UPDATE must evaluate against CURRENT state (including
+    partial-payload overrides living in other partitions) and its delta
+    must survive partial-payload resolution. Regression: the update
+    delta was written with an op marker the partial resolution path
+    dropped, and the subset resolve matched stale values."""
+    t = AcidTable.create(
+        spark, str(tmp_path / "uw"), SCHEMA, pk="primaryKeyValue",
+        partition_col="partitionKeyValue", precombine_col=None, mode="mor",
+    )
+    t.upsert(rows(spark, [("PK1", "P2", "v1"), ("PK2", "P0", "x1")]))
+    t.merge(rows(spark, [("PK1", "P1", "v2")]), update_cols=["dataValue"])
+    t.update_where("dataValue", {"dataValue": "UPD"}, lo="v2", hi="v2")
+    assert snap_dict(t) == {"PK1": ("P2", "UPD"), "PK2": ("P0", "x1")}
+    # and the stale value must NOT match: v1 is history, not state
+    t.update_where("dataValue", {"dataValue": "BAD"}, lo="v1", hi="v1")
+    assert snap_dict(t) == {"PK1": ("P2", "UPD"), "PK2": ("P0", "x1")}
