@@ -46,9 +46,18 @@ def _snap_dict(table, version=None):
     }
 
 
-@pytest.mark.parametrize("table_type", ["cow", "mor"])
-@pytest.mark.parametrize("seed", [101, 202])
-def test_random_lifecycle_matches_dict_model(spark, tmp_path, table_type, seed):
+@pytest.mark.parametrize(
+    ("seed", "table_type", "precombine"),
+    [
+        (101, "cow", "dataValue"),
+        (101, "mor", "dataValue"),
+        (202, "cow", None),   # no precombine → update_where joins the mix
+        (202, "mor", None),
+    ],
+)
+def test_random_lifecycle_matches_dict_model(
+    spark, tmp_path, seed, table_type, precombine
+):
     rng = random.Random(seed)
     table = AcidTable.create(
         spark,
@@ -56,7 +65,7 @@ def test_random_lifecycle_matches_dict_model(spark, tmp_path, table_type, seed):
         SCHEMA,
         pk="primaryKeyValue",
         partition_col="partitionKeyValue",
-        precombine_col="dataValue",
+        precombine_col=precombine,
         mode=table_type,
         compact_every=5 if table_type == "mor" else None,
     )
@@ -81,12 +90,14 @@ def test_random_lifecycle_matches_dict_model(spark, tmp_path, table_type, seed):
             [(k, rng.choice(PARTS), fresh_value()) for k in keys], SCHEMA
         )
 
+    ops = ["upsert", "merge", "delete", "delete_where", "compact",
+           "cluster", "restore"]
+    weights = [30, 20, 15, 10, 8, 7, 10]
+    if precombine is None:  # dataValue not protected → predicate UPDATE too
+        ops.append("update_where")
+        weights.append(12)
     for _ in range(N_OPS):
-        op = rng.choices(
-            ["upsert", "merge", "delete", "delete_where", "compact",
-             "cluster", "restore"],
-            weights=[30, 20, 15, 10, 8, 7, 10],
-        )[0]
+        op = rng.choices(ops, weights=weights)[0]
         if op == "upsert":
             keys = list(dict.fromkeys(some_keys(include_new=True)))
             b = batch(keys)
@@ -118,6 +129,18 @@ def test_random_lifecycle_matches_dict_model(spark, tmp_path, table_type, seed):
             model = {
                 k: pv for k, pv in model.items() if not (lo <= pv[1] <= hi)
             }
+        elif op == "update_where":
+            if not model:
+                continue
+            vals = sorted(v for _, v in model.values())
+            lo = rng.choice(vals)
+            hi = rng.choice([v for v in vals if v >= lo])
+            newv = fresh_value()
+            table.update_where("dataValue", {"dataValue": newv}, lo=lo, hi=hi)
+            model = {
+                k: ((pv[0], newv) if lo <= pv[1] <= hi else pv)
+                for k, pv in model.items()
+            }
         elif op == "compact":
             table.compact()
         elif op == "cluster":
@@ -137,4 +160,46 @@ def test_random_lifecycle_matches_dict_model(spark, tmp_path, table_type, seed):
     for v in rng.sample(sorted(states), min(4, len(states))):
         assert _snap_dict(table, version=v) == states[v], (
             f"time travel to v{v} diverged (seed {seed})"
+        )
+
+    # CDC / incremental changefeed must equal the MODEL DIFF between any
+    # two versions: per-key _change_op + full before/after images
+    import itertools
+
+    pairs = list(itertools.combinations(sorted(states), 2))
+    for v1, v2 in rng.sample(pairs, min(4, len(pairs))):
+        s1, s2 = states[v1], states[v2]
+        want = {}
+        for k in set(s1) | set(s2):
+            if k not in s1:
+                want[k] = ("insert", None, s2[k])
+            elif k not in s2:
+                want[k] = ("delete", s1[k], None)
+            elif s1[k] != s2[k]:
+                want[k] = ("update", s1[k], s2[k])
+        got = {}
+        for r in table.changes(v1, v2).collect():
+            before = (
+                (r["before"]["partitionKeyValue"], r["before"]["dataValue"])
+                if r["before"] is not None else None
+            )
+            after = (
+                (r["after"]["partitionKeyValue"], r["after"]["dataValue"])
+                if r["after"] is not None else None
+            )
+            got[r["primaryKeyValue"]] = (r["_change_op"], before, after)
+        assert got == want, f"CDC v{v1}->v{v2} diverged (seed {seed})"
+        inc = {
+            r["primaryKeyValue"]: (r["partitionKeyValue"], r["dataValue"])
+            for r in table.read_incremental(v1, v2).collect()
+        }
+        assert inc == {
+            k: s2[k] for k in s2 if s1.get(k) != s2[k]
+        }, f"read_incremental v{v1}->v{v2} diverged (seed {seed})"
+        dels = {
+            r["primaryKeyValue"]
+            for r in table.deleted_keys(v1, v2).collect()
+        }
+        assert dels == {k for k in s1 if k not in s2}, (
+            f"deleted_keys v{v1}->v{v2} diverged (seed {seed})"
         )
