@@ -55,6 +55,7 @@ import hashlib
 import json
 import os
 import time
+import types
 import uuid
 from dataclasses import dataclass
 
@@ -779,14 +780,19 @@ class AcidTable:
         range touches O(selectivity) files instead of the whole table.
 
         MOR prunes at PARTITION granularity (a candidate file's partition
-        resolves fully): a row's newest version can live in any delta file
-        of its partition, so file-level skipping would under-resolve;
-        partition-level skipping is the correct conservative unit.
+        resolves fully), then closes the partition set under pk-range
+        overlap: a row's newest version can live in any delta file of its
+        partition — or, after a cross-partition upsert, in ANOTHER
+        partition's delta — so file-level skipping would under-resolve and
+        an unclosed partition subset would return a shadowed stale row
+        (the same closure delete_where/update_where need).
         """
         m = self._read_manifest()
         cand = [f for f in m.files if self._may_overlap(f, col, lo, hi, m.pk)]
         if m.mode == "mor":
-            parts = {f["partition"] for f in cand}
+            parts = self._pk_closed_partitions(
+                m, {f["partition"] for f in cand}
+            )
             cand = [f for f in m.files if f["partition"] in parts]
             df = self._resolve(m, cand)
         else:
@@ -1128,9 +1134,15 @@ class AcidTable:
         """Atomic multi-row upsert (INSERT path, TransactionWriter.java:121-141):
         incoming rows replace same-pk rows, new pks are appended.
 
-        ``partitions`` optionally names the partition values present in
-        ``df`` (known for free when the batch is built driver-side); when
-        given, the partition-discovery job is skipped."""
+        A matched row whose CURRENT partition differs from the incoming
+        row's moves partitions: the rewrite must cover the union of the
+        source partitions and the matched rows' current partitions, else
+        the old row survives as a duplicate key (caught by the model-based
+        lifecycle test, seed 303). ``partitions`` optionally declares that
+        partition = f(pk) for this batch — the partition values present in
+        ``df`` AND the only partitions any matched row can live in (true
+        for the reference harness workload) — which skips the semi-join
+        discovery read."""
 
         def mutate(m: _Manifest) -> list[dict]:
             incoming = self._precombine(df.select(*m.schema.names), m)
@@ -1141,9 +1153,19 @@ class AcidTable:
                 )
             incoming.cache()
             try:
+                if partitions is not None:
+                    changed = partitions
+                else:
+                    live = self._df_for(m)
+                    matched_parts = live.join(
+                        incoming.select(m.pk), m.pk, "left_semi"
+                    ).select(m.partition_col)
+                    changed = incoming.select(m.partition_col).unionByName(
+                        matched_parts
+                    )
                 return self._partition_scoped_rewrite(
                     m,
-                    partitions if partitions is not None else incoming,
+                    changed,
                     lambda old: old.join(
                         incoming.select(m.pk), m.pk, "left_anti"
                     ).unionByName(incoming),
@@ -1183,6 +1205,15 @@ class AcidTable:
             upd = update_cols if update_cols is not None else [
                 c for c in m.schema.names if c not in (m.pk, m.partition_col)
             ]
+            # mode-independent: a matched MERGE row never changes identity
+            # or moves partitions (reference semantics) — reject on COW too,
+            # not only on the MOR partial-payload path, so the two table
+            # types present one contract
+            if m.pk in upd or m.partition_col in upd:
+                raise ValueError(
+                    "update_cols may not include the primary key or "
+                    "partition column"
+                )
             if m.mode == "mor":
                 full = {
                     c for c in m.schema.names if c not in (m.pk, m.partition_col)
@@ -1208,11 +1239,6 @@ class AcidTable:
                 # those columns on matched keys and uses the whole carried
                 # row for the WHEN NOT MATCHED insert branch. Still a pure
                 # append — one write job, no read of existing data.
-                if m.pk in upd or m.partition_col in upd:
-                    raise ValueError(
-                        "update_cols may not include the primary key or "
-                        "partition column"
-                    )
                 return m.files + self._write_delta(
                     src, m, op="partial", seq=m.version + 1, kind="delta",
                     cols=sorted(upd),
@@ -1553,18 +1579,27 @@ class AcidTable:
         Only files ADDED since ``mb`` (candidate post-images) and files
         REMOVED since ``mb`` (prior images) are read; untouched partitions
         never scan. Under MOR the same file diff selects the touched
-        partitions, and both snapshots are resolved restricted to them (a
-        raw file-level diff would re-emit every superseded version a delta
-        file shadows).
+        partitions, CLOSED under pk-range overlap across both manifests,
+        and both snapshots are resolved restricted to them. A raw
+        file-level diff would re-emit every superseded version a delta
+        file shadows — and an UNCLOSED partition subset would misreport a
+        cross-partition move: the new delta's partition is in the set but
+        the shadowed base's is not, so the before-image goes missing (an
+        update surfaces as an insert; a move-then-delete loses the
+        deleted key). Closing over the UNION of both versions' files is
+        conservative-correct: extra partitions resolve identically on
+        both sides and cancel downstream.
         """
         before = {f["file"] for f in mb.files}
         after = {f["file"] for f in me.files}
         added = [f for f in me.files if f["file"] not in before]
         removed = [f for f in mb.files if f["file"] not in after]
         if me.mode == "mor":
-            parts = {f["partition"] for f in added} | {
-                f["partition"] for f in removed
-            }
+            parts = self._pk_closed_partitions(
+                types.SimpleNamespace(files=mb.files + me.files),
+                {f["partition"] for f in added}
+                | {f["partition"] for f in removed},
+            )
             return (
                 self._resolve(
                     mb, [f for f in mb.files if f["partition"] in parts]

@@ -2,9 +2,13 @@
 
 The directed tests in test_acid_table.py each pin one behavior; this file
 drives RANDOM (seeded, reproducible) operation sequences — upsert, merge,
-delete, predicate delete, compact, cluster, restore — against a plain dict
-model, asserting the snapshot equals the model after EVERY commit and that
-time travel reproduces every retained version's model state. Random
+delete, predicate delete, compact, cluster, restore, and (extended mode)
+partition evolution, shallow-clone switch, and vacuum — against a plain
+dict model, asserting the snapshot equals the model after EVERY commit and
+that time travel reproduces every retained version's model state. Extended
+mode also probes the pruned READ paths after each commit: lookup (pk
+range + bloom skipping) and scan_range (column-stats skipping) must agree
+with the model exactly. Random
 interleavings catch cross-feature interactions (e.g. a merge after a
 restore after a predicate delete) that directed tests never compose.
 
@@ -46,22 +50,79 @@ def _snap_dict(table, version=None):
     }
 
 
+def _mutable_col(table) -> str:
+    """The non-partition data column — the one merge/update_where may set.
+    Partition evolution can flip the partition col to dataValue, making
+    partitionKeyValue the mutable one (and vice versa on restore)."""
+    return (
+        "partitionKeyValue"
+        if table.partition_col == "dataValue"
+        else "dataValue"
+    )
+
+
+def _probe_reads(rng, table, model):
+    """Read-path cross-checks after a commit: the pruned point lookup and
+    the stats-skipping range scan must agree with the dict model exactly —
+    blooms and min/max ranges may only PRUNE, never drop a live row or
+    resurrect a shadowed one (the MOR pk-closure regressions)."""
+    probe = [f"PK{rng.randint(0, 30)}" for _ in range(2)]
+    if model:
+        probe.append(rng.choice(sorted(model)))
+    got = {
+        r["primaryKeyValue"]: (r["partitionKeyValue"], r["dataValue"])
+        for r in table.lookup(probe).collect()
+    }
+    assert got == {k: model[k] for k in set(probe) if k in model}
+    st = table.lookup_stats(probe)
+    assert (
+        st["bloom_candidates"] <= st["range_candidates"] <= st["total_files"]
+    )
+    col, idx = rng.choice(
+        [("primaryKeyValue", None), ("partitionKeyValue", 0), ("dataValue", 1)]
+    )
+    vals = sorted(model if idx is None else {pv[idx] for pv in model.values()})
+    if not vals:
+        return
+    lo = rng.choice(vals)
+    hi = rng.choice([v for v in vals if v >= lo])
+    got = {
+        r["primaryKeyValue"]: (r["partitionKeyValue"], r["dataValue"])
+        for r in table.scan_range(col, lo=lo, hi=hi).collect()
+    }
+    want = {
+        k: pv
+        for k, pv in model.items()
+        if lo <= (k if idx is None else pv[idx]) <= hi
+    }
+    assert got == want
+
+
 @pytest.mark.parametrize(
-    ("seed", "table_type", "precombine"),
+    ("seed", "table_type", "precombine", "occ", "extended"),
     [
-        (101, "cow", "dataValue"),
-        (101, "mor", "dataValue"),
-        (202, "cow", None),   # no precombine → update_where joins the mix
-        (202, "mor", None),
+        (101, "cow", "dataValue", False, False),
+        (101, "mor", "dataValue", False, False),
+        (202, "cow", None, False, False),  # no precombine → update_where too
+        (202, "mor", None, False, False),
+        (303, "cow", None, True, False),   # optimistic concurrency commits
+        (303, "mor", None, True, False),
+        # extended mix: partition evolution (flip partition col), shallow-
+        # clone switch, vacuum — plus per-commit read-path probes (lookup
+        # + scan_range) cross-checking the bloom/range/stats pruning
+        (404, "cow", None, False, True),
+        (404, "mor", None, False, True),
+        (505, "mor", "dataValue", True, True),
     ],
 )
 def test_random_lifecycle_matches_dict_model(
-    spark, tmp_path, seed, table_type, precombine
+    spark, tmp_path, seed, table_type, precombine, occ, extended
 ):
     rng = random.Random(seed)
-    table = AcidTable.create(
+    path = str(tmp_path / f"model_{table_type}_{seed}")
+    AcidTable.create(
         spark,
-        str(tmp_path / f"model_{table_type}_{seed}"),
+        path,
         SCHEMA,
         pk="primaryKeyValue",
         partition_col="partitionKeyValue",
@@ -69,6 +130,7 @@ def test_random_lifecycle_matches_dict_model(
         mode=table_type,
         compact_every=5 if table_type == "mor" else None,
     )
+    table = AcidTable(spark, path, occ=occ)
     model: dict[str, tuple[str, str]] = {}
     states: dict[int, dict] = {table.version(): dict(model)}
     counter = 0
@@ -96,6 +158,10 @@ def test_random_lifecycle_matches_dict_model(
     if precombine is None:  # dataValue not protected → predicate UPDATE too
         ops.append("update_where")
         weights.append(12)
+    if extended:
+        ops += ["repartition", "clone_switch", "vacuum"]
+        weights += [8, 6, 6]
+    clone_n = 0
     for _ in range(N_OPS):
         op = rng.choices(ops, weights=weights)[0]
         if op == "upsert":
@@ -108,12 +174,15 @@ def test_random_lifecycle_matches_dict_model(
             keys = list(dict.fromkeys(some_keys(include_new=True)))
             b = batch(keys)
             rows = {r[0]: (r[1], r[2]) for r in b.collect()}
-            table.merge(b, update_cols=["dataValue"])
+            mut = _mutable_col(table)
+            table.merge(b, update_cols=[mut])
             for k, (part, val) in rows.items():
-                if k in model:  # matched: dataValue only, partition kept
-                    model[k] = (model[k][0], val)
-                else:  # unmatched: full insert with source partition
+                if k not in model:  # unmatched: full insert, source row
                     model[k] = (part, val)
+                elif mut == "dataValue":  # matched: update mut col ONLY
+                    model[k] = (model[k][0], val)
+                else:
+                    model[k] = (part, model[k][1])
         elif op == "delete":
             keys = some_keys(include_new=True)
             table.delete(keys)
@@ -132,13 +201,19 @@ def test_random_lifecycle_matches_dict_model(
         elif op == "update_where":
             if not model:
                 continue
-            vals = sorted(v for _, v in model.values())
+            mut = _mutable_col(table)
+            idx = 0 if mut == "partitionKeyValue" else 1
+            vals = sorted(pv[idx] for pv in model.values())
             lo = rng.choice(vals)
             hi = rng.choice([v for v in vals if v >= lo])
-            newv = fresh_value()
-            table.update_where("dataValue", {"dataValue": newv}, lo=lo, hi=hi)
+            newv = rng.choice(PARTS) if idx == 0 else fresh_value()
+            table.update_where(mut, {mut: newv}, lo=lo, hi=hi)
             model = {
-                k: ((pv[0], newv) if lo <= pv[1] <= hi else pv)
+                k: (
+                    ((newv, pv[1]) if idx == 0 else (pv[0], newv))
+                    if lo <= pv[idx] <= hi
+                    else pv
+                )
                 for k, pv in model.items()
             }
         elif op == "compact":
@@ -152,9 +227,39 @@ def test_random_lifecycle_matches_dict_model(
             v = rng.choice(candidates)
             table.restore(v)
             model = dict(states[v])
+        elif op == "repartition":
+            # partition evolution: flip the partition column — content-
+            # neutral (the snapshot carries both columns either way), but
+            # every later DML runs against the evolved physical layout
+            flip = (
+                "dataValue"
+                if table.partition_col == "partitionKeyValue"
+                else "partitionKeyValue"
+            )
+            table.repartition_table(flip)
+        elif op == "clone_switch":
+            # shallow clone at the current version, then CONTINUE on the
+            # clone: later commits diverge under the clone's own root while
+            # untouched data keeps reading from the source's files
+            clone_n += 1
+            table = table.clone_to(f"{path}_clone{clone_n}")
+            # the clone is born at the source's version with no older
+            # manifests — reset the retained-version map to the present
+            states = {table.version(): dict(model)}
+        elif op == "vacuum":
+            info = table.vacuum(
+                retain_versions=rng.randint(2, 4), orphan_grace_seconds=0.0
+            )
+            states = {
+                v: s
+                for v, s in states.items()
+                if v >= info["retained_from_version"]
+            }
         states[table.version()] = dict(model)
         assert _snap_dict(table) == model, f"divergence after {op} (seed {seed})"
         table.audit_unique()
+        if extended:
+            _probe_reads(rng, table, model)
 
     # time travel must reproduce every retained version's model state
     for v in rng.sample(sorted(states), min(4, len(states))):

@@ -1357,3 +1357,77 @@ def test_mor_update_where_sees_partial_payload_state(spark, tmp_path):
     # and the stale value must NOT match: v1 is history, not state
     t.update_where("dataValue", {"dataValue": "BAD"}, lo="v1", hi="v1")
     assert snap_dict(t) == {"PK1": ("P2", "UPD"), "PK2": ("P0", "x1")}
+
+
+def test_mor_scan_range_excludes_cross_partition_shadowed_base(
+    spark, mor_table
+):
+    """scan_range's MOR partition pruning must close the candidate set
+    under pk overlap: after PK1 moves P0→P1 via upsert, a range predicate
+    matching only the STALE P0 value must not resurrect it (regression:
+    unclosed subset resolved P0 alone and returned the shadowed base)."""
+    t = mor_table
+    t.upsert(rows(spark, [("PK1", "P0", "aaa"), ("PK2", "P1", "mmm")]))
+    t.upsert(rows(spark, [("PK1", "P1", "zzz")]))  # cross-partition move
+    assert t.scan_range("dataValue", lo="aaa", hi="aaa").count() == 0
+    live = {
+        r["primaryKeyValue"]: (r["partitionKeyValue"], r["dataValue"])
+        for r in t.scan_range("dataValue", lo="zzz", hi="zzz").collect()
+    }
+    assert live == {"PK1": ("P1", "zzz")}
+
+
+def test_merge_rejects_partition_update_cols_both_modes(
+    spark, table, mor_table
+):
+    """update_cols naming the pk or partition column is rejected on COW
+    and MOR alike — one contract, not a MOR-only partial-payload check."""
+    for t in (table, mor_table):
+        t.upsert(rows(spark, [("PK1", "P0", "v1")]))
+        for cols in (["partitionKeyValue"], ["dataValue", "primaryKeyValue"]):
+            with pytest.raises(ValueError, match="update_cols"):
+                t.merge(rows(spark, [("PK1", "P9", "x")]), update_cols=cols)
+        assert snap_dict(t) == {"PK1": ("P0", "v1")}
+
+
+def test_mor_cdc_sees_cross_partition_move_before_image(spark, mor_table):
+    """The CDC/incremental file diff must close its partition set under pk
+    overlap: after PK1 moves P0→P1, changes() must report an UPDATE with
+    the (P0, old) before image — an unclosed subset resolves only P1 on
+    the before side and misreports an insert (regression)."""
+    t = mor_table
+    t.upsert(rows(spark, [("PK1", "P0", "old"), ("PKX", "P1", "pad")]))
+    v1 = t.version()
+    t.upsert(rows(spark, [("PK1", "P1", "new")]))
+    v2 = t.version()
+    got = {
+        r["primaryKeyValue"]: (r["_change_op"], r["before"], r["after"])
+        for r in t.changes(v1, v2).collect()
+    }
+    assert set(got) == {"PK1"}
+    op, before, after = got["PK1"]
+    assert op == "update"
+    assert (before["partitionKeyValue"], before["dataValue"]) == ("P0", "old")
+    assert (after["partitionKeyValue"], after["dataValue"]) == ("P1", "new")
+    # move-then-delete: the deleted key's only window-touched partition is
+    # P1, but its v1 before-row lives in P0 — deleted_keys must still see it
+    t.delete(["PK1"])
+    v3 = t.version()
+    assert {r[0] for r in t.deleted_keys(v1, v3).collect()} == {"PK1"}
+    cdc = {
+        r["primaryKeyValue"]: r["_change_op"]
+        for r in t.changes(v1, v3).collect()
+    }
+    assert cdc == {"PK1": "delete"}
+
+
+def test_cow_upsert_moves_row_across_partitions(spark, table):
+    """An upsert whose incoming partition differs from the matched row's
+    current partition must MOVE the row — rewriting the old partition too
+    — never leave a same-pk row behind in the old partition. Regression
+    for the model-test finding (seed 303, cross-partition upsert)."""
+    t = table
+    t.upsert(rows(spark, [("PK1", "P1", "v1"), ("PK2", "P0", "x1")]))
+    t.upsert(rows(spark, [("PK1", "P0", "v2")]))
+    assert snap_dict(t) == {"PK1": ("P0", "v2"), "PK2": ("P0", "x1")}
+    t.audit_unique()
