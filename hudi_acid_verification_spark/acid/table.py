@@ -1127,6 +1127,32 @@ class AcidTable:
         new_entries = self._write_data(new_rows.select(*m.schema.names), m)
         return keep + new_entries
 
+    def _matched_partitions(self, m: _Manifest, keys: DataFrame) -> DataFrame:
+        """Partitions currently holding any row whose pk appears in
+        ``keys`` — the discovery read behind cross-partition DML, pruned
+        by the manifest pk [min, max] index: one tiny agg on the keys,
+        then only range-overlapping files are scanned, so a point DML on
+        a key-clustered 100 TB table reads O(1) files instead of the
+        snapshot. Files without pk stats are kept conservatively, and
+        every file holding a probed key's row overlaps the key range by
+        construction, so the candidate set is exact for those keys."""
+        klo, khi = keys.agg(F.min(m.pk), F.max(m.pk)).first()
+        if klo is None:  # empty batch: nothing can match
+            return self.spark.createDataFrame(
+                [], T.StructType([m.schema[m.partition_col]])
+            )
+        cand = [
+            f for f in m.files if self._may_overlap(f, m.pk, klo, khi, m.pk)
+        ]
+        live = (
+            self._resolve(m, cand)
+            if m.mode == "mor"
+            else self._df_for_files(m, cand)
+        )
+        return live.join(keys.select(m.pk), m.pk, "left_semi").select(
+            m.partition_col
+        )
+
     def upsert(
         self, df: DataFrame, timeout: float = 60.0,
         partitions: list[str] | None = None,
@@ -1156,12 +1182,8 @@ class AcidTable:
                 if partitions is not None:
                     changed = partitions
                 else:
-                    live = self._df_for(m)
-                    matched_parts = live.join(
-                        incoming.select(m.pk), m.pk, "left_semi"
-                    ).select(m.partition_col)
                     changed = incoming.select(m.partition_col).unionByName(
-                        matched_parts
+                        self._matched_partitions(m, incoming)
                     )
                 return self._partition_scoped_rewrite(
                     m,
@@ -1192,13 +1214,14 @@ class AcidTable:
         matched branch never moves a row across partitions), so the rewrite
         must touch both source partitions (inserts) and the partitions of
         matched target rows — by default we resolve the union of the two with
-        a semi-join against the live snapshot.
+        a semi-join against the pk-range-pruned live files
+        (:meth:`_matched_partitions`).
 
         ``partition_from_key=True`` declares that the partition value is a
         pure function of the primary key (true for the harness workload,
         TransactionGenerator.java:75-78) — matched rows then necessarily
-        live in the source's partitions, and the semi-join read is skipped:
-        one fewer full-snapshot scan per commit.
+        live in the source's partitions, and the semi-join read is skipped
+        entirely: one fewer read job per commit.
         """
 
         def mutate(m: _Manifest) -> list[dict]:
@@ -1253,11 +1276,9 @@ class AcidTable:
                 elif partition_from_key:
                     changed = src.select(m.partition_col)
                 else:
-                    live = self._df_for(m)
-                    matched_parts = live.join(
-                        src.select(m.pk), m.pk, "left_semi"
-                    ).select(m.partition_col)
-                    changed = src.select(m.partition_col).unionByName(matched_parts)
+                    changed = src.select(m.partition_col).unionByName(
+                        self._matched_partitions(m, src)
+                    )
 
                 def rewrite(old: DataFrame) -> DataFrame:
                     s = src.select(
