@@ -417,8 +417,15 @@ class AcidTable:
             "__seq", F.lit(seq).cast("long")
         )
         if cols is not None:
+            # explicit cast: F.array() with ZERO elements (an empty SET
+            # list, e.g. merge(update_cols=[])) types as array<void> and
+            # parquet-writes a BOOLEAN element, breaking later reads that
+            # expect array<string>
             physical = physical.withColumn(
-                "__cols", F.array(*[F.lit(c) for c in cols])
+                "__cols",
+                F.array(*[F.lit(c) for c in cols]).cast(
+                    T.ArrayType(T.StringType())
+                ),
             )
         else:
             physical = physical.withColumn(
@@ -530,6 +537,14 @@ class AcidTable:
                 dest = os.path.join(dest_dir, final)
                 os.rename(os.path.join(root, fn), dest)
                 entry = {"file": os.path.join(seg, final), "partition": part}
+                # record the schema columns this file was written under:
+                # the re-add guard in evolve_schema/add_column uses it to
+                # tell a brand-new name from one a live pre-drop file still
+                # physically carries (name-based binding would resurrect
+                # the old values instead of reading NULL)
+                entry["cols"] = [
+                    c for c in df.columns if not c.startswith("__")
+                ]
                 entry.update(self._pk_stats(dest, m.pk))
                 entries.append(entry)
         import shutil
@@ -1286,16 +1301,34 @@ class AcidTable:
                         *[F.col(c).alias(f"__s_{c}") for c in m.schema.names if c != m.pk],
                     )
                     joined = old.join(s, old[m.pk] == s["__s_pk"], "full_outer")
+                    # branch on MATCH (pk presence), never on value-nullness:
+                    # coalesce() here would silently flip two cases — a
+                    # matched UPDATE SET col = NULL must null the column
+                    # (SQL MERGE semantics, and what the MOR partial-payload
+                    # resolution does), and a matched row's NULL in a
+                    # NON-updated column must stay NULL, not take the
+                    # source's value
                     cols = []
                     for c in m.schema.names:
                         if c == m.pk:
                             cols.append(F.coalesce(old[m.pk], s["__s_pk"]).alias(c))
                         elif c in upd:
-                            cols.append(F.coalesce(s[f"__s_{c}"], old[c]).alias(c))
+                            # matched or insert: source value as given;
+                            # old-only rows keep theirs
+                            cols.append(
+                                F.when(s["__s_pk"].isNotNull(), s[f"__s_{c}"])
+                                .otherwise(old[c])
+                                .alias(c)
+                            )
                         else:
-                            # non-updated col: keep target value; take source
-                            # only for brand-new keys (insert branch)
-                            cols.append(F.coalesce(old[c], s[f"__s_{c}"]).alias(c))
+                            # non-updated col: target value wherever a
+                            # target row exists; source only for the
+                            # WHEN NOT MATCHED insert branch
+                            cols.append(
+                                F.when(old[m.pk].isNotNull(), old[c])
+                                .otherwise(s[f"__s_{c}"])
+                                .alias(c)
+                            )
                     return joined.select(*cols)
 
                 return self._partition_scoped_rewrite(
@@ -1748,7 +1781,11 @@ class AcidTable:
         Guards: added names must be new (and not the reserved MOR marker
         columns); dropped names must exist and may not be the pk,
         partition, or precombine column. Added columns are nullable by
-        construction — every pre-existing row reads NULL for them.
+        construction — every pre-existing row reads NULL for them; to
+        keep that true under name-based column binding, RE-adding a
+        previously dropped name is rejected while any live file still
+        physically carries it (each manifest entry records the columns
+        it was written under) — rewrite the files or pick a new name.
 
         Concurrency: the commit runs under the writer lock, and a raced
         OCC writer detects the schema change in its rebase check
@@ -1771,6 +1808,17 @@ class AcidTable:
                     raise ValueError(f"column {c!r} already exists")
                 if c in reserved:
                     raise ValueError(f"column name {c!r} is reserved")
+                if any(c in f.get("cols", ()) for f in m.files):
+                    # a live file written before a DROP of this name still
+                    # physically carries the column; with name-based
+                    # binding, re-adding it would resurrect the pre-drop
+                    # values instead of the documented NULL backfill
+                    raise ValueError(
+                        f"cannot re-add column {c!r}: a live data file "
+                        f"still carries it from before it was dropped — "
+                        f"rewrite the files first (cluster / "
+                        f"repartition_table) or use a new name"
+                    )
             for c in drop:
                 if c not in names:
                     raise ValueError(f"cannot drop unknown column {c!r}")
@@ -2151,6 +2199,15 @@ class AcidTable:
         def make(m: _Manifest) -> _Manifest:
             if field.name in m.schema.names:
                 raise ValueError(f"column {field.name!r} already exists")
+            if any(field.name in f.get("cols", ()) for f in m.files):
+                # same re-add hazard as evolve_schema: a live pre-drop
+                # file would resurrect old values under name binding
+                raise ValueError(
+                    f"cannot re-add column {field.name!r}: a live data "
+                    f"file still carries it from before it was dropped — "
+                    f"rewrite the files first (cluster / "
+                    f"repartition_table) or use a new name"
+                )
             return _Manifest(
                 m.version + 1,
                 T.StructType(list(m.schema.fields) + [field]),

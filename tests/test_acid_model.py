@@ -308,3 +308,220 @@ def test_random_lifecycle_matches_dict_model(
         assert dels == {k for k in s1 if k not in s2}, (
             f"deleted_keys v{v1}->v{v2} diverged (seed {seed})"
         )
+
+
+@pytest.mark.parametrize(
+    ("seed", "table_type"),
+    [(808, "cow"), (808, "mor"), (909, "mor")],
+)
+def test_random_schema_evolution_matches_dict_model(
+    spark, tmp_path, seed, table_type
+):
+    """Randomized schema-evolution lifecycle vs a dict-of-dicts model:
+    add/drop/re-add columns interleaved with DML, compaction, clustering,
+    and restore. After every commit the snapshot's SCHEMA and content must
+    equal the model; time travel must reproduce each retained version's
+    schema and rows; CDC across evolution must project onto the END
+    schema (columns added inside the window read NULL in before images,
+    dropped columns vanish from the comparison). Merge uses SQL MERGE
+    semantics: a matched SET to NULL nulls the column."""
+    rng = random.Random(seed)
+    table = AcidTable.create(
+        spark,
+        str(tmp_path / f"sev_{table_type}_{seed}"),
+        SCHEMA,
+        pk="primaryKeyValue",
+        partition_col="partitionKeyValue",
+        precombine_col=None,
+        mode=table_type,
+        compact_every=5 if table_type == "mor" else None,
+    )
+    fields = ["partitionKeyValue", "dataValue"]  # non-pk cols, schema order
+    model: dict[str, dict] = {}  # pk -> {col: value}
+    states: dict[int, tuple] = {
+        table.version(): (tuple(fields), {})
+    }
+    counter = 0
+    ncol = 0
+    dropped: list[str] = []
+
+    def fresh_value() -> str:
+        nonlocal counter
+        counter += 1
+        return f"v{counter:04d}"
+
+    def cur_schema() -> T.StructType:
+        return T.StructType(
+            [T.StructField("primaryKeyValue", T.StringType(), False)]
+            + [
+                T.StructField(c, T.StringType(), c != "partitionKeyValue")
+                for c in fields
+            ]
+        )
+
+    def some_keys() -> list[str]:
+        pool = list(model) + [f"PK{rng.randint(0, 30)}" for _ in range(2)]
+        rng.shuffle(pool)
+        picked = list(dict.fromkeys(pool[: rng.randint(1, 3)]))
+        return picked or [f"PK{rng.randint(0, 30)}"]
+
+    def batch(keys):
+        data, vals = [], {}
+        for k in keys:
+            row = {}
+            for c in fields:
+                if c == "partitionKeyValue":
+                    row[c] = rng.choice(PARTS)
+                else:  # evolved/value cols: fresh value or explicit NULL
+                    row[c] = fresh_value() if rng.random() > 0.25 else None
+            data.append(tuple([k] + [row[c] for c in fields]))
+            vals[k] = row
+        return spark.createDataFrame(data, cur_schema()), vals
+
+    ops = ["upsert", "merge", "delete", "update_where", "add_col",
+           "drop_col", "readd_col", "compact", "restore", "cluster"]
+    weights = [28, 15, 12, 10, 14, 8, 5, 6, 8, 4]
+    for _ in range(N_OPS):
+        op = rng.choices(ops, weights=weights)[0]
+        if op == "upsert":
+            b, vals = batch(some_keys())
+            table.upsert(b)
+            model.update({k: dict(v) for k, v in vals.items()})
+        elif op == "merge":
+            mutable = [c for c in fields if c != "partitionKeyValue"]
+            if not mutable:
+                continue
+            mut = rng.choice(mutable)
+            b, vals = batch(some_keys())
+            table.merge(b, update_cols=[mut])
+            for k, v in vals.items():
+                if k in model:  # matched: set mut AS GIVEN, even None
+                    model[k][mut] = v[mut]
+                else:  # unmatched: full source insert
+                    model[k] = dict(v)
+        elif op == "delete":
+            keys = some_keys()
+            table.delete(keys)
+            for k in keys:
+                model.pop(k, None)
+        elif op == "update_where":
+            settable = [c for c in fields if c != "partitionKeyValue"]
+            if not model or not settable:
+                continue
+            col = rng.choice(fields)
+            vals = sorted(
+                v[col] for v in model.values() if v[col] is not None
+            )
+            if not vals:
+                continue
+            lo = rng.choice(vals)
+            hi = rng.choice([v for v in vals if v >= lo])
+            tgt = rng.choice(settable)
+            newv = fresh_value()
+            table.update_where(col, {tgt: newv}, lo=lo, hi=hi)
+            for v in model.values():
+                if v[col] is not None and lo <= v[col] <= hi:
+                    v[tgt] = newv
+        elif op == "add_col":
+            ncol += 1
+            name = f"c{ncol}"
+            table.evolve_schema(add={name: "string"})
+            fields.append(name)
+            for v in model.values():
+                v[name] = None  # NULL backfill on every pre-existing row
+        elif op == "drop_col":
+            droppable = [c for c in fields if c != "partitionKeyValue"]
+            if not droppable:
+                continue
+            c = rng.choice(droppable)
+            table.evolve_schema(drop=[c])
+            fields.remove(c)
+            dropped.append(c)
+            for v in model.values():
+                v.pop(c, None)
+        elif op == "readd_col":
+            cand = [c for c in dropped if c not in fields]
+            if not cand:
+                continue
+            c = rng.choice(cand)
+            try:
+                table.evolve_schema(add={c: "string"})
+            except ValueError:
+                continue  # re-add guard: a live file still carries it
+            fields.append(c)  # files were rewritten since: NULL backfill
+            for v in model.values():
+                v[c] = None
+        elif op == "compact":
+            table.compact()
+        elif op == "cluster":
+            table.cluster(files_per_partition=2)
+        elif op == "restore":
+            candidates = [v for v in states if v < table.version()]
+            if not candidates:
+                continue
+            ver = rng.choice(candidates)
+            table.restore(ver)
+            fcols, mstate = states[ver]
+            fields = list(fcols)
+            model = {k: dict(v) for k, v in mstate.items()}
+        states[table.version()] = (
+            tuple(fields),
+            {k: dict(v) for k, v in model.items()},
+        )
+        snap = table.snapshot()
+        assert [c for c in snap.columns if c != "primaryKeyValue"] == fields, (
+            f"schema divergence after {op} (seed {seed})"
+        )
+        got = {
+            r["primaryKeyValue"]: {c: r[c] for c in fields}
+            for r in snap.collect()
+        }
+        assert got == model, f"divergence after {op} (seed {seed})"
+        table.audit_unique()
+
+    # time travel reproduces each retained version's schema AND content
+    for ver in rng.sample(sorted(states), min(4, len(states))):
+        fcols, mstate = states[ver]
+        snap = table.snapshot(version=ver)
+        assert [c for c in snap.columns if c != "primaryKeyValue"] == list(
+            fcols
+        ), f"time-travel schema v{ver} (seed {seed})"
+        got = {
+            r["primaryKeyValue"]: {c: r[c] for c in fcols}
+            for r in snap.collect()
+        }
+        assert got == mstate, f"time travel v{ver} (seed {seed})"
+
+    # CDC across schema evolution projects onto the END schema
+    import itertools
+
+    pairs = list(itertools.combinations(sorted(states), 2))
+    for v1, v2 in rng.sample(pairs, min(3, len(pairs))):
+        (_f1, s1), (f2, s2) = states[v1], states[v2]
+
+        def proj(row):
+            return None if row is None else {c: row.get(c) for c in f2}
+
+        want = {}
+        for k in set(s1) | set(s2):
+            b, a = proj(s1.get(k)), proj(s2.get(k))
+            if k not in s1:
+                want[k] = ("insert", None, a)
+            elif k not in s2:
+                want[k] = ("delete", b, None)
+            elif b != a:
+                want[k] = ("update", b, a)
+        got = {}
+        for r in table.changes(v1, v2).collect():
+            before = (
+                {c: r["before"][c] for c in f2}
+                if r["before"] is not None
+                else None
+            )
+            after = (
+                {c: r["after"][c] for c in f2}
+                if r["after"] is not None
+                else None
+            )
+            got[r["primaryKeyValue"]] = (r["_change_op"], before, after)
+        assert got == want, f"CDC v{v1}->v{v2} diverged (seed {seed})"

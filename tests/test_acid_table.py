@@ -1421,6 +1421,26 @@ def test_mor_cdc_sees_cross_partition_move_before_image(spark, mor_table):
     assert cdc == {"PK1": "delete"}
 
 
+def test_merge_explicit_null_set_wins_both_modes(spark, tmp_path):
+    """SQL MERGE semantics on both table types: WHEN MATCHED UPDATE SET
+    col = NULL nulls the column (regression: COW's coalesce kept the old
+    value while MOR honored the explicit NULL — cross-mode divergence),
+    and a matched row's NULL in a NON-updated column stays NULL instead
+    of stealing the source's value."""
+    for mode in ("cow", "mor"):
+        t = AcidTable.create(
+            spark, str(tmp_path / f"nullset_{mode}"), SCHEMA,
+            pk="primaryKeyValue", partition_col="partitionKeyValue",
+            precombine_col=None, mode=mode,
+        )
+        t.upsert(rows(spark, [("PK1", "P0", "v")]))
+        t.merge(rows(spark, [("PK1", "P0", None)]), update_cols=["dataValue"])
+        assert snap_dict(t) == {"PK1": ("P0", None)}, mode
+        t.upsert(rows(spark, [("PK2", "P0", None)]))
+        t.merge(rows(spark, [("PK2", "P0", "donttake")]), update_cols=[])
+        assert snap_dict(t)["PK2"] == ("P0", None), mode
+
+
 def test_cow_upsert_moves_row_across_partitions(spark, table):
     """An upsert whose incoming partition differs from the matched row's
     current partition must MOVE the row — rewriting the old partition too

@@ -109,3 +109,39 @@ def test_merge_and_delete_after_evolution(spark, table):
         for r in table.snapshot().collect()
     }
     assert got == {"PK1": ("v1b", 5)}
+
+
+@pytest.fixture(params=["cow", "mor"])
+def nopc_table(spark, tmp_path, request):
+    # no precombine: dataValue must be droppable for the re-add guard test
+    path = str(tmp_path / f"nopc_{request.param}")
+    return AcidTable.create(
+        spark, path, SCHEMA, pk="primaryKeyValue",
+        partition_col="partitionKeyValue", precombine_col=None,
+        mode=request.param,
+    )
+
+
+def test_readd_of_dropped_column_guarded_until_rewrite(spark, nopc_table):
+    """Re-adding a dropped column name is rejected while any live file
+    still physically carries it — with name-based column binding the old
+    values would resurrect instead of the documented NULL backfill. After
+    cluster() rewrites the files, the re-add is legal and null-fills."""
+    table = nopc_table
+    table.upsert(rows(spark, [("PK1", "P0", "keepme"), ("PK2", "P1", "x")]))
+    table.evolve_schema(drop=["dataValue"])
+    with pytest.raises(ValueError, match="re-add"):
+        table.evolve_schema(add={"dataValue": T.StringType()})
+    with pytest.raises(ValueError, match="re-add"):
+        table.add_column(T.StructField("dataValue", T.StringType(), True))
+    # a brand-new name is unaffected by the guard
+    table.evolve_schema(add={"fresh": T.StringType()})
+    # rewriting the live files clears the physical remnants...
+    table.cluster(files_per_partition=1)
+    table.evolve_schema(add={"dataValue": T.StringType()})
+    # ...and the re-added column reads NULL everywhere, never "keepme"
+    got = {
+        r["primaryKeyValue"]: r["dataValue"]
+        for r in table.snapshot().collect()
+    }
+    assert got == {"PK1": None, "PK2": None}
