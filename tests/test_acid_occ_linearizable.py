@@ -1,0 +1,171 @@
+"""Concurrent randomized linearizability check of OCC commits.
+
+Two writer threads (own Spark sessions, like the harness's
+TransactionWriter analog) fire seeded random DML at ONE table with
+``occ=True``, retrying on :class:`CommitConflictError`. Each successful
+commit records ``(granted version, logical op payload)``. Afterwards the
+committed history — every thread's ops merged and sorted by the version
+the table actually granted — is replayed against the plain dict model,
+and the table must agree with the replay at EVERY version (time travel)
+and at the head.
+
+This is strictly stronger than the harness's expectation algebra: it
+asserts the OCC rebase path yields a SERIAL order (the version order),
+not merely that each writer's own reads verify. It would have caught the
+cross-partition duplicate-pk race directly.
+
+Workload shape (why it must serialize):
+- upserts and merges draw from a SHARED key pool — both are
+  footprint-complete (every source key lands in a written file's pk
+  range), so racing writers conflict and retry into a serial order;
+- deletes draw only from the thread's OWN key range — presence against
+  the pinned snapshot is then exact (the other thread never writes those
+  keys), which keeps bare-key deletes inside the serializable fragment
+  (the snapshot-isolation caveat in ``_commit``'s docstring is exactly
+  about deletes of keys a CONCURRENT writer inserts).
+"""
+
+from __future__ import annotations
+
+import random
+import threading
+
+import pytest
+from pyspark.sql import types as T
+
+from hudi_acid_verification_spark.acid import AcidTable
+from hudi_acid_verification_spark.acid.table import CommitConflictError
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("primaryKeyValue", T.StringType(), False),
+        T.StructField("partitionKeyValue", T.StringType(), False),
+        T.StructField("dataValue", T.StringType(), True),
+    ]
+)
+PARTS = ["P0", "P1", "P2"]
+N_OPS = 5  # per thread
+MAX_RETRY = 30
+
+
+def _apply(model: dict, op: tuple) -> None:
+    kind, payload = op
+    if kind == "upsert":
+        model.update(payload)
+    elif kind == "merge":  # update_cols=["dataValue"]
+        for k, (part, val) in payload.items():
+            if k in model:
+                model[k] = (model[k][0], val)
+            else:
+                model[k] = (part, val)
+    elif kind == "delete":
+        for k in payload:
+            model.pop(k, None)
+
+
+def _writer(table, rng, shared_keys, own_keys, history, errors):
+    def batch(keys):
+        return table.spark.createDataFrame(
+            [
+                (k, rng.choice(PARTS), f"{threading.current_thread().name}-{i}-{k}")
+                for i, k in enumerate(keys)
+            ],
+            SCHEMA,
+        )
+
+    try:
+        for _ in range(N_OPS):
+            kind = rng.choices(
+                ["upsert", "merge", "delete"], weights=[45, 35, 20]
+            )[0]
+            if kind == "delete":
+                keys = rng.sample(own_keys, rng.randint(1, 2))
+                payload = list(keys)
+                commit = lambda: table.delete(payload)
+            else:
+                pool = shared_keys + own_keys
+                keys = list(dict.fromkeys(rng.sample(pool, rng.randint(1, 3))))
+                b = batch(keys)
+                rows = {r[0]: (r[1], r[2]) for r in b.collect()}
+                payload = rows
+                if kind == "upsert":
+                    commit = lambda: table.upsert(b)
+                else:
+                    commit = lambda: table.merge(b, update_cols=["dataValue"])
+            for attempt in range(MAX_RETRY):
+                try:
+                    v = commit()
+                    break
+                except CommitConflictError:
+                    continue
+            else:
+                raise AssertionError(f"{kind} never committed in {MAX_RETRY} tries")
+            history.append((v, (kind, payload)))
+    except BaseException as exc:  # noqa: BLE001 - re-raised by the test
+        errors.append(exc)
+
+
+@pytest.mark.parametrize(
+    ("seed", "mode"),
+    [(1101, "cow"), (1102, "cow"), (2201, "mor"), (2202, "mor")],
+)
+def test_concurrent_occ_history_replays_serially(spark, tmp_path, seed, mode):
+    rng = random.Random(seed)
+    path = str(tmp_path / f"lin_{mode}_{seed}")
+    AcidTable.create(
+        spark, path, SCHEMA, pk="primaryKeyValue",
+        partition_col="partitionKeyValue", precombine_col=None,
+        mode=mode, compact_every=None,
+    )
+    seeder = AcidTable(spark, path, occ=True)
+    shared = [f"SK{i:02d}" for i in range(8)]
+    own = [[f"A{i:02d}" for i in range(6)], [f"B{i:02d}" for i in range(6)]]
+    base = {
+        k: (rng.choice(PARTS), "seed") for k in shared[:4] + own[0][:3] + own[1][:3]
+    }
+    seeder.upsert(
+        spark.createDataFrame([(k, p, v) for k, (p, v) in base.items()], SCHEMA)
+    )
+    v0 = seeder.version()
+
+    history: list[tuple[int, tuple]] = []
+    errors: list[BaseException] = []
+    threads = [
+        threading.Thread(
+            target=_writer,
+            name=f"w{i}",
+            args=(
+                AcidTable(spark.newSession(), path, occ=True),
+                random.Random(seed * 10 + i),
+                shared,
+                own[i],
+                history,
+                errors,
+            ),
+        )
+        for i in range(2)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(540)
+    assert not errors, f"writer failed: {errors[0]!r}"
+    assert len(history) == 2 * N_OPS
+
+    # granted versions are unique and contiguous — one manifest per commit
+    versions = sorted(v for v, _ in history)
+    assert versions == list(range(v0 + 1, v0 + 1 + len(history)))
+
+    # replay the committed history in version order; the table must agree
+    # with the model at every version and at the head
+    model = dict(base)
+    by_version = dict(history)
+    table = AcidTable(spark, path)
+    for v in versions:
+        _apply(model, by_version[v])
+        got = {
+            r["primaryKeyValue"]: (r["partitionKeyValue"], r["dataValue"])
+            for r in table.snapshot(version=v).collect()
+        }
+        assert got == model, f"v{v} diverged from serial replay (seed {seed})"
+    table.audit_unique()
