@@ -199,6 +199,90 @@ def test_mor_partial_merge_over_raced_insert_resolves_as_update(spark, mor):
     assert _snap(a)["PK9"] == ("P2", "patched")
 
 
+def _data_files(table):
+    """Every data file on disk under the table's data dir (relative)."""
+    import os
+
+    root = table._data_dir
+    out = set()
+    for dirpath, _dirs, files in os.walk(root):
+        for fn in files:
+            out.add(os.path.relpath(os.path.join(dirpath, fn), root))
+    return out
+
+
+def _referenced_files(table):
+    import json
+    import os
+
+    out = set()
+    for name in os.listdir(table._manifest_dir):
+        if name.startswith("v") and name.endswith(".json"):
+            with open(os.path.join(table._manifest_dir, name)) as f:
+                for e in json.load(f).get("files", []):
+                    out.add(e["file"])
+    return out
+
+
+def test_cow_raced_schema_evolution_conflicts_and_cleans_up(spark, cow):
+    """A's pinned snapshot predates B's ADD COLUMN: publishing A's files
+    (written under the OLD schema) onto the evolved manifest would be a
+    mixed layout — the metadata check must conflict, and A's orphaned
+    data files must be cleaned up (no stray unreferenced parquet)."""
+    a, b = cow
+    err = _race(
+        a,
+        lambda: a.upsert(_rows(spark, [("PK5", "P1", "stale-schema")])),
+        lambda: b.evolve_schema(add={"extra": "string"}),
+    )
+    assert isinstance(err, CommitConflictError)
+    assert "metadata" in str(err)
+    assert _data_files(a) <= _referenced_files(a), "conflict left orphans"
+    a.audit_unique()
+
+
+def test_cow_raced_partition_evolution_conflicts(spark, cow):
+    """Same metadata race through PARTITION evolution: A's files are
+    hive-encoded under the old partition column; a raced
+    repartition_table must conflict A outright even though the partition
+    VALUE sets never intersect."""
+    a, b = cow
+    err = _race(
+        a,
+        lambda: a.upsert(_rows(spark, [("PK6", "P1", "old-layout")])),
+        lambda: b.repartition_table("dataValue"),
+    )
+    assert isinstance(err, CommitConflictError)
+    assert "metadata" in str(err)
+    # the retry against the evolved layout lands cleanly
+    a.upsert(_rows(spark, [("PK6", "P1", "old-layout")]))
+    assert _snap(a)["PK6"] == ("P1", "old-layout")
+    a.audit_unique()
+
+
+def test_cow_vacuum_during_replay_surfaces_retry_signal(spark, cow):
+    """B commits twice and vacuums the intermediate manifest away while A
+    is pinned: A's replay walk must surface the documented
+    CommitConflictError (retry), not a raw IO error."""
+    a, b = cow
+
+    def op_b():
+        b.upsert(_rows(spark, [("PKb1", "P2", "b1")]))
+        b.upsert(_rows(spark, [("PKb2", "P2", "b2")]))
+        b.vacuum(retain_versions=1, orphan_grace_seconds=0.0)
+
+    err = _race(
+        a,
+        lambda: a.upsert(_rows(spark, [("PKa1", "P1", "a1")])),
+        op_b,
+    )
+    assert isinstance(err, CommitConflictError)
+    a.upsert(_rows(spark, [("PKa1", "P1", "a1")]))
+    s = _snap(a)
+    assert s["PKa1"] == ("P1", "a1") and s["PKb2"] == ("P2", "b2")
+    a.audit_unique()
+
+
 def test_mor_pair_delete_over_raced_insert_wins_by_seq(spark, mor):
     """(pk, partition)-pair tombstones are blind (no presence pruning), so
     a tombstone granted the later seq must kill the concurrently inserted
