@@ -311,11 +311,21 @@ def test_random_lifecycle_matches_dict_model(
 
 
 @pytest.mark.parametrize(
-    ("seed", "table_type"),
-    [(808, "cow"), (808, "mor"), (909, "mor")],
+    ("seed", "table_type", "extended"),
+    [
+        (808, "cow", False),
+        (808, "mor", False),
+        (909, "mor", False),
+        # extended: shallow-clone switch and vacuum interleaved with the
+        # evolution ops — the clone's v0 manifest references the SOURCE's
+        # files (with their per-file cols records), so the re-add guard,
+        # NULL backfill, and CDC projection must hold across the root switch
+        (1010, "cow", True),
+        (1111, "mor", True),
+    ],
 )
 def test_random_schema_evolution_matches_dict_model(
-    spark, tmp_path, seed, table_type
+    spark, tmp_path, seed, table_type, extended
 ):
     """Randomized schema-evolution lifecycle vs a dict-of-dicts model:
     add/drop/re-add columns interleaved with DML, compaction, clustering,
@@ -326,9 +336,10 @@ def test_random_schema_evolution_matches_dict_model(
     dropped columns vanish from the comparison). Merge uses SQL MERGE
     semantics: a matched SET to NULL nulls the column."""
     rng = random.Random(seed)
+    path = str(tmp_path / f"sev_{table_type}_{seed}")
     table = AcidTable.create(
         spark,
-        str(tmp_path / f"sev_{table_type}_{seed}"),
+        path,
         SCHEMA,
         pk="primaryKeyValue",
         partition_col="partitionKeyValue",
@@ -381,6 +392,10 @@ def test_random_schema_evolution_matches_dict_model(
     ops = ["upsert", "merge", "delete", "update_where", "add_col",
            "drop_col", "readd_col", "compact", "restore", "cluster"]
     weights = [28, 15, 12, 10, 14, 8, 5, 6, 8, 4]
+    if extended:
+        ops += ["clone_switch", "vacuum"]
+        weights += [7, 7]
+    clone_n = 0
     for _ in range(N_OPS):
         op = rng.choices(ops, weights=weights)[0]
         if op == "upsert":
@@ -464,6 +479,26 @@ def test_random_schema_evolution_matches_dict_model(
             fcols, mstate = states[ver]
             fields = list(fcols)
             model = {k: dict(v) for k, v in mstate.items()}
+        elif op == "clone_switch":
+            clone_n += 1
+            table = table.clone_to(f"{path}_clone{clone_n}")
+            # the clone is born at the source's version with no older
+            # manifests — reset the retained-version map to the present
+            states = {
+                table.version(): (
+                    tuple(fields),
+                    {k: dict(v) for k, v in model.items()},
+                )
+            }
+        elif op == "vacuum":
+            info = table.vacuum(
+                retain_versions=rng.randint(2, 4), orphan_grace_seconds=0.0
+            )
+            states = {
+                v: s
+                for v, s in states.items()
+                if v >= info["retained_from_version"]
+            }
         states[table.version()] = (
             tuple(fields),
             {k: dict(v) for k, v in model.items()},
