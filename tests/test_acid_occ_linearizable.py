@@ -106,16 +106,29 @@ def _writer(table, rng, shared_keys, own_keys, history, errors):
 
 
 @pytest.mark.parametrize(
-    ("seed", "mode"),
-    [(1101, "cow"), (1102, "cow"), (2201, "mor"), (2202, "mor")],
+    ("seed", "mode", "compact_every"),
+    [
+        (1101, "cow", None),
+        (1102, "cow", None),
+        (2201, "mor", None),
+        (2202, "mor", None),
+        # inline compaction racing the writers: compaction commits are
+        # content-neutral no-ops in the replay, but they fold deltas and
+        # tombstones while OCC rebases land around them — the resolution
+        # closure must not lose or resurrect a row at ANY version
+        (3301, "mor", 3),
+        (3302, "mor", 2),
+    ],
 )
-def test_concurrent_occ_history_replays_serially(spark, tmp_path, seed, mode):
+def test_concurrent_occ_history_replays_serially(
+    spark, tmp_path, seed, mode, compact_every
+):
     rng = random.Random(seed)
     path = str(tmp_path / f"lin_{mode}_{seed}")
     AcidTable.create(
         spark, path, SCHEMA, pk="primaryKeyValue",
         partition_col="partitionKeyValue", precombine_col=None,
-        mode=mode, compact_every=None,
+        mode=mode, compact_every=compact_every,
     )
     seeder = AcidTable(spark, path, occ=True)
     shared = [f"SK{i:02d}" for i in range(8)]
@@ -152,17 +165,26 @@ def test_concurrent_occ_history_replays_serially(spark, tmp_path, seed, mode):
     assert not errors, f"writer failed: {errors[0]!r}"
     assert len(history) == 2 * N_OPS
 
-    # granted versions are unique and contiguous — one manifest per commit
+    # granted versions are unique; without inline compaction they are also
+    # contiguous (one manifest per DML commit). Compaction commits appear
+    # as version gaps — content-neutral no-ops in the replay.
     versions = sorted(v for v, _ in history)
-    assert versions == list(range(v0 + 1, v0 + 1 + len(history)))
+    assert len(set(versions)) == len(versions)
+    table = AcidTable(spark, path)
+    head = table.version()
+    if compact_every is None:
+        assert versions == list(range(v0 + 1, v0 + 1 + len(history)))
+    else:
+        assert versions[-1] <= head
 
     # replay the committed history in version order; the table must agree
-    # with the model at every version and at the head
+    # with the model at every version — including the compaction-commit
+    # gaps, where the folded layout must read identically
     model = dict(base)
     by_version = dict(history)
-    table = AcidTable(spark, path)
-    for v in versions:
-        _apply(model, by_version[v])
+    for v in range(v0 + 1, head + 1):
+        if v in by_version:
+            _apply(model, by_version[v])
         got = {
             r["primaryKeyValue"]: (r["partitionKeyValue"], r["dataValue"])
             for r in table.snapshot(version=v).collect()
