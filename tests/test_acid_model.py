@@ -513,6 +513,40 @@ def test_random_schema_evolution_matches_dict_model(
         }
         assert got == model, f"divergence after {op} (seed {seed})"
         table.audit_unique()
+        # pruned read paths under the EVOLVED schema: lookup must null-fill
+        # columns absent from pre-evolution files, and scan_range's stats
+        # skipping must stay conservative for files with no stats for a
+        # late-added column (NULL never matches a range, mirroring SQL)
+        probe = [f"PK{rng.randint(0, 30)}" for _ in range(2)]
+        if model:
+            probe.append(rng.choice(sorted(model)))
+        got = {
+            r["primaryKeyValue"]: {c: r[c] for c in fields}
+            for r in table.lookup(probe).collect()
+        }
+        assert got == {
+            k: dict(model[k]) for k in set(probe) if k in model
+        }, f"lookup diverged after {op} (seed {seed})"
+        col = rng.choice(["primaryKeyValue"] + fields)
+        key = (lambda k, v: k) if col == "primaryKeyValue" else (
+            lambda k, v: v[col]
+        )
+        vals = sorted(
+            key(k, v) for k, v in model.items() if key(k, v) is not None
+        )
+        if vals:
+            lo = rng.choice(vals)
+            hi = rng.choice([v for v in vals if v >= lo])
+            got = {
+                r["primaryKeyValue"]: {c: r[c] for c in fields}
+                for r in table.scan_range(col, lo=lo, hi=hi).collect()
+            }
+            want = {
+                k: dict(v)
+                for k, v in model.items()
+                if key(k, v) is not None and lo <= key(k, v) <= hi
+            }
+            assert got == want, f"scan_range({col}) after {op} (seed {seed})"
 
     # time travel reproduces each retained version's schema AND content
     for ver in rng.sample(sorted(states), min(4, len(states))):
