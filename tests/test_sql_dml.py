@@ -57,6 +57,45 @@ def test_merge_statement_text_updates_and_inserts(spark, tmp_path):
     }
 
 
+def test_merge_statement_text_set_null(spark, tmp_path):
+    """SQL MERGE semantics: a matched UPDATE SET to a NULL source value
+    must NULL the column (not keep the target's old value), and a matched
+    row's NULL in a NON-updated column must stay NULL — the coalesce()
+    regression pinned by the model test, exercised through the SQL text
+    front door on both table types."""
+    for mode in ("cow", "mor"):
+        t = AcidTable.create(
+            spark,
+            str(tmp_path / f"sql_null_{mode}"),
+            RECORD_SCHEMA,
+            pk="primaryKeyValue",
+            partition_col="partitionKeyValue",
+            mode=mode,
+            compact_every=None,
+        )
+        t.upsert(
+            spark.createDataFrame(
+                [("k1", "p0", "old1"), ("k2", "p1", None)], RECORD_SCHEMA
+            )
+        )
+        spark.createDataFrame(
+            [("k1", "p0", None), ("k2", "p1", "set2")], RECORD_SCHEMA
+        ).createOrReplaceTempView("null_updates_view")
+        execute_dml(
+            t,
+            "MERGE INTO acid USING (SELECT * FROM null_updates_view) s "
+            "ON acid.primaryKeyValue = s.primaryKeyValue "
+            "WHEN MATCHED THEN UPDATE SET acid.dataValue = s.dataValue "
+            "WHEN NOT MATCHED THEN INSERT "
+            "(primaryKeyValue, partitionKeyValue, dataValue) VALUES "
+            "(s.primaryKeyValue, s.partitionKeyValue, s.dataValue)",
+        )
+        assert _snapshot(t) == {
+            "k1": ("p0", None),    # matched → explicitly nulled
+            "k2": ("p1", "set2"),  # matched → NULL overwritten with value
+        }, f"mode={mode}"
+
+
 def test_delete_statement_text_comma_list(spark, tmp_path):
     t = _fresh_table(
         spark, tmp_path,
