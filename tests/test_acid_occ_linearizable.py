@@ -123,6 +123,21 @@ def _writer(table, rng, shared_keys, own_keys, history, errors):
 def test_concurrent_occ_history_replays_serially(
     spark, tmp_path, seed, mode, compact_every
 ):
+    _run_linearizable(spark, tmp_path, seed, mode, compact_every, n_writers=2)
+
+
+@pytest.mark.parametrize(
+    ("seed", "mode"), [(4401, "cow"), (4402, "mor")]
+)
+def test_three_writer_occ_replay_chains(spark, tmp_path, seed, mode):
+    """Three writers force the COW rebase to walk MULTI-version replay
+    chains (two raced commits between a writer's pin and its publish) and
+    give MOR seq fix-ups longer reorderings — the same serial-replay
+    assertion must hold."""
+    _run_linearizable(spark, tmp_path, seed, mode, None, n_writers=3)
+
+
+def _run_linearizable(spark, tmp_path, seed, mode, compact_every, n_writers):
     rng = random.Random(seed)
     path = str(tmp_path / f"lin_{mode}_{seed}")
     AcidTable.create(
@@ -132,9 +147,12 @@ def test_concurrent_occ_history_replays_serially(
     )
     seeder = AcidTable(spark, path, occ=True)
     shared = [f"SK{i:02d}" for i in range(8)]
-    own = [[f"A{i:02d}" for i in range(6)], [f"B{i:02d}" for i in range(6)]]
+    own = [
+        [f"{chr(65 + w)}{i:02d}" for i in range(6)] for w in range(n_writers)
+    ]
     base = {
-        k: (rng.choice(PARTS), "seed") for k in shared[:4] + own[0][:3] + own[1][:3]
+        k: (rng.choice(PARTS), "seed")
+        for k in shared[:4] + [k for o in own for k in o[:3]]
     }
     seeder.upsert(
         spark.createDataFrame([(k, p, v) for k, (p, v) in base.items()], SCHEMA)
@@ -156,14 +174,14 @@ def test_concurrent_occ_history_replays_serially(
                 errors,
             ),
         )
-        for i in range(2)
+        for i in range(n_writers)
     ]
     for t in threads:
         t.start()
     for t in threads:
         t.join(540)
     assert not errors, f"writer failed: {errors[0]!r}"
-    assert len(history) == 2 * N_OPS
+    assert len(history) == n_writers * N_OPS
 
     # granted versions are unique; without inline compaction they are also
     # contiguous (one manifest per DML commit). Compaction commits appear
