@@ -283,6 +283,48 @@ def test_cow_vacuum_during_replay_surfaces_retry_signal(spark, cow):
     a.audit_unique()
 
 
+def test_cow_vacuum_grace_protects_inflight_occ_files(spark, cow):
+    """A is paused between its lock-free data write and its publish — its
+    parquet is on disk but unreferenced by any manifest. A vacuum with a
+    non-zero orphan grace window (the documented default posture) must NOT
+    delete it, and A must publish cleanly afterwards."""
+    a, b = cow
+
+    def op_b():
+        b.upsert(_rows(spark, [("PKb", "P2", "b")]))
+        info = b.vacuum(retain_versions=10, orphan_grace_seconds=3600.0)
+        assert info["removed_files"] == 0, info
+
+    err = _race(
+        a,
+        lambda: a.upsert(_rows(spark, [("PKa", "P1", "a")])),
+        op_b,
+    )
+    assert err is None, f"grace-window vacuum must not break A, got {err!r}"
+    s = _snap(a)
+    assert s["PKa"] == ("P1", "a") and s["PKb"] == ("P2", "b")
+    a.audit_unique()
+
+
+def test_cow_raced_restore_conflicts_pinned_writer(spark, cow):
+    """B rolls the table back to v1 while A is pinned on a later snapshot:
+    the restore's file delta overlaps A's footprint (partition or pk
+    range), so A must conflict and retry against the restored state."""
+    a, b = cow
+    b.upsert(_rows(spark, [("PK1", "P1", "pre")]))
+    v_before = b.version()
+    err = _race(
+        a,
+        lambda: a.upsert(_rows(spark, [("PK1", "P1", "from_a")])),
+        lambda: b.restore(v_before - 1),
+    )
+    assert isinstance(err, CommitConflictError)
+    assert "PK1" not in _snap(a)  # the restore rolled the insert back
+    a.upsert(_rows(spark, [("PK1", "P1", "from_a")]))
+    assert _snap(a)["PK1"] == ("P1", "from_a")
+    a.audit_unique()
+
+
 def test_mor_pair_delete_over_raced_insert_wins_by_seq(spark, mor):
     """(pk, partition)-pair tombstones are blind (no presence pruning), so
     a tombstone granted the later seq must kill the concurrently inserted
