@@ -1997,22 +1997,22 @@ class AcidTable:
             }
             if not crowded:
                 return m.files
-            if m.mode == "mor" and any(
-                f["partition"] in crowded and f.get("op") in ("partial", "delete")
-                for f in m.files
-            ):
-                # Folding a PARTIAL payload without its base row, or a
-                # TOMBSTONE without the shadowed base it kills, corrupts
-                # the table: the payload/tombstone file lands in the
-                # SOURCE row's partition while the base may live in a
-                # different one (matched merges never move rows;
-                # cross-partition upserts shadow the old base in place).
-                # A base-less payload would resolve as an insert in the
-                # wrong partition; a folded tombstone disappears while
-                # the shadowed base it killed RESURRECTS. Close the fold
-                # set under pk-range overlap so every affected key's rows
-                # fold together. Plain full-row deltas are safe to fold
-                # alone (the new base outranks any shadowed one by seq).
+            if m.mode == "mor":
+                # Close the fold set under pk-range overlap — for EVERY
+                # MOR fold, not only partial/tombstone folds. Folding a
+                # PARTIAL payload without its base row, or a TOMBSTONE
+                # without the shadowed base it kills, corrupts the table
+                # directly. But plain full-row folds are NOT safe alone
+                # either: folded rows are re-emitted at THIS commit's seq,
+                # so a stale SHADOWED copy inside the fold set whose
+                # latest version lives OUTSIDE it (cross-partition move,
+                # then an earlier compaction folded the destination
+                # partition into a quiet single base) would be rewritten
+                # ABOVE the true row and resurrect it — found by the
+                # concurrent linearizability soak (three writers +
+                # inline compaction), but reachable single-threaded too.
+                # The closure pulls the latest copy's partition into the
+                # fold so the key resolves once, to its newest row.
                 crowded = self._pk_closed_partitions(m, crowded)
             keep = [f for f in m.files if f["partition"] not in crowded]
             touch = [f for f in m.files if f["partition"] in crowded]

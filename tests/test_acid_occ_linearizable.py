@@ -63,7 +63,7 @@ def _apply(model: dict, op: tuple) -> None:
             model.pop(k, None)
 
 
-def _writer(table, rng, shared_keys, own_keys, history, errors):
+def _writer(table, rng, shared_keys, own_keys, history, errors, n_ops=N_OPS):
     def batch(keys):
         return table.spark.createDataFrame(
             [
@@ -74,7 +74,7 @@ def _writer(table, rng, shared_keys, own_keys, history, errors):
         )
 
     try:
-        for _ in range(N_OPS):
+        for _ in range(n_ops):
             kind = rng.choices(
                 ["upsert", "merge", "delete"], weights=[45, 35, 20]
             )[0]
@@ -137,7 +137,21 @@ def test_three_writer_occ_replay_chains(spark, tmp_path, seed, mode):
     _run_linearizable(spark, tmp_path, seed, mode, None, n_writers=3)
 
 
-def _run_linearizable(spark, tmp_path, seed, mode, compact_every, n_writers):
+def test_three_writer_soak_with_inline_compaction(spark, tmp_path):
+    """The soak configuration that found the compaction-resurrection bug
+    (a later fold re-emitting a stale shadowed cross-partition copy above
+    the true row): three writers, ten ops each, compaction folding every
+    other commit. Long histories make a partition go quiet between folds,
+    which is exactly the layout the fold closure must handle."""
+    _run_linearizable(
+        spark, tmp_path, 7705, "mor", 2, n_writers=3, n_ops=10
+    )
+
+
+def _run_linearizable(
+    spark, tmp_path, seed, mode, compact_every, n_writers, n_ops=None
+):
+    n_ops = n_ops or N_OPS
     rng = random.Random(seed)
     path = str(tmp_path / f"lin_{mode}_{seed}")
     AcidTable.create(
@@ -172,6 +186,7 @@ def _run_linearizable(spark, tmp_path, seed, mode, compact_every, n_writers):
                 own[i],
                 history,
                 errors,
+                n_ops,
             ),
         )
         for i in range(n_writers)
@@ -181,7 +196,7 @@ def _run_linearizable(spark, tmp_path, seed, mode, compact_every, n_writers):
     for t in threads:
         t.join(540)
     assert not errors, f"writer failed: {errors[0]!r}"
-    assert len(history) == n_writers * N_OPS
+    assert len(history) == n_writers * n_ops
 
     # granted versions are unique; without inline compaction they are also
     # contiguous (one manifest per DML commit). Compaction commits appear

@@ -1451,3 +1451,38 @@ def test_cow_upsert_moves_row_across_partitions(spark, table):
     t.upsert(rows(spark, [("PK1", "P0", "v2")]))
     assert snap_dict(t) == {"PK1": ("P0", "v2"), "PK2": ("P0", "x1")}
     t.audit_unique()
+
+
+def test_mor_compact_does_not_resurrect_shadowed_cross_partition_row(
+    spark, tmp_path
+):
+    """Partial-fold resurrection regression (found by the concurrent
+    linearizability soak, reachable single-threaded): a cross-partition
+    move leaves a stale shadowed base copy behind; once the DESTINATION
+    partition has been compacted into a quiet single base, a LATER
+    compaction folding only the stale copy's partition re-emits it at the
+    new commit's seq — above the true row — unless the fold set is closed
+    under pk overlap for plain full-row folds too."""
+    t = AcidTable.create(
+        spark, str(tmp_path / "resurrect"), SCHEMA,
+        pk="primaryKeyValue", partition_col="partitionKeyValue",
+        precombine_col=None, mode="mor",
+    )
+    t.upsert(rows(spark, [("PK1", "P2", "stale"), ("PK9", "P2", "other")]))
+    t.compact()  # establish a P2 BASE file holding PK1
+    # move PK1 to P1: delta lands in P1, the P2 base copy is shadowed
+    t.upsert(rows(spark, [("PK1", "P1", "moved")]))
+    # fold P1 (the only partition holding a delta) into a quiet base
+    t.compact()
+    assert snap_dict(t)["PK1"] == ("P1", "moved")
+    # an unrelated delta makes P2 crowded while P1 stays quiet
+    t.upsert(rows(spark, [("PK9", "P2", "other2")]))
+    t.compact()  # pre-fix: folded P2 alone, re-emitting stale PK1 on top
+    assert snap_dict(t)["PK1"] == ("P1", "moved"), "stale copy resurrected"
+    assert snap_dict(t)["PK9"] == ("P2", "other2")
+    t.audit_unique()
+    # every retained version still time-travels to its own state
+    assert {
+        r["primaryKeyValue"]: r["dataValue"]
+        for r in t.snapshot(version=3).collect()
+    }["PK1"] == "moved"
