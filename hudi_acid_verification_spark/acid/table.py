@@ -874,6 +874,13 @@ class AcidTable:
         the fresh snapshot — the reference harness's retry loop
         (TransactionWriter.java:104-119 intent, defect D4 fixed).
 
+        Liveness: a full-layout commit (cluster / restore /
+        repartition_table / a wide compaction) rewrites most files, so it
+        conflicts EVERY concurrently pinned OCC writer — a tight loop of
+        them starves DML writers into their retry cap. Schedule layout
+        work sparsely (Hudi's async-clustering posture); the concurrency
+        soak runs its layout thread throttled for the same reason.
+
         Isolation level: snapshot isolation, like Hudi's file-level OCC.
         An op whose effect depends on row PRESENCE in the pinned snapshot
         and that leaves no file footprint for the missed key — a bare-key
