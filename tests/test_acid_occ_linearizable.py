@@ -215,12 +215,41 @@ def _run_linearizable(
     # gaps, where the folded layout must read identically
     model = dict(base)
     by_version = dict(history)
+    states = {v0: dict(model)}
     for v in range(v0 + 1, head + 1):
         if v in by_version:
             _apply(model, by_version[v])
+        states[v] = dict(model)
         got = {
             r["primaryKeyValue"]: (r["partitionKeyValue"], r["dataValue"])
             for r in table.snapshot(version=v).collect()
         }
         assert got == model, f"v{v} diverged from serial replay (seed {seed})"
     table.audit_unique()
+
+    # CDC over the CONCURRENT history: rebased seqs and compaction folds
+    # must leave the changefeed clean — verbatim rewrites cancel, and the
+    # per-key before/after images equal the serial-model diff
+    import itertools
+
+    pairs = list(itertools.combinations(sorted(states), 2))
+    for v1, v2 in rng.sample(pairs, min(4, len(pairs))):
+        s1, s2 = states[v1], states[v2]
+        want = {}
+        for k in set(s1) | set(s2):
+            if k not in s1:
+                want[k] = ("insert", None, s2[k])
+            elif k not in s2:
+                want[k] = ("delete", s1[k], None)
+            elif s1[k] != s2[k]:
+                want[k] = ("update", s1[k], s2[k])
+        got = {}
+        for r in table.changes(v1, v2).collect():
+            img = lambda x: (
+                None if x is None
+                else (x["partitionKeyValue"], x["dataValue"])
+            )
+            got[r["primaryKeyValue"]] = (
+                r["_change_op"], img(r["before"]), img(r["after"])
+            )
+        assert got == want, f"CDC v{v1}->v{v2} diverged (seed {seed})"
