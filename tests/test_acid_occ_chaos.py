@@ -1,0 +1,187 @@
+"""Chaos self-consistency soak: arbitrary concurrent DML, then audit that
+EVERY committed version is internally consistent.
+
+The linearizability test (test_acid_occ_linearizable.py) replays a
+footprint-complete op history against a dict model — which excludes
+predicate DML, whose phantoms make concurrent histories snapshot-isolated
+rather than serializable. This soak drops the model entirely and asserts
+the invariants that must hold for ANY committed history, whatever the
+interleaving:
+
+- pk uniqueness at every version (the reference's core read invariant,
+  ResultSet.java:26-34);
+- changefeed/table agreement: ``changes(v-1, v)`` must equal the actual
+  snapshot diff between the two versions — per key, with matching
+  before/after images;
+- ``read_incremental`` returns exactly the keys whose rows changed or
+  appeared, at their new values; ``deleted_keys`` exactly the removed
+  ones.
+
+Ops include predicate UPDATE/DELETE (value ranges), layout commits, and
+the usual upsert/merge/delete mix, from three OCC writers with
+retry-on-conflict. Any lost update, resurrected row, mis-sequenced delta,
+or CDC file-diff bug shows up as a version whose changefeed disagrees
+with its own snapshots.
+"""
+
+from __future__ import annotations
+
+import random
+import threading
+
+import pytest
+from pyspark.sql import types as T
+
+from hudi_acid_verification_spark.acid import AcidTable
+from hudi_acid_verification_spark.acid.table import CommitConflictError
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("primaryKeyValue", T.StringType(), False),
+        T.StructField("partitionKeyValue", T.StringType(), False),
+        T.StructField("dataValue", T.StringType(), True),
+    ]
+)
+PARTS = ["P0", "P1", "P2"]
+N_OPS = 6
+MAX_RETRY = 60
+
+
+def _chaos_writer(table, rng, wid, errors):
+    def batch(keys):
+        return table.spark.createDataFrame(
+            [(k, rng.choice(PARTS), f"w{wid}-{i}-{k}") for i, k in enumerate(keys)],
+            SCHEMA,
+        )
+
+    def keys(n):
+        return list({f"PK{rng.randint(0, 24)}" for _ in range(n)})
+
+    try:
+        for _ in range(N_OPS):
+            kind = rng.choices(
+                ["upsert", "merge", "delete", "update_where", "delete_where",
+                 "compact", "cluster"],
+                weights=[30, 20, 12, 12, 10, 8, 8],
+            )[0]
+            if kind in ("upsert", "merge"):
+                b = batch(keys(rng.randint(1, 3)))
+                commit = (
+                    (lambda: table.upsert(b)) if kind == "upsert"
+                    else (lambda: table.merge(b, update_cols=["dataValue"]))
+                )
+            elif kind == "delete":
+                ks = keys(rng.randint(1, 2))
+                commit = lambda: table.delete(ks)
+            elif kind == "update_where":
+                lo = f"w{rng.randint(0, 2)}"
+                commit = lambda: table.update_where(
+                    "dataValue", {"dataValue": f"w{wid}-pred"},
+                    lo=lo, hi=lo + "~",
+                )
+            elif kind == "delete_where":
+                lo = f"w{rng.randint(0, 2)}-{rng.randint(0, 5)}"
+                commit = lambda: table.delete_where(
+                    "dataValue", lo=lo, hi=lo + "~"
+                )
+            elif kind == "compact":
+                commit = lambda: table.compact()
+            else:
+                commit = lambda: table.cluster(files_per_partition=2)
+            for _ in range(MAX_RETRY):
+                try:
+                    commit()
+                    break
+                except CommitConflictError:
+                    continue
+            else:
+                raise AssertionError(f"{kind} starved after {MAX_RETRY} tries")
+    except BaseException as exc:  # noqa: BLE001 - re-raised by the test
+        errors.append(exc)
+
+
+@pytest.mark.parametrize(
+    ("seed", "mode", "compact_every"),
+    [(6601, "cow", None), (6602, "mor", 2), (6603, "mor", None)],
+)
+def test_chaos_history_is_self_consistent(spark, tmp_path, seed, mode, compact_every):
+    rng = random.Random(seed)
+    path = str(tmp_path / f"chaos_{mode}_{seed}")
+    AcidTable.create(
+        spark, path, SCHEMA, pk="primaryKeyValue",
+        partition_col="partitionKeyValue", precombine_col=None,
+        mode=mode, compact_every=compact_every,
+    )
+    seeder = AcidTable(spark, path, occ=True)
+    seeder.upsert(
+        spark.createDataFrame(
+            [(f"PK{i}", rng.choice(PARTS), f"seed-{i}") for i in range(0, 24, 3)],
+            SCHEMA,
+        )
+    )
+    v0 = seeder.version()
+    errors: list[BaseException] = []
+    threads = [
+        threading.Thread(
+            target=_chaos_writer,
+            args=(
+                AcidTable(spark.newSession(), path, occ=True),
+                random.Random(seed * 10 + i),
+                i,
+                errors,
+            ),
+        )
+        for i in range(3)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(560)
+    assert not errors, f"writer failed: {errors[0]!r}"
+
+    table = AcidTable(spark, path)
+    head = table.version()
+    assert head > v0
+
+    def snap(v):
+        return {
+            r["primaryKeyValue"]: (r["partitionKeyValue"], r["dataValue"])
+            for r in table.snapshot(version=v).collect()
+        }
+
+    prev = snap(v0)
+    for v in range(v0 + 1, head + 1):
+        cur = snap(v)
+        table.audit_unique(table.snapshot(version=v))
+        want = {}
+        for k in set(prev) | set(cur):
+            if k not in prev:
+                want[k] = ("insert", None, cur[k])
+            elif k not in cur:
+                want[k] = ("delete", prev[k], None)
+            elif prev[k] != cur[k]:
+                want[k] = ("update", prev[k], cur[k])
+        got = {}
+        for r in table.changes(v - 1, v).collect():
+            img = lambda x: (
+                None if x is None
+                else (x["partitionKeyValue"], x["dataValue"])
+            )
+            got[r["primaryKeyValue"]] = (
+                r["_change_op"], img(r["before"]), img(r["after"])
+            )
+        assert got == want, f"changefeed v{v-1}->v{v} != snapshot diff (seed {seed})"
+        inc = {
+            r["primaryKeyValue"]: (r["partitionKeyValue"], r["dataValue"])
+            for r in table.read_incremental(v - 1, v).collect()
+        }
+        assert inc == {
+            k: cur[k] for k in cur if prev.get(k) != cur[k]
+        }, f"read_incremental v{v-1}->v{v} (seed {seed})"
+        dels = {
+            r["primaryKeyValue"] for r in table.deleted_keys(v - 1, v).collect()
+        }
+        assert dels == {k for k in prev if k not in cur}, (
+            f"deleted_keys v{v-1}->v{v} (seed {seed})"
+        )
+        prev = cur
