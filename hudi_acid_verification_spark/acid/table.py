@@ -84,6 +84,12 @@ class _Manifest:
     mode: str = "cow"  # "cow" (rewrite on commit) | "mor" (delta + resolve)
     compact_every: int | None = None  # mor: inline-compact every N commits
     op: str | None = None  # what produced this version (timeline action label)
+    # names ever DROPPED from the schema — an optimization HINT for the
+    # re-add guard, NOT ground truth: adding a name in this list (or any
+    # name when the list is None/unknown, e.g. a legacy manifest) verifies
+    # against the live files' parquet footers. A site that forgets to
+    # thread it degrades to None, which is the conservative slow path.
+    dropped: list[str] | None = None
 
     def to_json(self) -> str:
         return json.dumps(
@@ -97,6 +103,7 @@ class _Manifest:
                 "mode": self.mode,
                 "compact_every": self.compact_every,
                 "op": self.op,
+                "dropped": self.dropped,
                 "created_at": time.time(),
             }
         )
@@ -114,6 +121,7 @@ class _Manifest:
             mode=d.get("mode", "cow"),
             compact_every=d.get("compact_every"),
             op=d.get("op"),
+            dropped=d.get("dropped"),
         )
 
 
@@ -179,7 +187,7 @@ class AcidTable:
         open(t._lock_path, "a").close()
         m = _Manifest(
             0, schema, pk, partition_col, precombine_col, [], mode,
-            compact_every, op="create",
+            compact_every, op="create", dropped=[],
         )
         t._write_manifest_and_swap(m)
         return t
@@ -294,6 +302,37 @@ class AcidTable:
             .filter(F.col("__op") != "delete")
             .select(*m.schema.names)
         )
+
+    def _guard_readd(self, m: _Manifest, name: str) -> None:
+        """Reject adding ``name`` while any LIVE file physically carries it.
+
+        With name-based parquet binding, re-adding a previously dropped
+        column over files that still contain it would resurrect the
+        pre-drop values instead of the documented NULL backfill. Ground
+        truth is the files' parquet FOOTERS (a driver-side metadata read,
+        no data scan) — exact for any table, including legacy manifests.
+        ``m.dropped`` is only the fast path: a name never dropped (and a
+        known history) skips the footer sweep entirely, so the common
+        add-new-column call stays O(1); the sweep runs only for re-adds
+        of dropped names or when the history is unknown (None).
+        """
+        if m.dropped is not None and name not in m.dropped:
+            return
+        import pyarrow.parquet as pq
+
+        for e in m.files:
+            path = os.path.join(e.get("root", self._data_dir), e["file"])
+            try:
+                carried = name in pq.ParquetFile(path).schema_arrow.names
+            except OSError:
+                carried = True  # unreadable footer: assume the worst
+            if carried:
+                raise ValueError(
+                    f"cannot re-add column {name!r}: live data file "
+                    f"{e['file']!r} still carries it from before it was "
+                    f"dropped — rewrite the files first (cluster / "
+                    f"repartition_table) or use a new name"
+                )
 
     @staticmethod
     def _pk_overlap(a: dict, b: dict) -> bool:
@@ -542,14 +581,6 @@ class AcidTable:
                 dest = os.path.join(dest_dir, final)
                 os.rename(os.path.join(root, fn), dest)
                 entry = {"file": os.path.join(seg, final), "partition": part}
-                # record the schema columns this file was written under:
-                # the re-add guard in evolve_schema/add_column uses it to
-                # tell a brand-new name from one a live pre-drop file still
-                # physically carries (name-based binding would resurrect
-                # the old values instead of reading NULL)
-                entry["cols"] = [
-                    c for c in df.columns if not c.startswith("__")
-                ]
                 entry.update(self._pk_stats(dest, m.pk))
                 entries.append(entry)
         import shutil
@@ -911,6 +942,7 @@ class AcidTable:
             return _Manifest(
                 m.version + 1, m.schema, m.pk, m.partition_col,
                 m.precombine_col, mutate(m), m.mode, m.compact_every,
+                dropped=m.dropped,
             )
 
         cur0 = self._read_manifest()
@@ -971,9 +1003,16 @@ class AcidTable:
             else:
                 meta_conflict(cur_n, f"commit v{cur_n.version}")
                 prev = cur0
-                # my footprint for the pk-overlap check: files I added plus
-                # the entries of files I removed (the rows my rewrite read)
-                my_entries = added + [before[fn] for fn in removed]
+                # my footprint for the pk-overlap check: ADDED files only.
+                # A duplicate key needs both sides to WRITE the same pk, so
+                # added-vs-added overlap is the hazard; interactions with
+                # the files I removed (the rows my rewrite read) are
+                # already covered by the partition check — any raced write
+                # to a key I read must touch that key's partition, which is
+                # in my_parts. Including removed files' ranges here would
+                # make every point DML in a wide-range base file conflict
+                # unrelated inserts across the table.
+                my_entries = list(added)
                 for v in range(cur0.version + 1, cur_n.version + 1):
                     try:
                         mv = self._read_manifest(version=v)
@@ -1027,6 +1066,7 @@ class AcidTable:
                 cur_n.version + 1, cur_n.schema, cur_n.pk,
                 cur_n.partition_col, cur_n.precombine_col, files_out,
                 cur_n.mode, cur_n.compact_every, op=op,
+                dropped=cur_n.dropped,
             )
             self._write_manifest_and_swap(nm)
             return nm.version
@@ -1803,10 +1843,16 @@ class AcidTable:
         """
         def make(cur: _Manifest) -> _Manifest:
             target = self._read_manifest(version)
+            # drop-history hint: union of both horizons (names dropped on
+            # either side may linger in the reinstated files); unknown on
+            # either side stays unknown (conservative footer sweep)
+            dropped = None
+            if cur.dropped is not None and target.dropped is not None:
+                dropped = sorted(set(cur.dropped) | set(target.dropped))
             return _Manifest(
                 cur.version + 1, target.schema, target.pk,
                 target.partition_col, target.precombine_col, target.files,
-                target.mode, target.compact_every,
+                target.mode, target.compact_every, dropped=dropped,
             )
 
         return self._commit_with(make, timeout, op="restore")
@@ -1832,8 +1878,9 @@ class AcidTable:
         construction — every pre-existing row reads NULL for them; to
         keep that true under name-based column binding, RE-adding a
         previously dropped name is rejected while any live file still
-        physically carries it (each manifest entry records the columns
-        it was written under) — rewrite the files or pick a new name.
+        physically carries it (verified against the files' parquet
+        footers, with the manifest's drop-history list as the fast path
+        — :meth:`_guard_readd`) — rewrite the files or pick a new name.
 
         Concurrency: the commit runs under the writer lock, and a raced
         OCC writer detects the schema change in its rebase check
@@ -1856,17 +1903,7 @@ class AcidTable:
                     raise ValueError(f"column {c!r} already exists")
                 if c in reserved:
                     raise ValueError(f"column name {c!r} is reserved")
-                if any(c in f.get("cols", ()) for f in m.files):
-                    # a live file written before a DROP of this name still
-                    # physically carries the column; with name-based
-                    # binding, re-adding it would resurrect the pre-drop
-                    # values instead of the documented NULL backfill
-                    raise ValueError(
-                        f"cannot re-add column {c!r}: a live data file "
-                        f"still carries it from before it was dropped — "
-                        f"rewrite the files first (cluster / "
-                        f"repartition_table) or use a new name"
-                    )
+                self._guard_readd(m, c)
             for c in drop:
                 if c not in names:
                     raise ValueError(f"cannot drop unknown column {c!r}")
@@ -1879,9 +1916,17 @@ class AcidTable:
                 if isinstance(dt, str):
                     dt = T._parse_datatype_string(dt)
                 fields.append(T.StructField(c, dt, True))
+            # maintain the drop-history hint: dropped names join it, and a
+            # successfully re-added name (footer sweep passed: no live
+            # file carries it) leaves it. Unknown history stays unknown.
+            new_dropped = m.dropped
+            if new_dropped is not None:
+                new_dropped = [c for c in new_dropped if c not in add]
+                new_dropped += [c for c in drop if c not in new_dropped]
             return _Manifest(
                 m.version + 1, T.StructType(fields), m.pk, m.partition_col,
                 m.precombine_col, m.files, m.mode, m.compact_every,
+                dropped=new_dropped,
             )
 
         return self._commit_with(make, timeout, op="evolve_schema")
@@ -1929,6 +1974,7 @@ class AcidTable:
             _Manifest(
                 m.version, m.schema, m.pk, m.partition_col,
                 m.precombine_col, files, m.mode, m.compact_every, op="clone",
+                dropped=m.dropped,
             )
         )
         return t
@@ -1975,6 +2021,7 @@ class AcidTable:
             return _Manifest(
                 m.version + 1, m.schema, m.pk, new_partition_col,
                 m.precombine_col, files, m.mode, m.compact_every,
+                dropped=[],  # full rewrite: no live file predates the schema
             )
 
         return self._commit_with(make, timeout, op="repartition")
@@ -2247,20 +2294,17 @@ class AcidTable:
         def make(m: _Manifest) -> _Manifest:
             if field.name in m.schema.names:
                 raise ValueError(f"column {field.name!r} already exists")
-            if any(field.name in f.get("cols", ()) for f in m.files):
-                # same re-add hazard as evolve_schema: a live pre-drop
-                # file would resurrect old values under name binding
-                raise ValueError(
-                    f"cannot re-add column {field.name!r}: a live data "
-                    f"file still carries it from before it was dropped — "
-                    f"rewrite the files first (cluster / "
-                    f"repartition_table) or use a new name"
-                )
+            # same re-add hazard as evolve_schema: a live pre-drop file
+            # would resurrect old values under name binding
+            self._guard_readd(m, field.name)
+            new_dropped = m.dropped
+            if new_dropped is not None:
+                new_dropped = [c for c in new_dropped if c != field.name]
             return _Manifest(
                 m.version + 1,
                 T.StructType(list(m.schema.fields) + [field]),
                 m.pk, m.partition_col, m.precombine_col, m.files,
-                m.mode, m.compact_every,
+                m.mode, m.compact_every, dropped=new_dropped,
             )
 
         return self._commit_with(make, timeout, op="add_column")

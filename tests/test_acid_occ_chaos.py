@@ -137,6 +137,7 @@ def test_chaos_history_is_self_consistent(spark, tmp_path, seed, mode, compact_e
         t.start()
     for t in threads:
         t.join(560)
+    assert not any(t.is_alive() for t in threads), "a writer hung past join"
     assert not errors, f"writer failed: {errors[0]!r}"
 
     table = AcidTable(spark, path)

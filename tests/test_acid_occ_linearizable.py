@@ -195,6 +195,7 @@ def _run_linearizable(
         t.start()
     for t in threads:
         t.join(540)
+    assert not any(t.is_alive() for t in threads), "a writer hung past join"
     assert not errors, f"writer failed: {errors[0]!r}"
     assert len(history) == n_writers * n_ops
 
