@@ -8,6 +8,8 @@ registry in ``hudi_acid_verification_spark.operators``.
 from __future__ import annotations
 
 import glob
+import hashlib
+import inspect
 import json
 import os
 from collections.abc import Callable
@@ -35,6 +37,14 @@ SF0001 = "/root/testdata/sf0.001"
 #   5. the 25 queries already certified green in round 1;
 #   6. the acid_* lifecycle demos (rows-only, certified by the harness).
 _CERT_ORDER = [
+    # tier 0 (round 5) — plans REWRITTEN in r3/r4 after their last driver
+    # row (VERDICT r4 directive #2): re-queued for certification under the
+    # new plans, ahead of the rest of the pending backlog. The three LSH
+    # consumers were force-staled in cert_ledger.json (their green rows
+    # predate the r4 banded-LSH rewrite); dedup_prefix_filter_join was
+    # never driver-certified.
+    "dedup_prefix_filter_join", "dedup_embedding_lsh", "dedup_components",
+    "dedup_group_split",
     # tier 1 — round-1 red, fixed
     "q1_pricing_summary", "agg_group", "agg_rollup_cube", "agg_skew_salted",
     "agg_grouping_sets", "join_bucketed_colocated", "q3_shipping_priority",
@@ -74,7 +84,7 @@ _CERT_ORDER = [
     "acid_bloom_lookup", "text_quality_model", "agg_weighted_median",
     "join_bloom_prefilter", "graph_pagerank_bipartite",
     "window_cumulative_users", "similarity_recall_eval",
-    "embedding_quantize_int8", "dedup_split_leakage", "dedup_group_split",
+    "embedding_quantize_int8", "dedup_split_leakage",
     "window_retention_cohorts", "join_asof_tolerance",
     "agg_bitmap_distinct", "agg_bitmap_overlap", "window_activity_streak",
     "search_hybrid_rrf", "sql_text_analytics", "audit_table_fingerprint",
@@ -128,7 +138,7 @@ _CERT_ORDER = [
     "graph_label_propagation", "join_lateral_topn",
     "scalar_try_arith_ansi", "scalar_interval_arithmetic",
     "window_drawdown_max", "event_hazard_table",
-    "warehouse_small_file_compaction", "dedup_prefix_filter_join",
+    "warehouse_small_file_compaction",
     "quality_k_anonymity", "quality_lang_drift_tv", "join_strategy_hints",
     "source_xml_roundtrip", "sql_group_by_all",
     "pipeline_preference_pairs", "warehouse_column_stats",
@@ -146,7 +156,7 @@ _CERT_ORDER = [
     "agg_distinct", "agg_percentiles", "agg_stats_moments",
     "agg_arg_extremes", "similarity_topk", "similarity_ann_lsh",
     "dedup_embedding_cosine", "similarity_ivf", "similarity_ivf_trained",
-    "similarity_kmeans_multi", "dedup_embedding_lsh", "dedup_components",
+    "similarity_kmeans_multi",
     "join_asof_carry", "join_range_band", "q18_large_orders",
     "q14_promo_revenue", "q21_sole_returner", "q22_idle_customers",
     "q13_custdist", "q8_market_share", "q16_supplier_cnt",
@@ -161,11 +171,38 @@ _CERT_ORDER = [
 ]
 
 
+def _source_hash(name: str) -> str | None:
+    """sha256 of the registered operator's function source + oracle SQL.
+
+    This is the staleness key for the certification ledger: a driver row is
+    only trusted while the operator body it certified is unchanged (VERDICT
+    r4 "What's wrong" #2). Covers the registered function's own source and
+    its oracle string — a rewrite of a transitively-called helper must be
+    re-queued via ``scripts/update_cert_ledger.py --force-stale``.
+    """
+    fn = ops.QUERIES.get(name)
+    if fn is None:
+        return None
+    try:
+        src = inspect.getsource(fn)
+    except (OSError, TypeError):
+        return None
+    payload = src + "\n--oracle--\n" + ops.ORACLES.get(name, "")
+    return hashlib.sha256(payload.encode()).hexdigest()
+
+
 def _certified_names() -> set[str]:
     """Names already certified by the external gate, read from the driver's
     own CORRECTNESS_r*.json artifacts: a hash-green row, or a rows-only row
     that ran (``no_oracle`` with a row count). Red/crashed rows stay
-    uncertified so they rotate back into the window."""
+    uncertified so they rotate back into the window.
+
+    A certification is dropped (name re-queued) when ``cert_ledger.json``
+    records a different source hash than the operator's current one — i.e.
+    the plan was rewritten after its green row. Names absent from the
+    ledger are trusted as-is (legacy bootstrap); ``scripts/
+    update_cert_ledger.py`` (run at round start) keeps the ledger current.
+    """
     done: set[str] = set()
     here = os.path.dirname(os.path.abspath(__file__))
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
@@ -182,15 +219,26 @@ def _certified_names() -> set[str]:
                 and row.get("spark_rows") is not None
             ):
                 done.add(name)
-    return done
+    try:
+        with open(os.path.join(here, "cert_ledger.json")) as f:
+            ledger = json.load(f)
+    except (OSError, ValueError):
+        ledger = {}
+    stale = {
+        name
+        for name in done
+        if name in ledger and ledger[name] != _source_hash(name)
+    }
+    return done - stale
 
 
 # How the ~50-entry certification window splits between pending oracled
 # queries and pending rows-only demos: rows-only demos queued strictly
 # behind 100+ pending oracled entries would never reach the driver, so up
-# to _WINDOW_ROWS_ONLY of them ride in every window after the first
-# _WINDOW_ORACLED oracled entries.
-_WINDOW_ORACLED = 35
+# to _WINDOW_ROWS_ONLY of them ride in every window, and pending oracled
+# entries fill the REST of the 50 slots (round 5: only 3 rows-only demos
+# remain pending, so 47 oracled entries fit instead of a fixed 35).
+_WINDOW_TOTAL = 50
 _WINDOW_ROWS_ONLY = 15
 
 
@@ -211,11 +259,13 @@ def _ordered_names() -> list[str]:
     pending_oracled = [n for n in base if n not in done and n in ops.ORACLES]
     pending_rows = [n for n in base if n not in done and n not in ops.ORACLES]
     certified = [n for n in base if n in done]
+    n_rows = min(len(pending_rows), _WINDOW_ROWS_ONLY)
+    n_oracled = _WINDOW_TOTAL - n_rows
     return (
-        pending_oracled[:_WINDOW_ORACLED]
-        + pending_rows[:_WINDOW_ROWS_ONLY]
-        + pending_oracled[_WINDOW_ORACLED:]
-        + pending_rows[_WINDOW_ROWS_ONLY:]
+        pending_oracled[:n_oracled]
+        + pending_rows[:n_rows]
+        + pending_oracled[n_oracled:]
+        + pending_rows[n_rows:]
         + certified
     )
 

@@ -135,16 +135,48 @@ def test_certification_order_invariants():
         assert all(c == 2 for c in classes[first_cert:]), (
             "rotation violated: certified entries must come last"
         )
-    # the ~50-entry driver window must hold the interleave quota: the first
-    # _WINDOW_ORACLED pending oracled entries, then up to _WINDOW_ROWS_ONLY
-    # pending rows-only demos (so demos don't queue behind the backlog)
+    # the ~50-entry driver window must hold the interleave quota: up to
+    # _WINDOW_ROWS_ONLY pending rows-only demos (so demos don't queue behind
+    # the backlog), with pending oracled entries filling the other slots
     pending_oracled = [n for n in emitted if cls(n) == 0]
     pending_rows = [n for n in emitted if cls(n) == 1]
-    window = set(emitted[:50])
-    assert set(pending_oracled[: min(e._WINDOW_ORACLED, len(pending_oracled))]) <= window
-    assert set(pending_rows[: min(e._WINDOW_ROWS_ONLY, len(pending_rows))]) <= window or len(
-        pending_oracled
-    ) < e._WINDOW_ORACLED
+    window = set(emitted[:e._WINDOW_TOTAL])
+    n_rows = min(len(pending_rows), e._WINDOW_ROWS_ONLY)
+    n_oracled = e._WINDOW_TOTAL - n_rows
+    assert set(pending_oracled[:n_oracled]) <= window
+    assert set(pending_rows[:n_rows]) <= window
+
+
+def test_certification_staleness_requeues_rewritten_plans():
+    """cert_ledger.json records the source hash each driver row certified;
+    a mismatching hash (plan rewritten after its green row) must drop the
+    name from the certified set so it rotates back into the window
+    (VERDICT r4 directive #2)."""
+    import json
+    import os
+
+    import __spark_entry__ as e
+
+    # _source_hash is stable and covers both function source and oracle SQL
+    h1 = e._source_hash("dedup_exact")
+    assert h1 == e._source_hash("dedup_exact") and len(h1) == 64
+    assert e._source_hash("not_a_query") is None
+
+    here = os.path.dirname(os.path.abspath(e.__file__))
+    with open(os.path.join(here, "cert_ledger.json")) as f:
+        ledger = json.load(f)
+    done = e._certified_names()
+    # every ledger entry whose hash mismatches the current source is pending
+    for name, recorded in ledger.items():
+        if name in ops.QUERIES and recorded != e._source_hash(name):
+            assert name not in done, (
+                f"{name}: ledger hash mismatch (rewritten plan) must re-queue"
+            )
+    # the three force-staled r4 rewrites are pending until a fresh green row
+    for name in ("dedup_embedding_lsh", "dedup_components",
+                 "dedup_group_split"):
+        if ledger.get(name, "").startswith("stale:"):
+            assert name not in done
 
 
 def test_acid_bloom_lookup_prunes_and_stays_exact(spark):
