@@ -45,12 +45,38 @@ _EMB_BAND_BITS = 2   # hyperplane-LSH band width for dedup_embedding_lsh
 # ≤ _LSH_SMALL_N vectors: the 8-plane / 2-bit-band signature the DuckDB
 # oracles encode (recall-tuned for the fixtures' tau=0.35). Above it the
 # 2-bit bands are all-pairs-in-disguise (4 keys/band ⇒ ~68% of ALL pairs
-# become candidates), so the signature widens to 64 planes in 8-bit bands:
-# P(candidate | random pair) = 1-(1-2^-8)^8 ≈ 3% instead of 68%, and falls
-# further as tau-tuned production thresholds raise per-plane agreement.
+# become candidates), so the signature widens to 8-bit bands — and the BAND
+# COUNT is derived from the dedup threshold, not hard-coded (ADVICE r4):
+# a pair AT tau agrees per hyperplane with p = 1 - acos(tau)/π ≈ 0.614, so
+# an 8-bit band matches with p⁸ ≈ 0.020 and r bands give at-threshold
+# recall 1-(1-p⁸)^r. The fixed 8-band wide path recalled only ≈15% of
+# threshold pairs (a silent cliff vs ≈85% on the small-N path);
+# _wide_banding() picks the smallest r clearing _LSH_TARGET_RECALL
+# (r=30 ⇒ ≈46% at tau, ≈92% at cosine 0.65, →1 for true near-dups) while a
+# random pair collides at 1-(1-2⁻⁸)^30 ≈ 11% — candidate buckets stay
+# ~N/256 per band, under the salting cap's control.
 _LSH_SMALL_N = 100_000
-_LSH_LARGE_PLANES = 64
 _LSH_LARGE_BAND_BITS = 8
+_LSH_TARGET_RECALL = 0.45  # at-threshold recall floor for the wide path
+
+
+def _wide_banding(tau: float = _DUP_TAU) -> tuple[int, int, float]:
+    """Derive the wide-path signature from the dedup threshold: returns
+    (n_planes, band_bits, at-threshold recall). Per-plane agreement for a
+    pair at cosine tau is p = 1 - acos(tau)/pi (Goemans–Williamson); with
+    b-bit bands a band matches with probability p^b and r bands recall
+    1-(1-p^b)^r of threshold pairs — pick the smallest r that clears
+    _LSH_TARGET_RECALL. Pairs above tau recall strictly better (p rises
+    with cosine), so tau is the worst case."""
+    import math
+
+    p = 1.0 - math.acos(tau) / math.pi
+    b = _LSH_LARGE_BAND_BITS
+    pb = p**b
+    r = max(1, math.ceil(
+        math.log(1.0 - _LSH_TARGET_RECALL) / math.log(1.0 - pb)
+    ))
+    return r * b, b, 1.0 - (1.0 - pb) ** r
 # Bucket-population cap: a (band, key) bucket above this re-salts into
 # ceil(cnt/cap) sub-groups and every salt PAIR becomes one rescore group, so
 # no applyInPandas task ever materializes more than ~2·cap vectors — the
@@ -665,8 +691,8 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: int64 matmul dots (elements ≤ 3e6, 64 dims → < 2^63), then
     the same double divide by the norm product both engines compute —
     bit-identical to the oracle. Scale levers (live in ``_salted_bands`` /
-    ``_lsh_band_pairs``): the signature auto-widens to 64 planes / 8-bit
-    bands above 100k vectors, hot buckets re-salt into ≤ ~2·cap-row salt
+    ``_lsh_band_pairs``): the signature auto-widens to tau-derived 8-bit
+    banding (_wide_banding) above 100k vectors, hot buckets re-salt into ≤ ~2·cap-row salt
     pair groups, and the in-bucket matmul is row-chunked — no single task
     ever holds an N/4-sized cosine matrix.
     """
@@ -690,7 +716,7 @@ def _salted_bands(
     broadcast of the (tiny) oversized-bucket list.
 
     Signature width scales with corpus size (8 planes/2-bit bands ≤
-    ``_LSH_SMALL_N`` — the oracle regime — else 64 planes/8-bit bands);
+    ``_LSH_SMALL_N`` — the oracle regime — else the tau-derived wide banding);
     parameters are data-derived, never hard-coded in consumers."""
     from .similarity import _DIM, _N_PLANES, _PLANES, _w
 
@@ -701,8 +727,19 @@ def _salted_bands(
         n_planes, band_bits = _N_PLANES, _EMB_BAND_BITS
         planes = _PLANES
     else:
-        n_planes, band_bits = _LSH_LARGE_PLANES, _LSH_LARGE_BAND_BITS
+        import logging
+
+        n_planes, band_bits, recall = _wide_banding()
         planes = [[_w(p, i) for i in range(_DIM)] for p in range(n_planes)]
+        # the recall degradation vs the small-N path must be VISIBLE, not
+        # silent (ADVICE r4): log the derived banding when it engages
+        logging.getLogger(__name__).info(
+            "wide LSH path engaged: n_vec=%d > %d -> %d planes / %d-bit "
+            "bands (%d bands), expected at-threshold (tau=%.2f) recall "
+            "%.1f%%",
+            n_vec, _LSH_SMALL_N, n_planes, band_bits,
+            n_planes // band_bits, _DUP_TAU, 100.0 * recall,
+        )
     bit_cols = []
     for pl in range(n_planes):
         wvec = F.array(*[F.lit(w).cast("bigint") for w in planes[pl]])

@@ -932,6 +932,16 @@ _PF_T_DEN = 10
 # vocabulary / low threshold) and continuing means near-all-pairs work — fail
 # loudly instead, same discipline as dedup_embedding_cosine's vector ceiling.
 _PF_EMIT_MAX = 500_000_000
+# Broadcast gate (ADVICE r4): _PF_EMIT_MAX bounds Σdf² but NOT |prefix| — a
+# huge corpus with a huge vocabulary (mostly df=1 prefix tokens) passes the
+# emission guard yet makes the prefix table exceed Spark's 8 GB broadcast
+# hard limit / driver memory. Above this row count the candidate join falls
+# back to a SHUFFLE join with the hot prefix tokens salted (emission per
+# token ∝ df², so only tokens over _PF_SALT_HOT_DF need spreading; df=1
+# tokens — the overwhelming majority in this regime — shuffle once).
+_PF_BROADCAST_MAX_ROWS = 10_000_000
+_PF_SALT = 32            # salt fan-out for hot prefix tokens
+_PF_SALT_HOT_DF = 1024   # prefix-df above which a token is salted
 
 
 @query(
@@ -1006,11 +1016,15 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs against per-doc sorted token ARRAYS (one collect_list per doc)
     and counts the overlap with array_intersect — O(candidates) rows
     carrying two arrays, never a re-explosion of the full token table
-    against the pair set. A candidate-count ceiling (_PF_CAND_MAX) makes
+    against the pair set. A candidate-count ceiling (_PF_EMIT_MAX) makes
     a degenerate corpus (vocabulary too small for prefixes to select)
-    fail loudly instead of silently running all-pairs. Every predicate is
-    integer arithmetic; the output jaccard is one final double division of
-    exact counts.
+    fail loudly instead of silently running all-pairs, and a broadcast
+    gate (_PF_BROADCAST_MAX_ROWS) swaps the candidate join to a
+    hot-token-salted shuffle join when the prefix table itself is too
+    large to broadcast (big corpus, mostly-df=1 vocabulary — the regime
+    where Σdf² passes but |prefix| would blow the 8 GB broadcast limit).
+    Every predicate is integer arithmetic; the output jaccard is one
+    final double division of exact counts.
 
     Complements `dedup_near_minhash` (probabilistic, O(N*bands)) and
     `dedup_ngram_jaccard` (df-capped approximate universe): this operator
@@ -1066,12 +1080,15 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # emission count and costs one aggregation over the tiny prefix table.
     # A degenerate corpus (vocabulary too small for prefix selection to
     # prune) fails loudly here instead of silently running near-all-pairs.
-    est_emissions = (
-        prefix.groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .agg(F.sum(F.col("c") * F.col("c")).alias("e"))
-        .collect()[0]["e"]
-    ) or 0
+    # The same per-token census feeds the broadcast gate (total prefix
+    # rows) and, on the shuffle fallback, the hot-token salt list.
+    ptok = prefix.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    guard = ptok.agg(
+        F.sum(F.col("c") * F.col("c")).alias("e"),
+        F.sum("c").alias("rows"),
+    ).collect()[0]
+    est_emissions = guard["e"] or 0
+    prefix_rows = guard["rows"] or 0
     if est_emissions > _PF_EMIT_MAX:
         raise ValueError(
             f"dedup_prefix_filter_join: prefix-token join would emit up to "
@@ -1099,7 +1116,7 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(_PF_T_NUM) * (F.col("na") + F.col("nb")) + F.lit(_sum_nd - 1))
         / F.lit(float(_sum_nd))
     ).cast("bigint")
-    cand = (
+    if prefix_rows <= _PF_BROADCAST_MAX_ROWS:
         # ROUND-ROBIN repartition + explicit broadcast: the prefix table is
         # tiny, so AQE would coalesce a shuffle join to ONE partition and
         # the multi-million-row emission would run single-task; and hashing
@@ -1107,9 +1124,49 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         # dominate). Round-robin spreads probe rows evenly and the
         # broadcast join needs no co-partitioning, so each task emits
         # ~|pa|/64 · avg-df rows regardless of token skew.
-        pa.repartition(64)
-        .join(F.broadcast(pb), "tok")
-        .filter(F.col("doc_b") > F.col("doc_a"))
+        joined = pa.repartition(64).join(F.broadcast(pb), "tok")
+    else:
+        # Shuffle fallback (ADVICE r4): the prefix table is too large to
+        # broadcast (Σdf² cleared the guard but |prefix| is huge — a big
+        # corpus with a big, mostly-df=1 vocabulary). Hash-join on tok
+        # with the HOT tokens salted: each side keys on (tok, salt); the
+        # probe side picks one salt per row, the build side replicates
+        # hot-token rows across all _PF_SALT salts so every (a, b) pair
+        # still meets in exactly one bucket. df=1 tokens (the mass in
+        # this regime) carry salt 0 with no replication.
+        hot = ptok.filter(F.col("c") > _PF_SALT_HOT_DF).select(
+            "tok", F.lit(True).alias("is_hot")
+        )
+        pa_s = (
+            pa.join(F.broadcast(hot), "tok", "left")
+            .withColumn(
+                "salt",
+                F.when(
+                    F.col("is_hot"),
+                    F.pmod(F.xxhash64("doc_a"), F.lit(_PF_SALT)).cast("int"),
+                ).otherwise(F.lit(0)),
+            )
+            .drop("is_hot")
+        )
+        pb_s = (
+            pb.join(F.broadcast(hot), "tok", "left")
+            .withColumn(
+                "salt",
+                F.explode(
+                    F.when(
+                        F.col("is_hot"),
+                        F.sequence(
+                            F.lit(0).cast("int"),
+                            F.lit(_PF_SALT - 1).cast("int"),
+                        ),
+                    ).otherwise(F.array(F.lit(0).cast("int")))
+                ),
+            )
+            .drop("is_hot")
+        )
+        joined = pa_s.join(pb_s, ["tok", "salt"]).drop("salt")
+    cand = (
+        joined.filter(F.col("doc_b") > F.col("doc_a"))
         .filter(
             F.lit(_PF_T_DEN) * F.least("na", "nb")
             >= F.lit(_PF_T_NUM) * F.greatest("na", "nb")

@@ -65,6 +65,35 @@ def scale_dir(spark):
     shutil.rmtree(base, ignore_errors=True)
 
 
+def test_wide_banding_is_tau_derived():
+    """The wide-path band count must come from the dedup threshold, not a
+    hard-coded 8 bands (ADVICE r4: the fixed 64-plane/8-band path silently
+    recalled only ~15% of at-threshold pairs vs ~85% on the small-N path).
+    Pin the contract: at-threshold recall clears the floor, r is minimal,
+    and recall is monotone in cosine (tau is the worst case)."""
+    import math
+
+    from hudi_acid_verification_spark.operators.ann import (
+        _DUP_TAU, _LSH_TARGET_RECALL, _wide_banding,
+    )
+
+    n_planes, band_bits, recall = _wide_banding()
+    assert recall >= _LSH_TARGET_RECALL
+    r = n_planes // band_bits
+    assert n_planes == r * band_bits
+    p = 1.0 - math.acos(_DUP_TAU) / math.pi
+    # r is the SMALLEST band count clearing the floor
+    assert 1.0 - (1.0 - p**band_bits) ** (r - 1) < _LSH_TARGET_RECALL
+    # pairs above tau recall strictly better; true near-dups ~certainly
+    p65 = 1.0 - math.acos(0.65) / math.pi
+    assert 1.0 - (1.0 - p65**band_bits) ** r > 0.9
+    p95 = 1.0 - math.acos(0.95) / math.pi
+    assert 1.0 - (1.0 - p95**band_bits) ** r > 0.999
+    # and a random pair still collides rarely enough that per-band buckets
+    # stay ~N/2^band_bits (the salting cap governs the tail)
+    assert 1.0 - (1.0 - 0.5**band_bits) ** r < 0.2
+
+
 def test_wide_lsh_engages_and_completes_at_120k_vectors(spark, scale_dir):
     """Past _LSH_SMALL_N the banding must AUTO-select the 64-plane / 8-bit
     parameterization (band keys widen to 8 bits) and the whole candidate +
@@ -101,12 +130,11 @@ def test_prefix_join_prunes_on_realistic_vocabulary(spark, scale_dir):
     assert n < 1_000
 
 
-def test_prefix_join_equals_bruteforce_with_boundary_ties(spark):
-    """Recall-1.0 witness for the positional filter: a seeded 300-doc
-    corpus over a 60-token vocabulary (dense enough for many near-dup
-    pairs, including pairs at EXACTLY jaccard 0.7 — 10/10-token sets with
-    7 shared is a constructed tie) must reproduce the brute-force pair
-    set exactly, values included."""
+@pytest.fixture(scope="module")
+def pf_corpus(spark):
+    """A seeded 300-doc corpus over a 60-token vocabulary (dense enough for
+    many near-dup pairs, including a constructed pair at EXACTLY jaccard
+    0.7) written as a fixture sf_dir, plus its brute-force truth set."""
     import itertools
     import random
 
@@ -126,9 +154,6 @@ def test_prefix_join_equals_bruteforce_with_boundary_ties(spark):
     docs.append((1000, a))        # |A|=7
     docs.append((1001, b))        # |B|=10, inter=7, union=10 → exactly 0.7
     rows = [(i, " ".join(toks), "en", "syn", 0) for i, toks in docs]
-    import os
-    import shutil
-    import tempfile
 
     base = os.path.join(
         tempfile.gettempdir(), "hudi_acid_verification_spark", "pf_brute"
@@ -139,11 +164,6 @@ def test_prefix_join_equals_bruteforce_with_boundary_ties(spark):
         rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
     ).write.mode("overwrite").parquet(os.path.join(base, "documents.parquet"))
 
-    got = {
-        (r["doc_a"], r["doc_b"]): (r["na"], r["nb"], r["n_inter"])
-        for r in dedup.dedup_prefix_filter_join(spark, base).collect()
-    }
-
     sets = {i: set(t) for i, t in docs}
     want = {}
     for x, y in itertools.combinations(sorted(sets), 2):
@@ -152,5 +172,32 @@ def test_prefix_join_equals_bruteforce_with_boundary_ties(spark):
         if 10 * inter >= 7 * union:
             want[(x, y)] = (len(sets[x]), len(sets[y]), inter)
     assert (1000, 1001) in want, "boundary-tie pair missing from truth set"
-    assert got == want
+    yield base, want
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_prefix_join_equals_bruteforce_with_boundary_ties(spark, pf_corpus):
+    """Recall-1.0 witness for the positional filter: the seeded corpus must
+    reproduce the brute-force pair set exactly, values included."""
+    base, want = pf_corpus
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["na"], r["nb"], r["n_inter"])
+        for r in dedup.dedup_prefix_filter_join(spark, base).collect()
+    }
+    assert got == want
+
+
+def test_prefix_join_shuffle_fallback_equals_broadcast(spark, pf_corpus,
+                                                       monkeypatch):
+    """When the prefix table is too large to broadcast the candidate join
+    must fall back to the hot-token-salted shuffle join (ADVICE r4) and
+    produce the IDENTICAL result. Force the gate to 0 and the hot cutoff
+    low enough that salting genuinely engages on this dense corpus."""
+    base, want = pf_corpus
+    monkeypatch.setattr(dedup, "_PF_BROADCAST_MAX_ROWS", 0)
+    monkeypatch.setattr(dedup, "_PF_SALT_HOT_DF", 5)
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["na"], r["nb"], r["n_inter"])
+        for r in dedup.dedup_prefix_filter_join(spark, base).collect()
+    }
+    assert got == want
