@@ -318,14 +318,19 @@ class AcidTable:
         """
         if m.dropped is not None and name not in m.dropped:
             return
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
         for e in m.files:
             path = os.path.join(e.get("root", self._data_dir), e["file"])
             try:
                 carried = name in pq.ParquetFile(path).schema_arrow.names
-            except OSError:
-                carried = True  # unreadable footer: assume the worst
+            except (OSError, pa.lib.ArrowInvalid):
+                # unreadable footer: assume the worst. pyarrow raises
+                # ArrowInvalid (not OSError) for corrupt/truncated footers —
+                # both must take the same conservative rejection path so the
+                # error contract is one message, not a raw Arrow traceback.
+                carried = True
             if carried:
                 raise ValueError(
                     f"cannot re-add column {name!r}: live data file "
@@ -346,6 +351,70 @@ class AcidTable:
             return True
         return not (ahi < blo or alo > bhi)
 
+    @staticmethod
+    def _pk_components(m: _Manifest) -> tuple[dict, bool, set]:
+        """Partition connectivity under pk-range overlap, memoized per
+        manifest object (the closure is asked for on every MOR scan_range /
+        predicate-DML / CDC / compact — recomputing it per call was the r4
+        driver-side stall flagged in ADVICE).
+
+        Returns ``(comp_of, has_statless, all_parts)``: a partition →
+        component-root map over every file-bearing partition, whether any
+        file lacks pk stats (such a file overlaps EVERYTHING, collapsing
+        the graph to one component), and the set of file-bearing
+        partitions. Built in O(n log n): sort intervals by pk_min and
+        sweep — a maximal run where the next interval's lo ≤ the running
+        max hi is exactly one connected component of the interval-overlap
+        graph — union-finding partitions within each run (files sharing a
+        partition are connected by definition, which the shared UF node
+        encodes)."""
+        cached = getattr(m, "_pk_comp_cache", None)
+        if cached is not None:
+            return cached
+
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        def union(a, b):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[rb] = ra
+
+        statless = False
+        ivals = []
+        all_parts: set = set()
+        for f in m.files:
+            p = f["partition"]
+            all_parts.add(p)
+            parent.setdefault(p, p)
+            lo, hi = f.get("pk_min"), f.get("pk_max")
+            if lo is None or hi is None:
+                statless = True
+            else:
+                ivals.append((lo, hi, p))
+        if not statless:
+            ivals.sort(key=lambda t: (t[0], t[1]))
+            run_hi = None
+            run_part = None
+            for lo, hi, p in ivals:
+                if run_hi is not None and lo <= run_hi:
+                    union(run_part, p)
+                    if hi > run_hi:
+                        run_hi = hi
+                else:
+                    run_hi, run_part = hi, p
+        comp_of = {p: find(p) for p in parent}
+        cache = (comp_of, statless, all_parts)
+        object.__setattr__(m, "_pk_comp_cache", cache)
+        return cache
+
     def _pk_closed_partitions(self, m: _Manifest, parts: set) -> set:
         """Close a partition set under pk-range overlap (to a fixpoint).
 
@@ -361,20 +430,24 @@ class AcidTable:
         ``cluster()``), the closure stays tight; uncorrelated layouts
         degrade toward a full resolve — the honest price of per-key
         completeness without a global key index.
+
+        The fixpoint equals reachability in the partition graph whose
+        edges are "some file here pk-overlaps some file there", so it is
+        answered from the memoized O(n log n) sweep components in
+        ``_pk_components`` — O(|parts| + |partitions|) per call, never the
+        O(rounds × files²) pure-Python loop this replaced (ADVICE r4).
         """
-        overlaps = self._pk_overlap
         parts = set(parts)
-        grew = True
-        while grew:
-            grew = False
-            inside = [f for f in m.files if f["partition"] in parts]
-            for f in m.files:
-                if f["partition"] not in parts and any(
-                    overlaps(f, g) for g in inside
-                ):
-                    parts.add(f["partition"])
-                    grew = True
-        return parts
+        comp_of, statless, all_parts = self._pk_components(m)
+        touched = {p for p in parts if p in comp_of}
+        if not touched:
+            # partitions with no files pull nothing in
+            return parts
+        if statless:
+            # a stats-less file overlaps every file: one giant component
+            return parts | all_parts
+        want = {comp_of[p] for p in touched}
+        return parts | {p for p, c in comp_of.items() if c in want}
 
     def _resolve_with_partials(self, m: _Manifest, df: DataFrame) -> DataFrame:
         """MOR resolution when partial-update payloads are present (Hudi

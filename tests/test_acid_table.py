@@ -1486,3 +1486,75 @@ def test_mor_compact_does_not_resurrect_shadowed_cross_partition_row(
         r["primaryKeyValue"]: r["dataValue"]
         for r in t.snapshot(version=3).collect()
     }["PK1"] == "moved"
+
+
+def test_pk_closure_sweep_equals_bruteforce_fixpoint(spark, tmp_path):
+    """The memoized sort-sweep closure (r5, replaces the O(rounds×files²)
+    fixpoint) must equal the brute-force fixpoint on randomized manifests:
+    int and string pk stats, stats-less files, seed partitions with and
+    without files, multi-chain overlap graphs."""
+    import random
+
+    from hudi_acid_verification_spark.acid.table import AcidTable, _Manifest
+
+    t = AcidTable.create(
+        spark, str(tmp_path / "closure"), SCHEMA,
+        pk="primaryKeyValue", partition_col="partitionKeyValue",
+        precombine_col=None, mode="mor",
+    )
+
+    def brute(m, parts):
+        overlaps = AcidTable._pk_overlap
+        parts = set(parts)
+        grew = True
+        while grew:
+            grew = False
+            inside = [f for f in m.files if f["partition"] in parts]
+            for f in m.files:
+                if f["partition"] not in parts and any(
+                    overlaps(f, g) for g in inside
+                ):
+                    parts.add(f["partition"])
+                    grew = True
+        return parts
+
+    rng = random.Random(20260815)
+    for trial in range(200):
+        n_files = rng.randint(0, 18)
+        n_parts = rng.randint(1, 6)
+        files = []
+        for i in range(n_files):
+            part = f"P{rng.randrange(n_parts)}"
+            if rng.random() < 0.12:
+                files.append({"file": f"f{i}", "partition": part})  # no stats
+            else:
+                if rng.random() < 0.5:
+                    lo = rng.randint(0, 40)
+                    hi = lo + rng.randint(0, 12)
+                else:
+                    lo = f"k{rng.randint(0, 40):02d}"
+                    hi = f"k{min(99, int(lo[1:]) + rng.randint(0, 12)):02d}"
+                files.append(
+                    {"file": f"f{i}", "partition": part,
+                     "pk_min": lo, "pk_max": hi}
+                )
+        # keep pk stats type-consistent per manifest (same-table invariant)
+        kinds = {type(f["pk_min"]) for f in files if "pk_min" in f}
+        if len(kinds) > 1:
+            files = [
+                f for f in files
+                if "pk_min" not in f or isinstance(f["pk_min"], int)
+            ]
+        m = _Manifest(
+            version=trial, schema=SCHEMA, pk="primaryKeyValue",
+            partition_col="partitionKeyValue", precombine_col=None,
+            files=files, mode="mor",
+        )
+        seed_pool = [f"P{j}" for j in range(n_parts)] + ["P_empty"]
+        seed = set(rng.sample(seed_pool, rng.randint(1, len(seed_pool))))
+        got = t._pk_closed_partitions(m, seed)
+        want = brute(m, seed)
+        assert got == want, (trial, files, seed, got, want)
+        # memoized second call answers identically for a different seed
+        seed2 = {rng.choice(seed_pool)}
+        assert t._pk_closed_partitions(m, seed2) == brute(m, seed2)

@@ -145,3 +145,25 @@ def test_readd_of_dropped_column_guarded_until_rewrite(spark, nopc_table):
         for r in table.snapshot().collect()
     }
     assert got == {"PK1": None, "PK2": None}
+
+
+def test_readd_guard_treats_corrupt_footer_conservatively(spark, nopc_table):
+    """A corrupt/truncated parquet footer raises pyarrow ArrowInvalid, not
+    OSError — the guard must still take the documented conservative path
+    (reject the re-add with its own message), never surface a raw Arrow
+    error (ADVICE r4)."""
+    import glob
+    import os
+
+    table = nopc_table
+    table.upsert(rows(spark, [("PK1", "P0", "v")]))
+    table.evolve_schema(drop=["dataValue"])
+    # truncate one live data file so its footer is unreadable
+    victim = sorted(
+        glob.glob(os.path.join(table.path, "data", "**", "*.parquet"),
+                  recursive=True)
+    )[0]
+    with open(victim, "r+b") as f:
+        f.truncate(max(4, os.path.getsize(victim) // 2))
+    with pytest.raises(ValueError, match="re-add"):
+        table.evolve_schema(add={"dataValue": T.StringType()})
