@@ -555,6 +555,12 @@ def agg_pareto_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup collapses to ≤ nation-count rows. Revenue stays in bigint
     cents end-to-end — the decimal-sum trap documented in
     aggregations.py never arises.
+
+    100 TB overflow note (r5 audit): the cross-multiplications 5·(cum −
+    cents) and 4·total are LINEAR in per-nation revenue — int64 holds
+    until a single nation's total exceeds ~1.8·10¹⁸ cents ($1.8·10¹⁶),
+    four orders of magnitude past world GDP in cents; unlike the gini
+    rank-sum (quadratic, widened to decimal) no widening is needed.
     """
     orders = load(spark, sf_dir, "orders").select(
         "o_custkey",
@@ -638,6 +644,11 @@ def event_ab_assignment_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen'd expression — at 100 TB the experiment readout costs exactly
     one scan of the exposure log, which is why hash-assignment won over
     assignment tables in every large experimentation platform.
+
+    100 TB overflow note (r5 audit): sum(converted) ≤ n_users, so
+    sum(converted)·10⁶ stays under int64 until 9.2·10¹² experiment users —
+    three orders of magnitude past the world population; no widening
+    needed (contrast agg_gini_coefficient's quadratic rank-sum).
     """
     arm = F.when(
         F.conv(
@@ -706,9 +717,17 @@ def agg_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar companion of ``agg_pareto_coverage`` (that one answers "how few
     customers cover 80%", this one summarizes the whole Lorenz curve). The
     rank-sum identity G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx) over ascending-
-    sorted values is evaluated entirely in int64 and served ×10⁴ with one
-    integer DIV — no float accumulates anywhere, so the coefficient
-    hash-matches the oracle exactly.
+    sorted values is evaluated in exact integer arithmetic and served ×10⁴
+    with one integer DIV — no float accumulates anywhere, so the
+    coefficient hash-matches the oracle exactly.
+
+    100 TB overflow note (r5 audit, the quality_lang_drift_tv pattern):
+    the rank-sum Σi·xᵢ is quadratic in per-nation cardinality — at 10⁸
+    customers averaging 10⁶ cents it reaches ~5·10²¹, past int64 — so the
+    products and their sums run in DECIMAL(38,0) (exact to 10³⁸; Spark's
+    sums and n·Σx stay far below). DuckDB needs no change: its BIGINT
+    sums auto-promote to HUGEINT (int128). The quotient is ≤ 10⁴ so the
+    final CAST back to BIGINT is always safe.
 
     Scale shape: per-customer collapse (one partial-agg shuffle), a
     broadcast dim join, ONE ranking window per nation (partition-bounded
@@ -738,8 +757,9 @@ def agg_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_customers"),
         F.sum("cents").cast("bigint").alias("total_cents"),
         F.expr(
-            "CAST(((2 * sum(i * cents) - (count(*) + 1) * sum(cents)) * 10000)"
-            " DIV (count(*) * sum(cents)) AS BIGINT)"
+            "CAST(((2 * sum(CAST(i AS DECIMAL(38,0)) * cents)"
+            " - (count(*) + 1) * CAST(sum(cents) AS DECIMAL(38,0))) * 10000)"
+            " DIV (count(*) * CAST(sum(cents) AS DECIMAL(38,0))) AS BIGINT)"
         ).alias("gini_x10000"),
     )
 
