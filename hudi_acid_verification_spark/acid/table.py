@@ -65,7 +65,37 @@ from pyspark.sql import types as T
 
 
 class CommitConflictError(Exception):
-    """Writer could not acquire the table lock within the timeout."""
+    """An OCC publish lost a race (or the writer lock timed out).
+
+    ``layout_op`` names the racing commit's timeline action when the
+    conflict was caused by a LAYOUT commit (compact / cluster /
+    repartition / restore / evolve_schema / vacuum) rather than by
+    another writer's data: layout conflicts are retried internally with
+    bounded escalation to a pessimistic attempt (see ``_commit``), while
+    data conflicts surface to the caller's retry loop unchanged."""
+
+    def __init__(self, msg: str, layout_op: str | None = None):
+        super().__init__(msg)
+        self.layout_op = layout_op
+
+
+# Timeline action labels that rewrite layout/metadata rather than change
+# logical content on behalf of a user DML. A racing commit with one of
+# these ops conflicts with EVERY pinned OCC snapshot (it rewrites most
+# files), so it is the starvation hazard the internal escalation exists
+# for; data-data conflicts (both ops in _DATA_OPS) stay caller-visible.
+_DATA_OPS = frozenset({"upsert", "merge", "delete", "update"})
+# The CONTENT-PRESERVING subset of layout actions: racing one of these
+# rearranges files without changing any logical row, so re-running the
+# writer's mutate against the fresh manifest recomputes the identical
+# operation — safe to retry internally, invisible to the caller. restore
+# (changes content), evolve_schema / repartition (can invalidate the
+# caller's input DataFrame) stay caller-visible conflicts by design.
+_RETRYABLE_LAYOUT_OPS = frozenset({"compact", "cluster", "vacuum"})
+# OCC attempts allowed to lose against layout commits before the writer
+# escalates to one pessimistic attempt (lock held across the data write,
+# which no concurrent commit can interrupt — guaranteed progress).
+_OCC_LAYOUT_RETRIES = 2
 
 
 class InconsistentSnapshotError(Exception):
@@ -978,12 +1008,22 @@ class AcidTable:
         the fresh snapshot — the reference harness's retry loop
         (TransactionWriter.java:104-119 intent, defect D4 fixed).
 
-        Liveness: a full-layout commit (cluster / restore /
-        repartition_table / a wide compaction) rewrites most files, so it
-        conflicts EVERY concurrently pinned OCC writer — a tight loop of
-        them starves DML writers into their retry cap. Schedule layout
-        work sparsely (Hudi's async-clustering posture); the concurrency
-        soak runs its layout thread throttled for the same reason.
+        Liveness: a full-layout commit (cluster / a wide compaction)
+        rewrites most files, so it conflicts with every concurrently
+        pinned OCC writer. Conflicts whose racing commit is a
+        CONTENT-PRESERVING layout action (``CommitConflictError.
+        layout_op`` in ``_RETRYABLE_LAYOUT_OPS``: compact / cluster /
+        vacuum) are therefore retried INTERNALLY against a fresh
+        snapshot, and after ``_OCC_LAYOUT_RETRIES`` losses the writer
+        escalates to one pessimistic attempt (lock held across the data
+        write) — progress is guaranteed within a bounded number of
+        attempts even under a tight layout-commit loop (the r5 fairness
+        soak drives an unthrottled compact/cluster loop against 3 OCC
+        writers with zero caller-visible failures). Data-data conflicts,
+        restore, and schema/partition evolution races surface to the
+        caller unchanged — that retry loop owns their semantics (a
+        metadata race can invalidate the caller's input DataFrame;
+        restore changes the content the caller computed against).
 
         Isolation level: snapshot isolation, like Hudi's file-level OCC.
         An op whose effect depends on row PRESENCE in the pinned snapshot
@@ -1018,10 +1058,57 @@ class AcidTable:
                 dropped=m.dropped,
             )
 
-        cur0 = self._read_manifest()
         if not occ:
             return self._commit_with(make, timeout, op=op)
 
+        # Layout-commit fairness: a compact/cluster commit rewrites most
+        # files, so it conflicts with EVERY pinned OCC snapshot; under a
+        # tight layout loop (routine background compaction at 100 TB) a
+        # plain raise-to-caller policy starves data writers — each retry
+        # re-pins, re-writes, and loses again. Conflicts tagged with a
+        # CONTENT-PRESERVING layout op therefore retry internally against
+        # a fresh snapshot (the recomputed mutate is semantically
+        # identical — no row changed), and after _OCC_LAYOUT_RETRIES
+        # losses the writer escalates to ONE pessimistic attempt — the
+        # writer lock held across the data write, which no concurrent
+        # commit can interrupt — so progress is guaranteed within a
+        # bounded number of attempts. Data-data conflicts, restore, and
+        # schema/partition evolution races still surface immediately:
+        # the caller's retry loop owns those semantics (a metadata race
+        # can invalidate the caller's input DataFrame; restore changes
+        # the content the caller computed against).
+        for _ in range(_OCC_LAYOUT_RETRIES):
+            try:
+                return self._occ_publish(mutate, self._read_manifest(),
+                                         timeout, op)
+            except CommitConflictError as e:
+                if e.layout_op not in _RETRYABLE_LAYOUT_OPS:
+                    raise
+        return self._commit_with(make, timeout, op=op)
+
+    def _racing_layout_op(self, v_from: int, v_to: int) -> str | None:
+        """The first non-data timeline action in commits (v_from, v_to],
+        or None when every racing commit was plain DML. Used to classify
+        conflicts whose raise site doesn't iterate the replay manifests;
+        a missing intermediate manifest reads as 'vacuum' (only vacuum
+        drops them)."""
+        for v in range(v_from + 1, v_to + 1):
+            try:
+                mv = self._read_manifest(version=v)
+            except (FileNotFoundError, OSError):
+                return "vacuum"
+            if mv.op and mv.op not in _DATA_OPS:
+                return mv.op
+        return None
+
+    def _occ_publish(self, mutate, cur0: "_Manifest", timeout: float,
+                     op: str | None) -> int:
+        """One optimistic attempt against the pinned snapshot ``cur0``:
+        run the lock-free data write, then take the lock, replay any
+        intermediate commits (rebase or conflict), and publish. Raises
+        :class:`CommitConflictError` — tagged with ``layout_op`` when
+        the losing race was a layout commit — and cleans up orphans.
+        ``_commit`` owns the retry/escalation policy around this."""
         files1 = mutate(cur0)  # lock-free: snapshot read + data write
         before = {f["file"]: f for f in cur0.files}
         after_names = {f["file"] for f in files1}
@@ -1055,7 +1142,8 @@ class AcidTable:
                 raise CommitConflictError(
                     f"OCC conflict: {where} changed table metadata "
                     f"(partition_col/schema/mode) since snapshot "
-                    f"v{cur0.version}"
+                    f"v{cur0.version}",
+                    layout_op=m.op or "metadata",
                 )
 
         fd = self._acquire_lock(timeout)
@@ -1069,7 +1157,10 @@ class AcidTable:
                     orphan_cleanup()
                     raise CommitConflictError(
                         "OCC conflict: raced MOR mutation removes files "
-                        f"({len(removed)}) and cannot rebase"
+                        f"({len(removed)}) and cannot rebase",
+                        layout_op=self._racing_layout_op(
+                            cur0.version, cur_n.version
+                        ),
                     )
                 added = self._rebase_delta_seq(added, cur_n.version + 1)
                 files_out = list(cur_n.files) + added
@@ -1096,7 +1187,8 @@ class AcidTable:
                         orphan_cleanup()
                         raise CommitConflictError(
                             f"OCC conflict: intermediate manifest v{v} was "
-                            "vacuumed during replay"
+                            "vacuumed during replay",
+                            layout_op="vacuum",
                         )
                     meta_conflict(mv, f"commit v{v}")
                     pf = {f["file"]: f for f in prev.files}
@@ -1109,7 +1201,12 @@ class AcidTable:
                         orphan_cleanup()
                         raise CommitConflictError(
                             f"OCC conflict: commit v{v} touched partitions "
-                            f"{sorted(delta_parts & my_parts)}"
+                            f"{sorted(delta_parts & my_parts)}",
+                            layout_op=(
+                                mv.op
+                                if mv.op and mv.op not in _DATA_OPS
+                                else None
+                            ),
                         )
                     # partition sets disjoint is NOT enough: two writers
                     # inserting the SAME new pk into DIFFERENT partitions
@@ -1129,7 +1226,12 @@ class AcidTable:
                         orphan_cleanup()
                         raise CommitConflictError(
                             f"OCC conflict: commit v{v} wrote pk ranges "
-                            f"overlapping this commit's ({hit[:3]})"
+                            f"overlapping this commit's ({hit[:3]})",
+                            layout_op=(
+                                mv.op
+                                if mv.op and mv.op not in _DATA_OPS
+                                else None
+                            ),
                         )
                     prev = mv
                 files_out = [

@@ -36,6 +36,8 @@ from pyspark.sql import types as T
 from hudi_acid_verification_spark.acid import AcidTable
 from hudi_acid_verification_spark.acid.table import CommitConflictError
 
+pytestmark = pytest.mark.soak  # separable tier (VERDICT r4 #5)
+
 SCHEMA = T.StructType(
     [
         T.StructField("primaryKeyValue", T.StringType(), False),

@@ -260,10 +260,13 @@ def test_cow_raced_partition_evolution_conflicts(spark, cow):
     a.audit_unique()
 
 
-def test_cow_vacuum_during_replay_surfaces_retry_signal(spark, cow):
+def test_cow_vacuum_during_replay_retries_internally(spark, cow):
     """B commits twice and vacuums the intermediate manifest away while A
-    is pinned: A's replay walk must surface the documented
-    CommitConflictError (retry), not a raw IO error."""
+    is pinned: A's replay walk hits the missing manifest, classifies it
+    as a content-preserving layout race (vacuum), retries internally
+    against the fresh snapshot, and COMMITS — the caller never sees a
+    conflict, and never a raw IO error (r5 layout fairness; previously
+    this surfaced a CommitConflictError for the caller to retry)."""
     a, b = cow
 
     def op_b():
@@ -276,8 +279,7 @@ def test_cow_vacuum_during_replay_surfaces_retry_signal(spark, cow):
         lambda: a.upsert(_rows(spark, [("PKa1", "P1", "a1")])),
         op_b,
     )
-    assert isinstance(err, CommitConflictError)
-    a.upsert(_rows(spark, [("PKa1", "P1", "a1")]))
+    assert err is None, f"vacuum race must be retried internally: {err!r}"
     s = _snap(a)
     assert s["PKa1"] == ("P1", "a1") and s["PKb2"] == ("P2", "b2")
     a.audit_unique()
