@@ -2,7 +2,11 @@
 1000 transactions × 3 rows, 2 writers, 2 readers, 100 keys, 4 partitions,
 seed 1234) against AcidTable and print a JSON report.
 
-Usage: python scripts/run_acid_harness.py [total_transactions] [cow|mor]
+Usage: python scripts/run_acid_harness.py [total_transactions] [cow|mor] [--occ]
+
+``--occ`` runs the writers under optimistic concurrency control (lock-free
+data writes, conflict-and-retry publishes) instead of the default flock
+mode — the full-scale twin of tests/test_harness_e2e.py's reduced OCC runs.
 """
 
 from __future__ import annotations
@@ -20,11 +24,16 @@ from hudi_acid_verification_spark.verify import HarnessConfig, TransactionHarnes
 
 
 def main() -> None:
-    total = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
-    mode = sys.argv[2] if len(sys.argv) > 2 else "cow"
+    args = [a for a in sys.argv[1:] if a != "--occ"]
+    occ = "--occ" in sys.argv[1:]
+    total = int(args[0]) if args else 1000
+    mode = args[1] if len(args) > 1 else "cow"
     spark = get_spark("acid-harness")
     cfg = HarnessConfig(
-        table_path=os.path.join(tempfile.gettempdir(), f"acid_harness_tbl_{mode}"),
+        table_path=os.path.join(
+            tempfile.gettempdir(),
+            f"acid_harness_tbl_{mode}{'_occ' if occ else ''}",
+        ),
         number_of_writers=2,
         number_of_readers=2,
         total_transactions=total,
@@ -33,12 +42,13 @@ def main() -> None:
         maximum_number_of_partitions=4,
         seed=1234,
         table_mode=mode,
+        occ=occ,
     )
     report = TransactionHarness(spark, cfg).run()
     print(
         json.dumps(
             {
-                "mode": mode,
+                "mode": mode, "occ": occ,
                 "passed": report.passed,
                 "committed_transactions": report.committed_transactions,
                 "failed_transactions": report.failed_transactions,
