@@ -1259,10 +1259,12 @@ def test_occ_raced_repartition_table_conflicts(spark, tmp_path):
     a.audit_unique()
 
 
-def test_occ_vacuumed_intermediate_manifest_is_conflict(spark, tmp_path):
-    """A concurrent vacuum dropping an intermediate manifest mid-replay
-    must surface as CommitConflictError (the documented retry signal),
-    not FileNotFoundError, and must not leak A's orphan files."""
+def test_occ_vacuumed_intermediate_manifest_retries_internally(spark, tmp_path):
+    """A concurrent vacuum dropping an intermediate manifest mid-replay is
+    a content-preserving layout race: the writer retries internally
+    against the fresh snapshot and COMMITS (r5 layout fairness —
+    previously this surfaced CommitConflictError for the caller to
+    retry). It must never leak a FileNotFoundError or orphan files."""
     a, b = _occ_pair(spark, tmp_path)
 
     def b_commits_then_vacuums():
@@ -1271,14 +1273,14 @@ def test_occ_vacuumed_intermediate_manifest_is_conflict(spark, tmp_path):
         b.vacuum(retain_versions=1, orphan_grace_seconds=3600.0)
 
     _interleave(a, b, b_commits_then_vacuums)
-    with pytest.raises(CommitConflictError, match="vacuum"):
-        a.upsert(rows(spark, [("k1", "p1", "v1a")]))
-    # every manifest-listed file exists; retry succeeds
+    a.upsert(rows(spark, [("k1", "p1", "v1a")]))  # absorbed, no conflict
+    # every manifest-listed file exists; both writers' rows landed
     m = a._read_manifest()
     for f in m.files:
         assert os.path.exists(os.path.join(a._data_dir, f["file"]))
-    a.upsert(rows(spark, [("k1", "p1", "v1a")]))
-    assert snap_dict(a)["k1"] == ("p1", "v1a")
+    s = snap_dict(a)
+    assert s["k1"] == ("p1", "v1a") and s["k2"] == ("p2", "v2c")
+    a.audit_unique()
 
 
 def test_zorder_wide_column_list_no_bit_overflow(spark, tmp_path):

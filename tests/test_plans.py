@@ -1320,6 +1320,7 @@ def test_lsh_chunked_matmul_equals_whole(spark, monkeypatch):
     assert pairs() == whole
 
 
+@pytest.mark.soak  # executes the tau-derived wide signature end-to-end
 def test_lsh_wide_signature_path_is_sound(spark, monkeypatch):
     """Force the >100k-vector parameterization (64 planes / 8-bit bands)
     on the fixture corpus: every emitted pair must still be a TRUE ≥τ

@@ -94,8 +94,9 @@ def test_wide_banding_is_tau_derived():
     assert 1.0 - (1.0 - 0.5**band_bits) ** r < 0.2
 
 
+@pytest.mark.soak  # at-scale execution tier: ~3-5 min of real 120k-vector work
 def test_wide_lsh_engages_and_completes_at_120k_vectors(spark, scale_dir):
-    """Past _LSH_SMALL_N the banding must AUTO-select the 64-plane / 8-bit
+    """Past _LSH_SMALL_N the banding must AUTO-select the tau-derived wide
     parameterization (band keys widen to 8 bits) and the whole candidate +
     rescore pipeline must complete on 120k vectors — the regime where the
     old 2-bit bands were all-pairs-in-disguise."""
@@ -118,6 +119,7 @@ def test_wide_lsh_engages_and_completes_at_120k_vectors(spark, scale_dir):
     assert n_pairs >= 0
 
 
+@pytest.mark.soak  # at-scale execution tier (20k docs / 5k vocab)
 def test_prefix_join_prunes_on_realistic_vocabulary(spark, scale_dir):
     """On a 5k-token vocabulary the prefix emission guard must stay far
     below its ceiling and the operator must complete on 20k docs — the
