@@ -1164,7 +1164,13 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .drop("is_hot")
         )
-        joined = pa_s.join(pb_s, ["tok", "salt"]).drop("salt")
+        # shuffle_hash hint: the gate fires precisely because the build
+        # side is too big to broadcast, so pin the strategy rather than
+        # letting fixture-sized stats pick BroadcastHashJoin; hash beats
+        # sort-merge here (emission-heavy output, no ordering to exploit)
+        joined = pa_s.join(
+            pb_s.hint("shuffle_hash"), ["tok", "salt"]
+        ).drop("salt")
     cand = (
         joined.filter(F.col("doc_b") > F.col("doc_a"))
         .filter(

@@ -1266,6 +1266,29 @@ def test_prefix_filter_join_positional_and_array_verify(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_prefix_filter_join_fallback_is_salted_shuffle(spark, monkeypatch):
+    """When the prefix table exceeds the broadcast gate the candidate join
+    must become a SHUFFLE join keyed on (tok, salt) — no broadcast of the
+    un-broadcastable side — with hot tokens fanned out across salts
+    (ADVICE r4). The positional filter and array verification survive the
+    path swap."""
+    from hudi_acid_verification_spark.operators import dedup
+
+    monkeypatch.setattr(dedup, "_PF_BROADCAST_MAX_ROWS", 0)
+    monkeypatch.setattr(dedup, "_PF_SALT_HOT_DF", 5)
+    plan = plan_of(spark, "dedup_prefix_filter_join")
+    assert "salt" in plan, "hot-token salting missing from the fallback"
+    assert "pos_a" in plan and "pos_b" in plan
+    assert "array_intersect" in plan
+    # the only broadcasts allowed are the tiny hot-token list joins; the
+    # candidate join itself must NOT broadcast a prefix side (that is the
+    # 8 GB-limit failure the gate exists to avoid) — assert a shuffle join
+    # on the salted key is present
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), (
+        "fallback still broadcasts the candidate join"
+    )
+
+
 def test_lsh_resalted_path_equals_unsalted(spark):
     """Forcing a tiny bucket cap must (a) keep every rescore group at or
     under ~2·cap rows (the hot-bucket OOM lever) and (b) produce EXACTLY
