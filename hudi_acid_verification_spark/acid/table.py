@@ -96,6 +96,16 @@ _RETRYABLE_LAYOUT_OPS = frozenset({"compact", "cluster", "vacuum"})
 # escalates to one pessimistic attempt (lock held across the data write,
 # which no concurrent commit can interrupt — guaranteed progress).
 _OCC_LAYOUT_RETRIES = 2
+# Consecutive caller-visible DATA-conflict losses before the NEXT commit
+# attempt on this table handle runs pessimistically. A slow transaction
+# (merge: read+join+write, seconds) racing a fast writer (sub-second
+# upserts) can lose every optimistic race indefinitely — observed as a
+# 1000-txn OCC harness run failing one UPDATE after 100 bounded retries.
+# The streak preserves single-race semantics (the first N losses still
+# surface to the caller, whose retry loop owns recompute semantics); only
+# a caller that KEEPS retrying crosses the threshold and gets the
+# serialized guaranteed-progress attempt. Reset on any successful commit.
+_OCC_DATA_LOSS_ESCALATE = 5
 
 
 class InconsistentSnapshotError(Exception):
@@ -172,6 +182,12 @@ class AcidTable:
         # publish — see _commit. Per-writer, like Hudi's: readers and
         # pessimistic writers interoperate unchanged on the same table.
         self.occ = occ
+        # consecutive caller-visible OCC data-conflict losses on this
+        # handle; at _OCC_DATA_LOSS_ESCALATE the next attempt serializes
+        # (pessimistic) so slow transactions can't livelock behind fast
+        # writers. Handles are per-writer (like a Hudi write client), so
+        # plain instance state suffices.
+        self._occ_loss_streak = 0
         self._manifest_dir = os.path.join(path, "_manifests")
         self._latest_ptr = os.path.join(path, "_latest")
         self._lock_path = os.path.join(path, "_lock")
@@ -1023,7 +1039,13 @@ class AcidTable:
         restore, and schema/partition evolution races surface to the
         caller unchanged — that retry loop owns their semantics (a
         metadata race can invalidate the caller's input DataFrame;
-        restore changes the content the caller computed against).
+        restore changes the content the caller computed against) — BUT a
+        handle that keeps losing data races eventually serializes too:
+        after ``_OCC_DATA_LOSS_ESCALATE`` consecutive caller-visible
+        losses the next attempt runs pessimistically (a slow merge behind
+        a sub-second upsert loop can otherwise lose every optimistic race
+        — observed once in 1000 harness transactions), then the streak
+        resets.
 
         Isolation level: snapshot isolation, like Hudi's file-level OCC.
         An op whose effect depends on row PRESENCE in the pinned snapshot
@@ -1077,14 +1099,27 @@ class AcidTable:
         # the caller's retry loop owns those semantics (a metadata race
         # can invalidate the caller's input DataFrame; restore changes
         # the content the caller computed against).
+        if self._occ_loss_streak >= _OCC_DATA_LOSS_ESCALATE:
+            # this handle has lost _OCC_DATA_LOSS_ESCALATE consecutive
+            # optimistic races (a slow txn behind a fast writer) — take
+            # the lock across the whole attempt: guaranteed progress
+            v = self._commit_with(make, timeout, op=op)
+            self._occ_loss_streak = 0
+            return v
         for _ in range(_OCC_LAYOUT_RETRIES):
             try:
-                return self._occ_publish(mutate, self._read_manifest(),
-                                         timeout, op)
+                v = self._occ_publish(mutate, self._read_manifest(),
+                                      timeout, op)
+                self._occ_loss_streak = 0
+                return v
             except CommitConflictError as e:
                 if e.layout_op not in _RETRYABLE_LAYOUT_OPS:
+                    if e.layout_op is None:
+                        self._occ_loss_streak += 1
                     raise
-        return self._commit_with(make, timeout, op=op)
+        v = self._commit_with(make, timeout, op=op)
+        self._occ_loss_streak = 0
+        return v
 
     def _racing_layout_op(self, v_from: int, v_to: int) -> str | None:
         """The first non-data timeline action in commits (v_from, v_to],

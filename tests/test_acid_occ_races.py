@@ -340,3 +340,38 @@ def test_mor_pair_delete_over_raced_insert_wins_by_seq(spark, mor):
     assert err is None, f"MOR tombstone append must rebase, got {err!r}"
     a.audit_unique()
     assert "PK0" not in _snap(a)
+
+
+def test_occ_data_loss_streak_escalates_to_pessimistic(spark, cow):
+    """Data-conflict fairness (r5): a handle that loses
+    _OCC_DATA_LOSS_ESCALATE consecutive optimistic races serializes its
+    NEXT attempt (pessimistic — raced commits can no longer conflict it),
+    then the streak resets. Single-race semantics are untouched: below
+    the threshold the conflict still surfaces to the caller."""
+    from hudi_acid_verification_spark.acid.table import (
+        _OCC_DATA_LOSS_ESCALATE,
+    )
+
+    a, b = cow
+    # below threshold: a data race still surfaces (contract unchanged)
+    assert a._occ_loss_streak == 0
+    err = _race(
+        a,
+        lambda: a.upsert(_rows(spark, [("PK8", "P1", "from_a")])),
+        lambda: b.upsert(_rows(spark, [("PK8", "P2", "from_b")])),
+    )
+    assert isinstance(err, CommitConflictError) and err.layout_op is None
+    assert a._occ_loss_streak == 1
+
+    # at the threshold: the same race is absorbed by the pessimistic
+    # attempt — A's commit re-reads under the lock AFTER B, so it wins
+    a._occ_loss_streak = _OCC_DATA_LOSS_ESCALATE
+    err = _race(
+        a,
+        lambda: a.upsert(_rows(spark, [("PK9", "P1", "esc_a")])),
+        lambda: b.upsert(_rows(spark, [("PK9", "P2", "esc_b")])),
+    )
+    assert err is None, f"escalated attempt must not conflict: {err!r}"
+    assert a._occ_loss_streak == 0, "streak must reset after success"
+    a.audit_unique()
+    assert _snap(a)["PK9"] == ("P1", "esc_a")
