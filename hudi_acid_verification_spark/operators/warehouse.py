@@ -1010,14 +1010,19 @@ def warehouse_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: ONE pass over the table — the column list unpivots in
     the scan projection via ``stack`` into (column_name, value) pairs,
-    then a single partial-agg groupBy on column_name computes count /
-    nulls / exact NDV / bounds; the alternative (one aggregate pass per
-    column, as the oracle spells it) reads the table K times. NDV per
-    column is exact count(DISTINCT value) WITHIN a group — Spark plans
-    it as a two-phase expand-free distinct-on-(col,value) partial agg,
-    shuffled by column_name only; at 100 TB you'd swap in HLL
-    (approx_count_distinct, sketch_hll_merge's path) per the profiling
-    SLA, same plan shape.
+    then TWO levels of aggregation. Level 1 groups by (column_name,
+    value) computing ONLY a count: a pure-long buffer keeps it a
+    HashAggregate with map-side partial combine — the naive
+    count(DISTINCT)+min(string) single groupBy degrades the whole
+    3.6M-row unpivot into SortAggregates (strings aren't mutable
+    hash-agg buffer types), which profiled as the #3 query in the suite.
+    Level 2 folds the NDV-sized group table (n_rows = Σcnt, nulls from
+    the null-value group, ndv = non-null group count, bounds = min/max
+    over the distinct values themselves — value is the level-1 key, so
+    no re-scan); its sort touches ~NDV rows, not the table. At 100 TB
+    you'd swap level 1 for HLL registers (approx_count_distinct,
+    sketch_hll_merge's path) per the profiling SLA, same two-level
+    shape.
     """
     li = load(spark, sf_dir, "lineitem")
     stack_expr = "stack({n}, {args}) AS (column_name, value)".format(
@@ -1027,12 +1032,15 @@ def warehouse_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     unpiv = li.selectExpr(stack_expr)
-    return unpiv.groupBy("column_name").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-        (F.count(F.lit(1)) - F.count("value")).cast("bigint").alias(
-            "n_nulls"
-        ),
-        F.countDistinct("value").cast("bigint").alias("ndv"),
+    groups = unpiv.groupBy("column_name", "value").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return groups.groupBy("column_name").agg(
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.coalesce(
+            F.sum(F.when(F.col("value").isNull(), F.col("cnt"))), F.lit(0)
+        ).cast("bigint").alias("n_nulls"),
+        F.count("value").cast("bigint").alias("ndv"),
         F.min("value").alias("min_str"),
         F.max("value").alias("max_str"),
     )

@@ -1396,3 +1396,27 @@ def test_pair_edges_is_single_scan_no_join(spark):
     assert plan.count("lineitem.parquet") <= 1 * 2  # one scan, double-printed
     shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
     assert shuffles <= 3 * 2
+
+
+def test_column_stats_level1_is_hash_aggregate(spark):
+    """warehouse_column_stats' level-1 (column_name, value) rollup must
+    stay a pure-count HashAggregate: mixing count(DISTINCT) with
+    min(string) in one groupBy degrades the whole 6x-unpivoted table into
+    SortAggregates (strings are not mutable hash-agg buffer types) — the
+    r5 rewrite took the query from 8.5s to 1.8s at sf0.1. The string
+    min/max may only appear in level 2, whose input is NDV-sized."""
+    plan = plan_of(spark, "warehouse_column_stats")
+    assert "HashAggregate" in plan, "level-1 count rollup lost hash agg"
+    # the plan tree prints root-first, so the aggregate nearest ABOVE the
+    # Generate (unpivot) line is the one that consumes the full unpivoted
+    # table - it must be the hash aggregate, with no Sort in between
+    tree = plan.split("\n\n")[0].splitlines()
+    gen_line = next(i for i, l in enumerate(tree) if "Generate" in l)
+    for line in reversed(tree[:gen_line]):
+        if "HashAggregate" in line:
+            break
+        assert "SortAggregate" not in line and "Sort" not in line, (
+            f"the 6x-unpivoted table is sorted before aggregation: {line}"
+        )
+    else:
+        raise AssertionError("no aggregate found above the unpivot")
