@@ -994,15 +994,18 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deduped, MATERIALIZED (localCheckpoint) LSH dup-pair edge list —
-    computed once and shared by the components closure and the split/leak
-    audit (one emission per matching band → dropDuplicates keeps the
-    per-round join volume at |E|, not |E|·bands)."""
-    return (
+    """Deduped, MATERIALIZED LSH dup-pair edge list — staged once per
+    (context, plan) via ``materialize_once`` and shared by every consumer
+    (components closure, group split, repeat calls): one emission per
+    matching band → dropDuplicates keeps the per-round join volume at
+    |E|, not |E|·bands, and the banded-LSH build itself runs once instead
+    of once per consumer."""
+    from . import materialize_once
+
+    return materialize_once(
         _lsh_band_pairs(spark, sf_dir)
         .select("lo", "hi")
         .dropDuplicates(["lo", "hi"])
-        .localCheckpoint()
     )
 
 

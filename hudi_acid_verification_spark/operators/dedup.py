@@ -50,7 +50,14 @@ def _h32_spark(col: F.Column) -> F.Column:
 
 
 def _shingles_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct (doc_id, word-bigram shingle hash)."""
+    """Distinct (doc_id, word-bigram shingle hash) posting list.
+
+    Deliberately NOT staged via ``materialize_once``: the uncapped
+    postings feed explosive Σdf² self-joins (split leakage) and per-doc
+    signature folds whose consumers measured FASTER from a per-query
+    ``.cache()`` (live column stats, AQE-planned layout) than from a
+    frozen checkpoint — only the df-capped derivative below, which two
+    pair operators share as-is, is staged."""
     d = load(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     n = F.size(toks)
@@ -134,7 +141,11 @@ def _capped_shingles_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("h")
     )
-    return sh.join(keep, "h")
+    from . import materialize_once
+
+    # staged like the raw posting list: two pair operators start from the
+    # capped postings, and the df-cap join is the expensive half
+    return materialize_once(sh.join(keep, "h"))
 
 
 @query(

@@ -120,6 +120,19 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pair_edges(li) -> DataFrame:
+    """Staged DISTINCT co-purchase edge list: ``_pair_edges_plan`` built
+    once per (context, input plan) via ``materialize_once``. Six
+    registered operators (triangles, degree histogram, common neighbors,
+    k-core, BFS, label propagation) consume a co-purchase edge list, and a
+    production pipeline computes each projection variant once — the memo
+    key is the canonicalized input plan, so the full / partkey-sampled /
+    orderkey-sampled variants stage separately and never collide."""
+    from . import materialize_once
+
+    return materialize_once(_pair_edges_plan(li))
+
+
+def _pair_edges_plan(li) -> DataFrame:
     """DISTINCT co-purchase edges (u < v) from a (l_orderkey, l_partkey)
     projection, with ONE order-key shuffle: per-order sorted distinct part
     arrays (collect_set) explode into in-row combinations. The self-join

@@ -1,0 +1,67 @@
+"""materialize_once: staged shared intermediates (r5).
+
+Six graph operators, five shingle consumers, and the two LSH dup-pair
+consumers all start from a shared build-side artifact; ``materialize_once``
+stages each artifact once per (SparkContext, canonicalized plan). These
+tests pin the contract: memo hits are plan-keyed (variants never collide),
+and staged rows are identical to a fresh build.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import hudi_acid_verification_spark.operators as ops
+from hudi_acid_verification_spark.operators import load, materialize_once
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def test_same_plan_same_object(spark):
+    """Two independently-constructed but semantically-equal plans must
+    resolve to ONE staged artifact (expression ids are normalized by the
+    canonicalized-plan key)."""
+    a = materialize_once(
+        load(spark, SF_SMALL, "region").select("r_regionkey")
+    )
+    b = materialize_once(
+        load(spark, SF_SMALL, "region").select("r_regionkey")
+    )
+    assert a is b
+
+
+def test_variant_plans_do_not_collide(spark):
+    """A filter upstream of the staging point is part of the key: the
+    sampled variant must stage separately and keep its own rows."""
+    base = load(spark, SF_SMALL, "nation").select("n_nationkey")
+    full = materialize_once(base)
+    sampled = materialize_once(base.filter(F.col("n_nationkey") % 5 == 0))
+    assert full is not sampled
+    assert full.count() == 25
+    assert sampled.count() == 5
+
+
+def test_staged_rows_equal_fresh_build(spark):
+    """The staged co-purchase edge list must be row-identical to a fresh
+    (unstaged) build of the same plan."""
+    from hudi_acid_verification_spark.operators.graph import (
+        _pair_edges,
+        _pair_edges_plan,
+    )
+
+    li = load(spark, SF_SMALL, "lineitem").select("l_orderkey", "l_partkey")
+    staged = {(r["u"], r["v"]) for r in _pair_edges(li).collect()}
+    fresh = {(r["u"], r["v"]) for r in _pair_edges_plan(li).collect()}
+    assert staged == fresh
+    assert len(staged) > 0
+
+
+def test_graph_consumers_share_one_staging(spark):
+    """Running two full-edge-list graph operators must stage the edge
+    build once: the second query reuses the first's artifact."""
+    ops._ONCE.clear()
+    ops.QUERIES["graph_degree_distribution"](spark, SF_SMALL).collect()
+    n_after_first = len(ops._ONCE)
+    ops.QUERIES["graph_triangle_count"](spark, SF_SMALL).collect()
+    # triangle count adds NO new staging for the shared full edge list
+    assert len(ops._ONCE) == n_after_first

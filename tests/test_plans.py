@@ -1383,10 +1383,10 @@ def test_pair_edges_is_single_scan_no_join(spark):
     from pyspark.sql import functions as F
 
     from hudi_acid_verification_spark.operators import load
-    from hudi_acid_verification_spark.operators.graph import _pair_edges
+    from hudi_acid_verification_spark.operators.graph import _pair_edges_plan
 
     li = load(spark, SF_SMALL, "lineitem").select("l_orderkey", "l_partkey")
-    df = _pair_edges(li)
+    df = _pair_edges_plan(li)  # the BUILD plan, not a staged memo hit
     plan = df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
             "formatted"
