@@ -236,8 +236,9 @@ def _certified_names() -> set[str]:
 # queries and pending rows-only demos: rows-only demos queued strictly
 # behind 100+ pending oracled entries would never reach the driver, so up
 # to _WINDOW_ROWS_ONLY of them ride in every window, and pending oracled
-# entries fill the REST of the 50 slots (round 5: only 3 rows-only demos
-# remain pending, so 47 oracled entries fit instead of a fixed 35).
+# entries fill the REST of the 50 slots (round 5: five rows-only demos are
+# pending — three never driver-run plus the two staled by the lifecycle
+# memoization — so 45 oracled entries fit instead of a fixed 35).
 _WINDOW_TOTAL = 50
 _WINDOW_ROWS_ONLY = 15
 

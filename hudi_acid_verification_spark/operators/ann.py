@@ -866,8 +866,21 @@ def _lsh_band_pairs(
                 )
         return pd.concat(out, ignore_index=True) if out else empty
 
-    return bands.groupBy("band_id", "band_key", "g1", "g2").applyInPandas(
-        rescore, "lo bigint, hi bigint, cosine double"
+    from . import materialize_once
+
+    # Staged shared artifact: three registered operators
+    # (dedup_embedding_lsh, similarity_knn_graph, the _dup_pairs edge
+    # list behind components/group-split) consume this same rescored
+    # per-band pair stream — stage the bucket rescore once per
+    # (context, plan) and fan the consumers out from the blocks.
+    # LIMITATION: constants bound into the rescore CLOSURE (tau, matmul
+    # chunk) are invisible to the plan key — a test overriding them must
+    # clear operators._ONCE to force a rebuild (plan-visible parameters
+    # like bucket_cap and the plane literals key correctly on their own).
+    return materialize_once(
+        bands.groupBy("band_id", "band_key", "g1", "g2").applyInPandas(
+            rescore, "lo bigint, hi bigint, cosine double"
+        )
     )
 
 
@@ -1028,14 +1041,39 @@ def _components_labels(
     diameter, the 100 TB shape), or "auto" (star above
     ``_STAR_EDGE_THRESHOLD`` edges; the pair list is localCheckpointed so
     the count is a metadata read, not a recompute). Both paths are
-    asserted equal on the fixture graph (tests/test_plans.py)."""
+    asserted equal on the fixture graph (tests/test_plans.py).
+
+    The LABEL TABLE is itself a staged shared artifact: both
+    ``dedup_components`` and ``dedup_group_split`` need the same closure
+    over the same pair list, and a production pipeline assigns cluster
+    ids once — so the converged (checkpointed) labels are memoized per
+    (context, pair-list plan, algorithm, corpus), same contract as
+    ``materialize_once`` (the iterative driver loop prevents expressing
+    the closure as a single lazy plan, hence the hand-rolled key)."""
+    import hashlib
+
+    from . import _ONCE
+
+    pairs_plan = (
+        pairs._jdf.queryExecution().analyzed().canonicalized().toString()
+    )
+    memo_key = (
+        spark.sparkContext.applicationId,
+        "components:" + algorithm + ":" + sf_dir + ":"
+        + hashlib.sha256(pairs_plan.encode()).hexdigest(),
+    )
+    hit = _ONCE.get(memo_key)
+    if hit is not None:
+        return hit
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     if algorithm == "auto":
         algorithm = (
             "star" if pairs.count() > _STAR_EDGE_THRESHOLD else "propagation"
         )
     if algorithm == "star":
-        return _components_labels_star(emb.select("vec_id"), pairs)
+        out = _components_labels_star(emb.select("vec_id"), pairs)
+        _ONCE[memo_key] = out
+        return out
 
     # localCheckpoint (not cache): iterative self-referencing plans double
     # in size per round — checkpointing truncates the lineage so round N's
@@ -1096,6 +1134,7 @@ def _components_labels(
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    _ONCE[memo_key] = labels
     return labels
 
 

@@ -119,6 +119,16 @@ _CAPPED_SHINGLES_SQL = (
 
 
 def _capped_shingles_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged df-capped shingle posting list: ``_capped_shingles_plan``
+    built once per (context, corpus) via ``materialize_once`` — two pair
+    operators (n-gram Jaccard, shingle containment) start from the capped
+    postings, and the df-cap join is the expensive half of each."""
+    from . import materialize_once
+
+    return materialize_once(_capped_shingles_plan(spark, sf_dir))
+
+
+def _capped_shingles_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shingle rows with the stop-shingle ceiling applied: the per-hash
     doc-frequency is one partial-agg groupBy on ``h``, and the keep-set
     joins back on ``h`` — the SAME shuffle key the pair join uses, so AQE
@@ -141,11 +151,7 @@ def _capped_shingles_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("h")
     )
-    from . import materialize_once
-
-    # staged like the raw posting list: two pair operators start from the
-    # capped postings, and the df-cap join is the expensive half
-    return materialize_once(sh.join(keep, "h"))
+    return sh.join(keep, "h")
 
 
 @query(

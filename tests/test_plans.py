@@ -731,13 +731,26 @@ def test_gate_ablation_single_pass(spark):
     "name", ["dedup_ngram_jaccard", "dedup_shingle_containment"]
 )
 def test_exact_shingle_dedup_enforces_df_cap(spark, name):
-    """The stop-shingle ceiling must be IN the plan: the shingle stream is
-    filtered by per-hash doc-frequency (shingle_df <= greatest(min, ceil
-    (frac*n_docs))) before the pair self-join — the uncapped join is
-    O(Σ df²) and dies on one boilerplate shingle at corpus scale."""
+    """The stop-shingle ceiling must be IN the staged build plan: the
+    shingle stream is filtered by per-hash doc-frequency (shingle_df <=
+    greatest(min, ceil(frac*n_docs))) before the pair self-join — the
+    uncapped join is O(Σ df²) and dies on one boilerplate shingle at
+    corpus scale. The pair operators consume the capped postings via a
+    ``materialize_once`` checkpoint, so the cap shape is asserted on the
+    build plan and join sanity on the consumer plan."""
+    from hudi_acid_verification_spark.operators.dedup import (
+        _capped_shingles_plan,
+    )
+
+    build = _capped_shingles_plan(spark, SF_SMALL)._jdf.queryExecution(
+    ).explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "shingle_df" in build, "df-cap filter missing from the build"
+    assert "greatest" in build and "CEIL" in build.upper()
     plan = plan_of(spark, name)
-    assert "shingle_df" in plan, "df-cap filter missing from the plan"
-    assert "greatest" in plan and "CEIL" in plan.upper()
     assert "Cartesian" not in plan
 
 
@@ -1340,6 +1353,11 @@ def test_lsh_chunked_matmul_equals_whole(spark, monkeypatch):
 
     whole = pairs()
     monkeypatch.setattr(ann, "_LSH_MATMUL_CHUNK", 7)
+    # the chunk size lives in the rescore CLOSURE, invisible to the
+    # staging key — drop the staged artifact so the second run rebuilds
+    import hudi_acid_verification_spark.operators as ops
+
+    ops._ONCE.clear()
     assert pairs() == whole
 
 
