@@ -1,0 +1,158 @@
+"""Crash-point injection over the commit protocol (r5).
+
+The manifest protocol claims (acid/table.py module docstring): a commit
+writes parquet into the data layout, then manifest v(N+1), then atomically
+renames a temp file over ``_latest`` — so a writer crash at ANY point
+before the pointer swap leaves readers on the old snapshot, the table
+writable, and at worst unreferenced orphan files that ``vacuum`` reclaims.
+These tests simulate the crash at each protocol step by fault-injecting
+``os.rename`` / the manifest writer and assert exactly those guarantees,
+on both table modes. The reference harness only ever observes crashes
+from the OUTSIDE (writer threads dying, README degraded-run narrative);
+this pins the recovery contract the rebuild's storage layer actually
+makes.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import types as T
+
+from hudi_acid_verification_spark.acid import AcidTable
+
+_SCHEMA = T.StructType(
+    [
+        T.StructField("pk", T.LongType(), False),
+        T.StructField("part", T.StringType(), False),
+        T.StructField("val", T.StringType(), True),
+    ]
+)
+
+
+def _rows(spark, keys, tag):
+    return spark.createDataFrame(
+        [(k, f"p{k % 2}", f"{tag}-{k}") for k in keys], _SCHEMA
+    )
+
+
+def _state(table):
+    return {
+        (r["pk"], r["part"], r["val"]) for r in table.snapshot().collect()
+    }
+
+
+@pytest.fixture(params=["cow", "mor"])
+def crash_table(spark, tmp_path, request):
+    t = AcidTable.create(
+        spark, str(tmp_path / "t"), _SCHEMA,
+        pk="pk", partition_col="part", mode=request.param,
+    )
+    t.upsert(_rows(spark, range(4), "base"))
+    return t
+
+
+def _assert_recovers(spark, table, before, monkeypatch):
+    """Post-crash contract: old snapshot intact (crashed handle AND a
+    fresh handle), lock not leaked (a clean commit succeeds promptly),
+    final state correct, vacuum reclaims crashed-writer debris."""
+    monkeypatch.undo()
+    assert _state(table) == before, "crashed commit leaked into a read"
+    fresh = AcidTable(spark, table.path)
+    assert _state(fresh) == before, "on-disk state torn for a new reader"
+    table.upsert(_rows(spark, range(2, 6), "after"), timeout=30.0)
+    expected = {t for t in before if t[0] < 2} | {
+        (k, f"p{k % 2}", f"after-{k}") for k in range(2, 6)
+    }
+    assert _state(table) == expected
+    assert _state(AcidTable(spark, table.path)) == expected
+    rep = table.vacuum(retain_versions=1, orphan_grace_seconds=0.0)
+    assert _state(table) == expected, f"vacuum broke the snapshot ({rep})"
+
+
+def test_crash_mid_data_publish(spark, crash_table, monkeypatch):
+    """Writer dies HALFWAY through renaming data files into the hive
+    layout: some new parquet is already sitting in data/, no manifest
+    references it."""
+    before = _state(crash_table)
+    real_rename = os.rename
+    seen = {"n": 0}
+
+    def failing(src, dst):
+        if dst.startswith(crash_table._data_dir + os.sep):
+            seen["n"] += 1
+            if seen["n"] >= 2:
+                raise RuntimeError("simulated crash mid data publish")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", failing)
+    with pytest.raises(RuntimeError, match="mid data publish"):
+        crash_table.upsert(_rows(spark, range(2, 6), "crash"))
+    assert seen["n"] >= 2, "fault never armed — commit wrote <2 files"
+    _assert_recovers(spark, crash_table, before, monkeypatch)
+
+
+def test_crash_after_data_before_manifest(spark, crash_table, monkeypatch):
+    """Writer dies after the data files are fully published but before
+    manifest v(N+1) exists — the pure-orphan case."""
+    before = _state(crash_table)
+
+    def failing(self, m):
+        raise RuntimeError("simulated crash before manifest write")
+
+    monkeypatch.setattr(AcidTable, "_write_manifest_and_swap", failing)
+    with pytest.raises(RuntimeError, match="before manifest"):
+        crash_table.upsert(_rows(spark, range(2, 6), "crash"))
+    _assert_recovers(spark, crash_table, before, monkeypatch)
+
+
+def test_crash_between_manifest_and_pointer(spark, crash_table, monkeypatch):
+    """Writer dies after manifest v(N+1) is durably renamed into place
+    but before the ``_latest`` pointer swap: readers must keep resolving
+    v(N), and the recovery commit must reclaim the version number (its
+    manifest rename REPLACES the orphan v(N+1).json)."""
+    before = _state(crash_table)
+    real_rename = os.rename
+
+    def failing(src, dst):
+        if dst == crash_table._latest_ptr:
+            raise RuntimeError("simulated crash before pointer swap")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", failing)
+    with pytest.raises(RuntimeError, match="before pointer swap"):
+        crash_table.upsert(_rows(spark, range(2, 6), "crash"))
+    orphans = sorted(os.listdir(crash_table._manifest_dir))
+    with open(crash_table._latest_ptr) as f:
+        pointed = f.read().strip()
+    assert pointed != orphans[-1], "pointer moved despite the crash"
+    _assert_recovers(spark, crash_table, before, monkeypatch)
+
+
+def test_vacuum_reclaims_crashed_writer_debris(spark, crash_table, monkeypatch):
+    """After a mid-publish crash the data dir holds unreferenced parquet;
+    vacuum with zero grace must delete it (cold-table reclamation) while
+    every referenced file survives."""
+    before = _state(crash_table)
+    monkeypatch.setattr(
+        AcidTable,
+        "_write_manifest_and_swap",
+        lambda self, m: (_ for _ in ()).throw(RuntimeError("boom")),
+    )
+    with pytest.raises(RuntimeError, match="boom"):
+        crash_table.upsert(_rows(spark, range(10, 14), "crash"))
+    monkeypatch.undo()
+
+    def data_files():
+        out = []
+        for root, _dirs, files in os.walk(crash_table._data_dir):
+            out += [os.path.join(root, f) for f in files
+                    if f.endswith(".parquet")]
+        return set(out)
+
+    with_debris = data_files()
+    rep = crash_table.vacuum(retain_versions=1, orphan_grace_seconds=0.0)
+    after = data_files()
+    assert after < with_debris, f"vacuum deleted no debris ({rep})"
+    assert _state(crash_table) == before
