@@ -130,6 +130,52 @@ def test_crash_between_manifest_and_pointer(spark, crash_table, monkeypatch):
     _assert_recovers(spark, crash_table, before, monkeypatch)
 
 
+def test_sigkilled_lock_holder_does_not_deadlock(spark, crash_table):
+    """A writer PROCESS killed with SIGKILL while holding the table lock
+    must not brick the table: flock is released by the OS on process
+    death (the reason the lock is an flock, not a lockfile whose
+    existence is the lock), so the next commit proceeds without manual
+    cleanup. The in-process crash tests can't show this — their lock
+    release runs in a ``finally``."""
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    holder = subprocess.Popen(
+        [
+            sys.executable,
+            "-c",
+            (
+                "import fcntl, os, sys, time\n"
+                f"fd = os.open({crash_table._lock_path!r}, os.O_RDWR)\n"
+                "fcntl.flock(fd, fcntl.LOCK_EX)\n"
+                "print('LOCKED', flush=True)\n"
+                "time.sleep(120)\n"
+            ),
+        ],
+        stdout=subprocess.PIPE,
+        text=True,
+    )
+    try:
+        assert holder.stdout.readline().strip() == "LOCKED"
+        # the lock is genuinely held: a short-timeout commit must fail
+        from hudi_acid_verification_spark.acid.table import (
+            CommitConflictError,
+        )
+
+        with pytest.raises(CommitConflictError, match="could not lock"):
+            crash_table.upsert(_rows(spark, [99], "blocked"), timeout=0.3)
+        holder.send_signal(signal.SIGKILL)
+        holder.wait(timeout=10)
+        time.sleep(0.1)
+        crash_table.upsert(_rows(spark, [99], "unblocked"), timeout=15.0)
+        assert (99, "p1", "unblocked-99") in _state(crash_table)
+    finally:
+        if holder.poll() is None:
+            holder.kill()
+
+
 def test_vacuum_reclaims_crashed_writer_debris(spark, crash_table, monkeypatch):
     """After a mid-publish crash the data dir holds unreferenced parquet;
     vacuum with zero grace must delete it (cold-table reclamation) while
