@@ -22,7 +22,13 @@ Commit protocol
 
     <path>/
       _manifests/v{N:012d}.json   immutable: schema, pk, partition col,
-                                  [{file, partition}] live-file list
+                                  and EITHER the full [{file, partition}]
+                                  live-file list (a checkpoint — every
+                                  _CHECKPOINT_EVERY-th version, and any
+                                  version whose delta would be larger)
+                                  OR {delta_from, added, removed} against
+                                  v(N-1) — per-commit manifest I/O is
+                                  O(changed files), not O(all files)
       _latest                     one line: the current manifest file name;
                                   swapped via os.rename (atomic on POSIX)
       _lock                       flock'd for writer mutual exclusion
@@ -41,10 +47,14 @@ column and the manifest records each file's partition value, so upsert /
 merge / delete rewrite **only the partitions containing affected keys**
 (copy-on-write scoped by partition pruning), not the table. Snapshot reads
 use ``basePath`` so Catalyst still gets partition pruning and parquet
-predicate pushdown over the manifest's file list. At cluster scale the
-manifest would move from one JSON to partitioned metadata (an Iceberg-style
-manifest list), but the protocol — immutable files + atomic pointer swap —
-is unchanged.
+predicate pushdown over the manifest's file list. The manifest log is
+delta-encoded with periodic full checkpoints (see ``_CHECKPOINT_EVERY``)
+and vacuum compacts the log tail into a checkpoint at the retention
+cutoff — the Delta-log/Hudi-timeline design point that keeps a 3-row
+commit from serializing a 10⁵-entry file list. At cluster scale the
+remaining step is sharding the checkpoint itself (an Iceberg-style
+manifest list), but the protocol — immutable files + atomic pointer
+swap — is unchanged.
 """
 
 from __future__ import annotations
@@ -150,7 +160,10 @@ class _Manifest:
 
     @staticmethod
     def from_json(text: str) -> "_Manifest":
-        d = json.loads(text)
+        return _Manifest.from_dict(json.loads(text))
+
+    @staticmethod
+    def from_dict(d: dict) -> "_Manifest":
         return _Manifest(
             version=d["version"],
             schema=T.StructType.fromJson(d["schema"]),
@@ -163,6 +176,20 @@ class _Manifest:
             op=d.get("op"),
             dropped=d.get("dropped"),
         )
+
+
+# Manifest LOG encoding: a commit whose version is a multiple of this (or
+# whose file delta would be larger than the full list — layout commits)
+# writes a FULL manifest (a checkpoint); every other commit writes only
+# its file DELTA against version-1 plus the (tiny) table metadata. This is
+# what keeps per-commit manifest I/O O(changed files) instead of O(all
+# files): at 100 TB a table holds ~10⁵ file entries, and a full rewrite
+# per 3-row upsert would make manifest serialization — not the data write
+# — the commit bottleneck (the Delta-log / Hudi-timeline design point).
+# Readers replay at most _CHECKPOINT_EVERY-1 deltas onto one checkpoint;
+# vacuum re-encodes the retention cutoff as a full checkpoint (log-tail
+# compaction) so the chain below it can be dropped.
+_CHECKPOINT_EVERY = 16
 
 
 class AcidTable:
@@ -248,13 +275,46 @@ class AcidTable:
     # ------------------------------------------------------------- snapshots
 
     def _read_manifest(self, version: int | None = None) -> _Manifest:
+        """Resolve one manifest version: load its file; if it is a DELTA
+        (``delta_from`` present), walk the chain down to the nearest full
+        checkpoint and replay the file deltas forward. The chain is at
+        most ``_CHECKPOINT_EVERY - 1`` hops. A concurrent vacuum can
+        re-encode the cutoff as a full checkpoint and drop the chain
+        below it between this reader opening a delta and walking past the
+        cutoff — on that FileNotFoundError the resolution restarts once
+        from the top (the re-encoded checkpoint then terminates the walk;
+        content is identical by construction)."""
+        try:
+            return self._read_manifest_once(version)
+        except FileNotFoundError:
+            return self._read_manifest_once(version)
+
+    def _read_manifest_once(self, version: int | None = None) -> _Manifest:
         if version is None:
             with open(self._latest_ptr) as f:
                 name = f.read().strip()
         else:
             name = f"v{version:012d}.json"
         with open(os.path.join(self._manifest_dir, name)) as f:
-            return _Manifest.from_json(f.read())
+            d = json.loads(f.read())
+        if "delta_from" not in d:
+            return _Manifest.from_dict(d)
+        deltas = [d]
+        while "delta_from" in d:
+            pname = f"v{d['delta_from']:012d}.json"
+            with open(os.path.join(self._manifest_dir, pname)) as f:
+                d = json.loads(f.read())
+            if "delta_from" not in d:
+                break
+            deltas.append(d)
+        files = list(d["files"])  # the checkpoint's full list
+        for dd in reversed(deltas):
+            removed = set(dd["removed"])
+            files = [e for e in files if e["file"] not in removed]
+            files += dd["added"]
+        top = dict(deltas[0])
+        top["files"] = files
+        return _Manifest.from_dict(top)
 
     def version(self) -> int:
         return self._read_manifest().version
@@ -641,11 +701,14 @@ class AcidTable:
 
     # --------------------------------------------------------------- commits
 
-    def _write_manifest_and_swap(self, m: _Manifest) -> None:
+    def _write_manifest_and_swap(
+        self, m: _Manifest, prev: _Manifest | None = None
+    ) -> None:
         mpath = os.path.join(self._manifest_dir, f"v{m.version:012d}.json")
+        payload = self._encode_manifest(m, prev)
         tmp = mpath + f".tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
-            f.write(m.to_json())
+            f.write(payload)
             f.flush()
             os.fsync(f.fileno())
         os.rename(tmp, mpath)
@@ -655,6 +718,43 @@ class AcidTable:
             f.flush()
             os.fsync(f.fileno())
         os.rename(ptr_tmp, self._latest_ptr)  # atomic on POSIX
+
+    def _encode_manifest(self, m: _Manifest, prev: _Manifest | None) -> str:
+        """Serialize a manifest as a DELTA against version-1 when that is
+        smaller, else as a full checkpoint (see ``_CHECKPOINT_EVERY``).
+        Full is forced on checkpoint versions, on the first manifest of a
+        table (clone — no predecessor to delta against), and when the
+        file delta is no smaller than the full list (compaction /
+        clustering rewrite most files, so their "delta" IS the table).
+        File entries are compared by WHOLE-entry equality: an entry
+        re-stated with different stats under the same name lands in both
+        ``removed`` (by name) and ``added`` (new entry), so replay keeps
+        the restatement."""
+        if m.version % _CHECKPOINT_EVERY == 0:
+            return m.to_json()
+        if prev is None or prev.version != m.version - 1:
+            try:
+                prev = self._read_manifest(version=m.version - 1)
+            except (OSError, ValueError, KeyError):
+                return m.to_json()
+        old_keys = {json.dumps(e, sort_keys=True) for e in prev.files}
+        new_keys = {json.dumps(e, sort_keys=True) for e in m.files}
+        added = [
+            e for e in m.files
+            if json.dumps(e, sort_keys=True) not in old_keys
+        ]
+        removed = [
+            e["file"] for e in prev.files
+            if json.dumps(e, sort_keys=True) not in new_keys
+        ]
+        if len(added) + len(removed) >= max(1, len(m.files)):
+            return m.to_json()
+        d = json.loads(m.to_json())
+        del d["files"]
+        d["delta_from"] = m.version - 1
+        d["added"] = added
+        d["removed"] = removed
+        return json.dumps(d)
 
     def _write_data(
         self, df: DataFrame, m: _Manifest, preserve_layout: bool = False
@@ -990,7 +1090,7 @@ class AcidTable:
                 from dataclasses import replace as _dc_replace
 
                 nm = _dc_replace(nm, op=op)
-            self._write_manifest_and_swap(nm)
+            self._write_manifest_and_swap(nm, prev=cur)
             return nm.version
         finally:
             self._release_lock(fd)
@@ -1278,7 +1378,7 @@ class AcidTable:
                 cur_n.mode, cur_n.compact_every, op=op,
                 dropped=cur_n.dropped,
             )
-            self._write_manifest_and_swap(nm)
+            self._write_manifest_and_swap(nm, prev=cur_n)
             return nm.version
         finally:
             self._release_lock(fd)
@@ -1907,8 +2007,9 @@ class AcidTable:
         for name in sorted(os.listdir(self._manifest_dir)):
             if not (name.startswith("v") and name.endswith(".json")):
                 continue
-            with open(os.path.join(self._manifest_dir, name)) as f:
-                m = _Manifest.from_json(f.read())
+            # resolve through the delta chain — a raw parse would see only
+            # a delta's added files
+            m = self._read_manifest(version=int(name[1:-5]))
             parts: dict[str, int] = {}
             for e in m.files:
                 parts[e["partition"]] = parts.get(e["partition"], 0) + 1
@@ -2452,17 +2553,34 @@ class AcidTable:
         try:
             current = self._read_manifest().version
             cutoff = max(0, current - retain_versions + 1)
+            # Log-tail compaction (Delta checkpoint analog): re-encode the
+            # cutoff manifest as a FULL checkpoint so retained deltas above
+            # it resolve without the chain below — which can then be
+            # dropped. Atomic rename with identical resolved content, so a
+            # concurrent reader sees either encoding, never a mix (and
+            # _read_manifest retries once if the chain vanishes under it).
+            if cutoff > 0:
+                mc = self._read_manifest(version=cutoff)
+                cpath = os.path.join(
+                    self._manifest_dir, f"v{cutoff:012d}.json"
+                )
+                ctmp = cpath + f".tmp.{uuid.uuid4().hex}"
+                with open(ctmp, "w") as f:
+                    f.write(mc.to_json())
+                    f.flush()
+                    os.fsync(f.fileno())
+                os.rename(ctmp, cpath)
             live: set[str] = set()
             dropped_manifests = 0
             for name in sorted(os.listdir(self._manifest_dir)):
                 if not (name.startswith("v") and name.endswith(".json")):
                     continue
-                with open(os.path.join(self._manifest_dir, name)) as f:
-                    m = _Manifest.from_json(f.read())
-                if m.version < cutoff:
+                mv = int(name[1:-5])
+                if mv < cutoff:
                     os.remove(os.path.join(self._manifest_dir, name))
                     dropped_manifests += 1
                 else:
+                    m = self._read_manifest(version=mv)
                     live.update(e["file"] for e in m.files)
             removed_files = 0
             now = time.time()

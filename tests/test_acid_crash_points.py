@@ -98,7 +98,7 @@ def test_crash_after_data_before_manifest(spark, crash_table, monkeypatch):
     manifest v(N+1) exists — the pure-orphan case."""
     before = _state(crash_table)
 
-    def failing(self, m):
+    def failing(self, m, prev=None):
         raise RuntimeError("simulated crash before manifest write")
 
     monkeypatch.setattr(AcidTable, "_write_manifest_and_swap", failing)
@@ -184,7 +184,7 @@ def test_vacuum_reclaims_crashed_writer_debris(spark, crash_table, monkeypatch):
     monkeypatch.setattr(
         AcidTable,
         "_write_manifest_and_swap",
-        lambda self, m: (_ for _ in ()).throw(RuntimeError("boom")),
+        lambda self, m, prev=None: (_ for _ in ()).throw(RuntimeError("boom")),
     )
     with pytest.raises(RuntimeError, match="boom"):
         crash_table.upsert(_rows(spark, range(10, 14), "crash"))
