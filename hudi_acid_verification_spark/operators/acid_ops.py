@@ -35,14 +35,20 @@ _SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
 
 
 def _memo_token(fn, sf_dir: str) -> str:
-    """Cache key for a demo lifecycle: operator source + fixture digest.
-    Any edit to the demo's code or regeneration of the fixture parquet
-    changes the token and forces a rebuild — the memo can never serve a
-    table built by different code or over different data."""
+    """Cache key for a demo lifecycle: operator source + the STORAGE
+    LAYER's source + fixture digest. Any edit to the demo's code, to
+    ``acid/table.py`` (whose commit/manifest format decides what the
+    build wrote to disk — e.g. the r5 delta-encoded manifest log), or
+    regeneration of the fixture parquet changes the token and forces a
+    rebuild — the memo can never serve a table built by different code
+    or over different data."""
     import hashlib
     import inspect
 
+    from hudi_acid_verification_spark.acid import table as _acid_table
+
     h = hashlib.sha256(inspect.getsource(fn).encode())
+    h.update(inspect.getsource(_acid_table).encode())
     h.update(sf_dir.encode())
     try:
         for name in sorted(os.listdir(sf_dir)):
