@@ -171,14 +171,33 @@ _CERT_ORDER = [
 ]
 
 
-def _source_hash(name: str) -> str | None:
-    """sha256 of the registered operator's function source + oracle SQL.
+def _collect_code_names(code) -> set[str]:
+    """Global names referenced by a code object, including nested
+    functions/lambdas/comprehensions (their code objects live in
+    ``co_consts``)."""
+    import types
 
-    This is the staleness key for the certification ledger: a driver row is
-    only trusted while the operator body it certified is unchanged (VERDICT
-    r4 "What's wrong" #2). Covers the registered function's own source and
-    its oracle string — a rewrite of a transitively-called helper must be
-    re-queued via ``scripts/update_cert_ledger.py --force-stale``.
+    names = set(code.co_names)
+    for const in code.co_consts:
+        if isinstance(const, types.CodeType):
+            names |= _collect_code_names(const)
+    return names
+
+
+def _hash_payload(name: str) -> str | None:
+    """The staleness payload for one registered operator: its own source,
+    the source of every SAME-MODULE helper (function or class) it references
+    one level deep, every same-module scalar constant it references, and its
+    oracle SQL.
+
+    This closes the r5 helper blind spot (VERDICT r5 "What's wrong" #1):
+    editing a private helper like ``graph._pair_edges`` now flips every
+    registered consumer to stale automatically — no ``--force-stale`` honor
+    system for one-level helpers. Cross-module helpers (``operators.load``,
+    ``materialize_once``) and deeper transitive edits remain out of scope by
+    design (they are infrastructure shared by ALL operators; hashing them
+    would re-queue the whole registry on any touch) and still take the
+    documented ``--force-stale`` path when a value-changing edit lands there.
     """
     fn = ops.QUERIES.get(name)
     if fn is None:
@@ -187,7 +206,48 @@ def _source_hash(name: str) -> str | None:
         src = inspect.getsource(fn)
     except (OSError, TypeError):
         return None
-    payload = src + "\n--oracle--\n" + ops.ORACLES.get(name, "")
+    parts = [src]
+    mod = inspect.getmodule(fn)
+    if mod is not None:
+        fn_names = _collect_code_names(fn.__code__)
+        const_names = set(fn_names)
+        helpers: list[tuple[str, str]] = []
+        for ref in sorted(fn_names):
+            obj = getattr(mod, ref, None)
+            if obj is None:
+                continue
+            if (inspect.isfunction(obj) or inspect.isclass(obj)) and getattr(
+                obj, "__module__", None
+            ) == mod.__name__:
+                try:
+                    helpers.append((ref, inspect.getsource(obj)))
+                except (OSError, TypeError):
+                    continue
+                # module constants referenced by a level-1 helper are part of
+                # the operator's behavior too (plan-invisible closure
+                # constants like ann._DUP_TAU — ADVICE r5); hash their
+                # VALUES, but do not recurse into level-2 functions.
+                if inspect.isfunction(obj):
+                    const_names |= _collect_code_names(obj.__code__)
+        for ref, hsrc in helpers:
+            parts.append(f"--helper:{ref}--\n{hsrc}")
+        for ref in sorted(const_names):
+            obj = getattr(mod, ref, None)
+            if obj is not None and isinstance(
+                obj, (bool, int, float, str, bytes, tuple, frozenset)
+            ):
+                parts.append(f"--const:{ref}={obj!r}--")
+    parts.append("--oracle--\n" + ops.ORACLES.get(name, ""))
+    return "\n".join(parts)
+
+
+def _source_hash(name: str) -> str | None:
+    """sha256 staleness key for the certification ledger: a driver row is
+    only trusted while the code it certified is unchanged (VERDICT r4
+    "What's wrong" #2; helper coverage per r5 #1 — see ``_hash_payload``)."""
+    payload = _hash_payload(name)
+    if payload is None:
+        return None
     return hashlib.sha256(payload.encode()).hexdigest()
 
 

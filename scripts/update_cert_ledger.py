@@ -26,9 +26,17 @@ Rules applied:
   though its green row predates a rewrite the hash can't see (e.g. a shared
   helper changed but the registered function body didn't).
 
-Limitation (documented, not hidden): the hash covers the registered
-function's own source and its oracle SQL, not transitively-called helpers.
-A helper-only rewrite must be re-queued manually with ``--force-stale``.
+- ``--rehash``: recompute EVERY non-sentinel ledger entry under the current
+  hash algorithm. Only valid when the working tree still matches what the
+  driver certified (i.e. at round start, before any operator edit) — used
+  once per hash-algorithm migration, e.g. the r6 one-level helper walk.
+
+Hash coverage (r6): the registered function's own source, same-module
+helpers/classes it references one level deep, same-module scalar constants,
+and the oracle SQL (``__spark_entry__._hash_payload``). Cross-module shared
+infrastructure (``operators.load``, ``materialize_once``) and deeper
+transitive edits still take ``--force-stale`` when a value-changing edit
+lands there.
 """
 
 from __future__ import annotations
@@ -47,6 +55,9 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--force-stale", nargs="*", default=[],
                     help="names to pin with a stale sentinel hash")
+    ap.add_argument("--rehash", action="store_true",
+                    help="recompute all non-sentinel entries under the "
+                         "current hash algorithm (round start only)")
     args = ap.parse_args()
 
     sys.path.insert(0, HERE)
@@ -74,6 +85,14 @@ def main() -> int:
                 bucket.add(name)
 
     changed = []
+    if args.rehash:
+        for name in sorted(ledger):
+            if ledger[name].startswith("stale:"):
+                continue
+            h = entry._source_hash(name)
+            if h is not None and ledger[name] != h:
+                ledger[name] = h
+                changed.append((name, "rehashed"))
     for name in sorted(newest_green):
         h = entry._source_hash(name)
         if h is not None and ledger.get(name) != h:

@@ -179,6 +179,55 @@ def test_certification_staleness_requeues_rewritten_plans():
             assert name not in done
 
 
+def test_source_hash_covers_one_level_helpers():
+    """VERDICT r5 "What's wrong" #1: the staleness hash must cover
+    same-module private helpers one level deep, so a helper-only rewrite
+    (the r5 staging pattern) re-queues its consumers automatically instead
+    of relying on --force-stale discipline."""
+    import inspect
+
+    import __spark_entry__ as e
+    from hudi_acid_verification_spark.operators import graph
+
+    # editing _pair_edges must flip its registered consumers to stale:
+    # their payloads embed the helper's source verbatim.
+    helper_src = inspect.getsource(graph._pair_edges)
+    for consumer in ("graph_triangle_count", "graph_degree_distribution",
+                     "graph_common_neighbors", "graph_kcore_peel",
+                     "graph_bfs_distance", "graph_label_propagation"):
+        payload = e._hash_payload(consumer)
+        assert payload is not None and helper_src in payload, (
+            f"{consumer}: _pair_edges source must be in its staleness payload"
+        )
+
+    # same-module scalar constants referenced by the operator are covered
+    # too (ADVICE r5: plan-invisible closure constants).
+    from hudi_acid_verification_spark.operators import ann
+
+    payload = e._hash_payload("dedup_embedding_lsh")
+    assert f"_DUP_TAU={ann._DUP_TAU!r}" in payload
+
+    # nested-code references are collected (a module-global helper used
+    # only inside an inner def/lambda still counts as a one-level
+    # reference). exec at module-style scope so `helper` is a global,
+    # as it is in the real operator modules.
+    ns: dict = {}
+    exec(
+        "def helper():\n    return 1\n"
+        "def outer():\n"
+        "    def inner():\n        return helper()\n"
+        "    return inner\n",
+        ns,
+    )
+    assert "helper" in e._collect_code_names(ns["outer"].__code__)
+
+    # cross-module infrastructure stays OUT of the hash by design: a touch
+    # to operators.load/materialize_once must not re-queue the registry.
+    import hudi_acid_verification_spark.operators as pkg
+
+    assert inspect.getsource(pkg.load) not in e._hash_payload("scan_project")
+
+
 def test_acid_bloom_lookup_prunes_and_stays_exact(spark):
     """Every probe's lookup must be exact, the bloom candidate set must
     never exceed the range candidate set, and on the z-ordered layout it
