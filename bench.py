@@ -68,16 +68,6 @@ def main() -> None:
         n: f for n, f in ops.QUERIES.items() if not only or n in only
     }
 
-    timings: dict[str, float] = {}
-    for _pass in range(2):
-        for name, fn in sorted(queries.items()):
-            start = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            elapsed = round(time.perf_counter() - start, 3)
-            if name not in timings or elapsed < timings[name]:
-                timings[name] = elapsed
-
-    total = round(sum(timings.values()), 3)
     headline = [
         "q1_pricing_summary", "q2_min_cost_supplier", "q3_shipping_priority",
         "q5_region_revenue", "q6_forecast_revenue", "q9_profit_proxy",
@@ -88,11 +78,53 @@ def main() -> None:
         "similarity_ann_lsh", "similarity_ivf", "text_tfidf_topterms",
         "pipeline_corpus_clean", "stream_stream_join",
     ]
+
+    def run_one(name: str) -> float:
+        start = time.perf_counter()
+        queries[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return round(time.perf_counter() - start, 3)
+
+    samples: dict[str, list[float]] = {n: [] for n in queries}
+    for _pass in range(2):
+        for name in sorted(queries):
+            samples[name].append(run_one(name))
+    # Headline queries get a THIRD warm sample so their reported number is
+    # a median of the warm runs — robust to one-off box noise, which at the
+    # ±0.02-0.2 s/query driver-vs-idle drift band (README) otherwise makes
+    # sub-0.5 s round-over-round deltas unreadable (VERDICT r5 #3). The
+    # cold first pass stays excluded (it measures codegen, not the engine).
+    for name in sorted(n for n in headline if n in queries):
+        samples[name].append(run_one(name))
+
+    def median(xs: list[float]) -> float:
+        s = sorted(xs)
+        mid = len(s) // 2
+        return s[mid] if len(s) % 2 else round((s[mid - 1] + s[mid]) / 2, 3)
+
+    # Suite total keeps the established min-of-passes basis (comparable to
+    # BENCH_r01..r05); headline map reports warm-sample medians.
+    timings = {n: min(xs) for n, xs in samples.items()}
+    headline_median = {
+        n: median(samples[n][1:]) for n in headline if n in samples
+    }
+    total = round(sum(timings.values()), 3)
     if not only:  # subset runs must not clobber the full-suite record
         detail_path = os.path.join(REPO, "bench_detail.json")
         with open(detail_path, "w") as f:
             json.dump(
-                {"sf": sf, "total_sec": total, "queries": timings}, f, indent=1
+                {
+                    "sf": sf,
+                    "total_sec": total,
+                    "queries": timings,
+                    "headline_median_warm": headline_median,
+                    "samples_headline": {
+                        n: samples[n] for n in headline if n in samples
+                    },
+                },
+                f,
+                indent=1,
             )
     print(
         json.dumps(
@@ -102,10 +134,11 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf,
                 "n_queries": len(timings),
+                "headline_basis": "median_of_warm_samples",
                 "queries": (
                     timings
                     if only
-                    else {n: timings[n] for n in headline if n in timings}
+                    else headline_median
                 ),
                 "detail": "bench_detail.json",
             }

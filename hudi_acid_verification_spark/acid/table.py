@@ -287,7 +287,34 @@ class AcidTable:
         try:
             return self._read_manifest_once(version)
         except FileNotFoundError:
-            return self._read_manifest_once(version)
+            try:
+                return self._read_manifest_once(version)
+            except FileNotFoundError as err:
+                # Distinguish the two persistent cases for the caller: a
+                # version vacuumed out of the retention window vs a chain
+                # whose checkpoint/delta files are genuinely missing.
+                existing = [
+                    int(n[1:-5])
+                    for n in os.listdir(self._manifest_dir)
+                    if n.startswith("v") and n.endswith(".json")
+                ] if os.path.isdir(self._manifest_dir) else []
+                oldest = min(existing) if existing else None
+                if (
+                    version is not None
+                    and oldest is not None
+                    and version < oldest
+                ):
+                    raise FileNotFoundError(
+                        f"manifest v{version} is outside the retention "
+                        f"window (oldest retained: v{oldest}); it was "
+                        "removed by vacuum()"
+                    ) from err
+                raise FileNotFoundError(
+                    f"broken manifest chain resolving "
+                    f"{'latest' if version is None else f'v{version}'}: "
+                    f"{err} (not a retention miss — a checkpoint or delta "
+                    "file is missing from an otherwise-retained chain)"
+                ) from err
 
     def _read_manifest_once(self, version: int | None = None) -> _Manifest:
         if version is None:
@@ -2553,6 +2580,17 @@ class AcidTable:
         try:
             current = self._read_manifest().version
             cutoff = max(0, current - retain_versions + 1)
+            # A prior vacuum with TIGHTER retention may already have dropped
+            # v{cutoff}; clamp to the oldest manifest still on disk so the
+            # checkpoint re-encode below never reads a vacuumed version
+            # (a larger retain_versions can't resurrect dropped history).
+            existing = [
+                int(n[1:-5])
+                for n in os.listdir(self._manifest_dir)
+                if n.startswith("v") and n.endswith(".json")
+            ]
+            if existing:
+                cutoff = max(cutoff, min(existing))
             # Log-tail compaction (Delta checkpoint analog): re-encode the
             # cutoff manifest as a FULL checkpoint so retained deltas above
             # it resolve without the chain below — which can then be

@@ -121,6 +121,59 @@ def test_vacuum_compacts_log_tail_into_checkpoint(spark, tmp_path):
     assert (999, "post-999") in _state(t)
 
 
+def test_vacuum_after_tighter_vacuum_clamps_cutoff(spark, tmp_path):
+    """Regression (ADVICE r5, medium): a vacuum with LOOSER retention after
+    a tighter one must clamp its cutoff to the oldest surviving manifest
+    instead of trying to re-encode a vacuumed version and crashing."""
+    t = AcidTable.create(
+        spark, str(tmp_path / "t"), _SCHEMA, pk="pk", partition_col="part"
+    )
+    for i in range(1, 12):
+        t.upsert(_rows(spark, [i, 50 + i], f"c{i}"))
+    before = _state(t)
+    t.vacuum(retain_versions=3, orphan_grace_seconds=0.0)  # cutoff 9
+    rep = t.vacuum(retain_versions=10, orphan_grace_seconds=0.0)
+    # requested cutoff would be 2, but v2 is gone — clamped to the oldest
+    # retained manifest; nothing is dropped and nothing crashes
+    assert rep["retained_from_version"] == 9
+    assert rep["dropped_manifests"] == 0
+    assert _state(t) == before
+    t.upsert(_rows(spark, [999], "post"))
+    assert (999, "post-999") in _state(t)
+
+
+def test_read_manifest_errors_distinguish_retention_from_breakage(
+    spark, tmp_path
+):
+    """ADVICE r5 (low): after the one concurrent-vacuum retry, a persistent
+    FileNotFoundError must say WHICH failure it is — a version vacuumed out
+    of the retention window vs a genuinely broken chain."""
+    # MOR: append-only commits on a growing table, so delta encoding is
+    # guaranteed for the later versions the breakage half needs
+    t = AcidTable.create(
+        spark, str(tmp_path / "t"), _SCHEMA,
+        pk="pk", partition_col="part", mode="mor",
+    )
+    for i in range(1, 8):
+        t.upsert(_rows(spark, range(4 * i, 4 * i + 4), f"c{i}"))
+    t.vacuum(retain_versions=2, orphan_grace_seconds=0.0)
+    with pytest.raises(FileNotFoundError, match="outside the retention"):
+        t.snapshot(version=1)
+    # break the retained chain: find a delta-encoded version and delete the
+    # manifest it chains through
+    head = t.version()
+    victim = next(
+        v for v in range(head, 0, -1) if "delta_from" in _raw(t, v)
+    )
+    os.remove(
+        os.path.join(
+            t._manifest_dir, f"v{_raw(t, victim)['delta_from']:012d}.json"
+        )
+    )
+    with pytest.raises(FileNotFoundError, match="broken manifest chain"):
+        t.snapshot(version=victim)
+
+
 def test_delta_manifest_is_small_on_a_many_file_table(spark, tmp_path):
     """The design point itself: with many live files, a 2-row commit's
     manifest must be a small fraction of the full file list."""
