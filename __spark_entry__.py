@@ -144,6 +144,14 @@ _CERT_ORDER = [
     "pipeline_preference_pairs", "warehouse_column_stats",
     "pipeline_sft_masking", "similarity_knn_graph",
     "scalar_binary_codecs", "pipeline_tokenizer_oov_rate",
+    # tier 3c — round-6 additions (registry unfrozen per VERDICT r5
+    # directive #2; all oracled, queued behind the r5 backlog so the
+    # never-certified names drain first)
+    "sketch_quantile_merge", "sketch_theta_setops", "sketch_window_distinct",
+    "dedup_fuzzy_jaro_winkler", "dedup_survivorship_merge",
+    "ml_auc_roc", "event_trend_mann_kendall", "event_survival_km",
+    "quality_simpson_diversity", "pipeline_bigram_coverage",
+    "sample_weighted_systematic", "warehouse_incremental_mv",
     # tier 4 — rows-only by design
     "pipeline_bpe_merges", "pipeline_bpe_encode",
     "agg_approx_distinct", "multimodal_decode_features",

@@ -129,6 +129,7 @@ def _import_all() -> None:
         dedup,
         graph,
         joins,
+        linkage,
         ml,
         modern_sql,
         multimodal,
@@ -142,6 +143,7 @@ def _import_all() -> None:
         setops,
         similarity,
         sketch,
+        sketch_merge,
         statistics,
         sources,
         subqueries,

@@ -1099,3 +1099,111 @@ def pipeline_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_tokens").alias("len_hi"),
         )
     )
+
+
+_BG_CORPUS_MOD = 3  # doc_id % 3 == 0 rows play the already-trained corpus
+
+
+@query(
+    "pipeline_bigram_coverage",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, string_split(text, ' ') AS t
+        FROM documents
+    ),
+    bigrams AS (
+        SELECT doc_id, source, t[i.i] || ' ' || t[i.i + 1] AS bg
+        FROM toks, LATERAL (
+            SELECT unnest(generate_series(1, len(t) - 1)) AS i
+        ) i
+    ),
+    train AS (
+        SELECT DISTINCT bg FROM bigrams WHERE doc_id % {_BG_CORPUS_MOD} = 0
+    ),
+    eval_bg AS (
+        SELECT source, bg FROM bigrams WHERE doc_id % {_BG_CORPUS_MOD} != 0
+    ),
+    hits AS (
+        SELECT e.source, e.bg, (t.bg IS NOT NULL) AS seen
+        FROM eval_bg e LEFT JOIN train t ON t.bg = e.bg
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(CASE WHEN seen THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_seen,
+           CAST(sum(CASE WHEN seen THEN 1 ELSE 0 END) * 10000 // count(*)
+                AS BIGINT) AS coverage_x10k,
+           CAST(count(DISTINCT bg) AS BIGINT) AS n_distinct,
+           CAST(count(DISTINCT CASE WHEN seen THEN bg END) AS BIGINT)
+               AS n_distinct_seen,
+           CAST(count(DISTINCT CASE WHEN seen THEN bg END) * 10000
+                // count(DISTINCT bg) AS BIGINT) AS distinct_coverage_x10k
+    FROM hits GROUP BY source
+    """,
+)
+def pipeline_bigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus bigram coverage: what fraction of each incoming
+    source's word bigrams (token and distinct-type level) a reference
+    corpus has already seen — the cheap distribution-shift / novelty
+    readout between `pipeline_contamination_ngram` (exact long-n-gram
+    screening) and a full LM perplexity pass (which needs ln() and can
+    never hash cross-engine). Low coverage = genuinely novel text worth
+    upweighting; suspiciously HIGH coverage = the source is near-dup of
+    the training mix.
+
+    Shape: bigrams come from one higher-order-function expansion per
+    document (transform over the token array — no per-token UDF); the
+    reference bigram VOCABULARY is a distinct projection; the coverage
+    probe is one hash join on the bigram string. At 100 TB the join
+    shuffles on bigram keys with map-side combine on (source, bg) first;
+    the reference side prunes to distinct types (a small fraction of
+    instances), and a bloom prefilter (join_bloom_prefilter's pattern)
+    slots in front unchanged if the vocabulary outgrows the shuffle.
+    """
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.split("text", " ").alias("t")
+    )
+    bigrams = toks.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - 2),
+                lambda i: F.concat(
+                    F.element_at(F.col("t"), i + 1),
+                    F.lit(" "),
+                    F.element_at(F.col("t"), i + 2),
+                ),
+            )
+        ).alias("bg"),
+    )
+    train = (
+        bigrams.filter(F.col("doc_id") % _BG_CORPUS_MOD == 0)
+        .select("bg")
+        .distinct()
+        .withColumn("seen", F.lit(True))
+    )
+    eval_bg = bigrams.filter(F.col("doc_id") % _BG_CORPUS_MOD != 0).select(
+        "source", "bg"
+    )
+    hits = eval_bg.join(train, "bg", "left").select(
+        "source", "bg", F.coalesce(F.col("seen"), F.lit(False)).alias("seen")
+    )
+    return hits.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.sum(F.when(F.col("seen"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_seen"),
+        F.expr(
+            "CAST(sum(CASE WHEN seen THEN 1 ELSE 0 END) * 10000"
+            " DIV count(*) AS BIGINT)"
+        ).alias("coverage_x10k"),
+        F.countDistinct("bg").cast("bigint").alias("n_distinct"),
+        F.countDistinct(F.when(F.col("seen"), F.col("bg")))
+        .cast("bigint")
+        .alias("n_distinct_seen"),
+        F.expr(
+            "CAST(count(DISTINCT CASE WHEN seen THEN bg END) * 10000"
+            " DIV count(DISTINCT bg) AS BIGINT)"
+        ).alias("distinct_coverage_x10k"),
+    )

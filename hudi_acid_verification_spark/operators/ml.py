@@ -320,3 +320,124 @@ def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("margin").alias("margin_hi"),
         )
     )
+
+
+def _auc_oracle() -> str:
+    score = " + ".join(_tree_case_sql(*t) for t in _TREES)
+    return f"""
+    {_feats_cte()},
+    scored AS (
+        SELECT CAST({score} + {_BIAS} AS BIGINT) AS margin,
+               {_LABEL_SQL} AS label
+        FROM feats
+    ),
+    by_margin AS (
+        SELECT margin, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_pos
+        FROM scored GROUP BY margin
+    ),
+    ranked AS (
+        SELECT margin, n, n_pos,
+               CAST(sum(n) OVER (ORDER BY margin
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n
+        FROM by_margin
+    ),
+    folded AS (
+        SELECT CAST(sum(n_pos * ((cum_n - n + 1) + cum_n)) AS BIGINT)
+                   AS two_rank_sum,
+               CAST(sum(n_pos) AS BIGINT) AS np,
+               CAST(sum(n - n_pos) AS BIGINT) AS nn,
+               CAST(count(*) AS BIGINT) AS n_distinct_margins
+        FROM ranked
+    )
+    SELECT np AS n_pos, nn AS n_neg, n_distinct_margins,
+           CAST(two_rank_sum - np * (np + 1) AS BIGINT) AS u_stat_x2,
+           CAST((two_rank_sum - np * (np + 1)) * 10000 // (2 * np * nn)
+                AS BIGINT) AS auc_x10k
+    FROM folded
+    """
+
+
+@query("ml_auc_roc", oracle=_auc_oracle())
+def ml_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ROC-AUC of the served tree ensemble via the rank statistic
+    (Mann-Whitney U identity: AUC = U / (n_pos·n_neg)), with midrank tie
+    correction — the threshold-free companion of `ml_confusion_eval` and
+    the number a model-gated data pipeline actually tracks release-over-
+    release (the confusion matrix moves with the cutoff; AUC doesn't).
+
+    Exactness strategy: collapse to the MARGIN VALUE DOMAIN first (the
+    ensemble emits a few hundred distinct integer margins no matter the
+    corpus size), then ranks come from one cumulative window over that
+    tiny domain. Midranks stay integer by working with 2×rank
+    (first+last per tie group), so U·2 and AUC×10⁴ are pure integer
+    arithmetic — no float sort, no approximate percentiles, hash-exact.
+
+    Scale shape: one scan with partial-aggregated groupBy(margin); the
+    window and the final fold run over ≤ |margin domain| rows. This is
+    the same collapse-then-window trick as `agg_weighted_median` — the
+    O(n log n) global sort a naive rank-based AUC needs never happens.
+    """
+    feats = load(spark, sf_dir, "documents").select(
+        F.expr("length(text) - length(replace(text, ' ', '')) + 1").alias(
+            "n_tokens"
+        ),
+        F.expr(
+            "CAST(length(regexp_replace(text, '[^0-9]', '')) AS BIGINT)"
+        ).alias("digit_cnt"),
+        F.expr(
+            "CAST((length(replace(text, ' ', '')) * 100) DIV "
+            "(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT)"
+        ).alias("avg_tok_len_x100"),
+        F.col("n_chars"),
+    )
+
+    def tree(feat, thr, feat2, thr2, leaves):
+        ll, lr, rl, rr = [F.lit(x) for x in leaves]
+        left = F.when(F.col(feat2) < thr2, ll).otherwise(lr)
+        right = F.when(F.col(feat2) < thr2, rl).otherwise(rr)
+        return F.when(F.col(feat) < thr, left).otherwise(right)
+
+    margin = (
+        sum((tree(*t) for t in _TREES), F.lit(0)) + F.lit(_BIAS)
+    ).cast("bigint")
+    by_margin = (
+        feats.select(margin.alias("margin"), F.expr(_LABEL_SQL).alias("label"))
+        .groupBy("margin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("label"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_pos"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.lit(0)).orderBy("margin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = by_margin.select(
+        "margin", "n", "n_pos",
+        F.sum("n").over(w).cast("bigint").alias("cum_n"),
+    )
+    folded = ranked.agg(
+        F.sum(
+            F.col("n_pos") * ((F.col("cum_n") - F.col("n") + 1) + F.col("cum_n"))
+        ).cast("bigint").alias("two_rank_sum"),
+        F.sum("n_pos").cast("bigint").alias("np"),
+        F.sum(F.col("n") - F.col("n_pos")).cast("bigint").alias("nn"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_margins"),
+    )
+    return folded.select(
+        F.col("np").alias("n_pos"),
+        F.col("nn").alias("n_neg"),
+        "n_distinct_margins",
+        F.expr("CAST(two_rank_sum - np * (np + 1) AS BIGINT)").alias(
+            "u_stat_x2"
+        ),
+        F.expr(
+            "CAST((two_rank_sum - np * (np + 1)) * 10000"
+            " DIV (2 * np * nn) AS BIGINT)"
+        ).alias("auc_x10k"),
+    )

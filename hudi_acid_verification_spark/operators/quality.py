@@ -782,3 +782,59 @@ def quality_lang_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(2.0) * F.max("n_src") * F.max("n_tot"))
         ).alias("tv_distance"),
     )
+
+
+@query(
+    "quality_simpson_diversity",
+    oracle="""
+    WITH counts AS (
+        SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+        FROM documents GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(sum(c) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_langs,
+           CAST(((sum(c) * (sum(c) - 1) - sum(c * (c - 1))) * 10000)
+                // (sum(c) * (sum(c) - 1)) AS BIGINT) AS simpson_x10k,
+           CAST(max(c) * 10000 // sum(c) AS BIGINT) AS berger_parker_x10k
+    FROM counts GROUP BY source
+    """,
+)
+def quality_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-diversity audit per source: the UNBIASED Gini-Simpson
+    index 1 − Σc(c−1)/(n(n−1)) (probability two documents drawn without
+    replacement differ in language) and the Berger-Parker dominance (top
+    language's share) — the corpus-balance readout next to
+    `pipeline_domain_mix`: a source whose diversity collapses round-over-
+    round is silently becoming monolingual.
+
+    Why Simpson and not Shannon entropy: entropy needs ln(), whose last
+    bits differ across engines' libm — it can never hash-match. The
+    Simpson family is RATIONAL in the category counts, so ×10⁴ integer
+    cross-multiplication makes every emitted value exact (the same
+    no-transcendentals rule as BM25's rational idf).
+
+    Shape: one partial-aggregated groupBy(source, lang) — the only pass
+    over the corpus — then a groupBy(source) over the tiny counts table.
+    Both stages map-side combine; at 100 TB the exchange carries
+    |sources|×|langs| rows.
+    """
+    counts = (
+        load(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    # integer DIV throughout (never double-divide-then-cast: the double
+    # rounds to nearest before the cast truncates, which can disagree
+    # with the oracle's floor division at quotient boundaries)
+    return counts.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_langs"),
+        F.expr(
+            "CAST(((sum(c) * (sum(c) - 1) - sum(c * (c - 1))) * 10000)"
+            " DIV (sum(c) * (sum(c) - 1)) AS BIGINT)"
+        ).alias("simpson_x10k"),
+        F.expr("CAST(max(c) * 10000 DIV sum(c) AS BIGINT)").alias(
+            "berger_parker_x10k"
+        ),
+    )

@@ -226,3 +226,120 @@ def audit_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.bit_xor("h").alias("xor_fingerprint"),
         )
     )
+
+
+_WS_K = 200  # target sample size
+
+
+@query(
+    "sample_weighted_systematic",
+    oracle=f"""
+    WITH items AS (
+        SELECT o_orderkey, o_orderpriority,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS w,
+               md5(CAST(o_orderkey AS VARCHAR)) AS h
+        FROM orders
+    ),
+    tot AS (SELECT CAST(sum(w) AS BIGINT) AS total FROM items),
+    walked AS (
+        SELECT o_orderpriority, w,
+               CAST(sum(w) OVER (ORDER BY h, o_orderkey
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        FROM items
+    ),
+    flagged AS (
+        SELECT o_orderpriority, w,
+               (cum // (t.total // {_WS_K}))
+                   > ((cum - w) // (t.total // {_WS_K})) AS selected
+        FROM walked, tot t
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CASE WHEN selected THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_selected,
+           CAST(sum(w) AS BIGINT) AS weight_cents,
+           CAST(sum(CASE WHEN selected THEN w ELSE 0 END) AS BIGINT)
+               AS selected_weight_cents,
+           CAST(sum(w) * 10000 // (SELECT total FROM tot) AS BIGINT)
+               AS weight_share_x10k
+    FROM flagged GROUP BY o_orderpriority
+    """,
+)
+def sample_weighted_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic WEIGHTED systematic sampling (~{_WS_K} of the order
+    book, inclusion probability ∝ o_totalprice): walk the items in a
+    hash-shuffled order, accumulate weight, and select every item whose
+    cumulative weight crosses a multiple of total/{_WS_K} — the classic
+    PPS systematic design. Fully deterministic (the "random" walk order
+    is md5(o_orderkey)), so the exact selected set hash-matches the
+    oracle; the per-priority audit shows selected weight tracking the
+    stratum's weight share, which is the property PPS buys.
+
+    Why not A-ES exponential keys: u^(1/w) needs pow(), whose last bits
+    differ across engines' libm. The cumulative-crossing formulation is
+    pure integer arithmetic end to end.
+
+    Shape — the exact prefix sum is TWO-PHASE, never a single-partition
+    window over the data: items pre-partition into 16 hash buckets (first
+    md5 hex digit, which is also the walk order's leading digit), each
+    bucket cumsums locally in parallel, and a 16-row broadcast of bucket
+    totals supplies the global offsets. At 100 TB that is the textbook
+    distributed prefix-sum; the oracle spells the same walk as one window
+    because DuckDB is single-node anyway.
+    """
+    items = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("w"),
+        F.md5(F.col("o_orderkey").cast("string")).alias("h"),
+    ).withColumn(
+        "bucket", F.conv(F.substring("h", 1, 1), 16, 10).cast("int")
+    )
+    bucket_tot = items.groupBy("bucket").agg(
+        F.sum("w").cast("bigint").alias("bw")
+    )
+    w_b = Window.partitionBy(F.lit(0)).orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = bucket_tot.select(
+        "bucket",
+        F.coalesce(F.sum("bw").over(w_b), F.lit(0))
+        .cast("bigint")
+        .alias("offset"),
+    )
+    total = items.agg(F.sum("w").cast("bigint").alias("total"))
+    w_local = Window.partitionBy("bucket").orderBy("h", "o_orderkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    walked = (
+        items.join(F.broadcast(offsets), "bucket")
+        .withColumn(
+            "cum",
+            (F.col("offset") + F.sum("w").over(w_local)).cast("bigint"),
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    flagged = walked.select(
+        "o_orderpriority",
+        "w",
+        "total",
+        (
+            F.expr(f"cum DIV (total DIV {_WS_K})")
+            > F.expr(f"(cum - w) DIV (total DIV {_WS_K})")
+        ).alias("selected"),
+    )
+    return flagged.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum(F.when(F.col("selected"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_selected"),
+        F.sum("w").cast("bigint").alias("weight_cents"),
+        F.sum(F.when(F.col("selected"), F.col("w")).otherwise(0))
+        .cast("bigint")
+        .alias("selected_weight_cents"),
+        F.expr("CAST(sum(w) * 10000 DIV min(total) AS BIGINT)").alias(
+            "weight_share_x10k"
+        ),
+    )

@@ -731,3 +731,249 @@ def event_hazard_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_at_risk",
         "n_converted",
     )
+
+
+@query(
+    "event_trend_mann_kendall",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT a.event_type,
+               CAST(sum(CASE WHEN b.v > a.v THEN 1
+                             WHEN b.v < a.v THEN -1 ELSE 0 END)
+                    AS BIGINT) AS s_stat
+        FROM daily a JOIN daily b
+          ON b.event_type = a.event_type AND b.day > a.day
+        GROUP BY 1
+    ),
+    ties AS (
+        SELECT event_type,
+               CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+        FROM (SELECT event_type, v, count(*) AS t FROM daily GROUP BY 1, 2)
+        GROUP BY 1
+    ),
+    n AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+        FROM daily GROUP BY 1
+    )
+    SELECT n.event_type, n.n_days, s.s_stat,
+           CAST(n.n_days * (n.n_days - 1) * (2 * n.n_days + 5)
+                - ties.tie_term AS BIGINT) AS var_s_x18,
+           CASE WHEN s.s_stat > 0 THEN 'increasing'
+                WHEN s.s_stat < 0 THEN 'decreasing'
+                ELSE 'no_trend' END AS trend
+    FROM n JOIN s ON s.event_type = n.event_type
+    JOIN ties ON ties.event_type = n.event_type
+    """,
+)
+def event_trend_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test per event type over the daily value series
+    — the standard NONPARAMETRIC monotonic-trend detector (no linearity
+    or normality assumption, robust to outliers, the usual first question
+    about any metric series: "is this actually going up?"). S = Σ_{i<j}
+    sign(v_j − v_i); its tie-corrected variance rides along ×18 so both
+    stay exact integers (the z-score needs a square root, so the caller
+    takes it — every value the engine emits hashes cross-engine).
+
+    Shape: collapse to the DAILY domain first (one partial-aggregated
+    groupBy — the only pass over raw events), then the O(d²) pairwise
+    sign sum runs inside each event_type's day series via a self-join on
+    the tiny daily table (d ≈ 365/year — thousands of pairs per series,
+    nothing at any corpus size). Same value-domain-collapse discipline as
+    `agg_weighted_median`/`ml_auc_roc`: the quadratic never sees raw
+    data.
+    """
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.to_date("ts").alias("day")
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+            .cast("bigint")
+            .alias("v")
+        )
+    )
+    a = daily.select(
+        "event_type", F.col("day").alias("day_a"), F.col("v").alias("va")
+    )
+    b = daily.select(
+        "event_type", F.col("day").alias("day_b"), F.col("v").alias("vb")
+    )
+    s = (
+        a.join(b, "event_type")
+        .filter(F.col("day_b") > F.col("day_a"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("vb") > F.col("va"), 1)
+                .when(F.col("vb") < F.col("va"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s_stat")
+        )
+    )
+    ties = (
+        daily.groupBy("event_type", "v")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            )
+            .cast("bigint")
+            .alias("tie_term")
+        )
+    )
+    n = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days")
+    )
+    return (
+        n.join(s, "event_type")
+        .join(ties, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "s_stat",
+            (
+                F.col("n_days")
+                * (F.col("n_days") - 1)
+                * (2 * F.col("n_days") + 5)
+                - F.col("tie_term")
+            )
+            .cast("bigint")
+            .alias("var_s_x18"),
+            F.when(F.col("s_stat") > 0, "increasing")
+            .when(F.col("s_stat") < 0, "decreasing")
+            .otherwise("no_trend")
+            .alias("trend"),
+        )
+    )
+
+
+_KM_CENSOR_HOUR = 23  # still active in the day's last hour => censored
+
+
+@query(
+    "event_survival_km",
+    oracle=f"""
+    WITH ep AS (
+        SELECT user_id, date_trunc('day', ts) AS day,
+               CAST(date_part('hour', max(ts)) - date_part('hour', min(ts))
+                    AS BIGINT) AS duration,
+               date_part('hour', max(ts)) >= {_KM_CENSOR_HOUR} AS censored
+        FROM events GROUP BY 1, 2
+    ),
+    total AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM ep),
+    by_dur AS (
+        SELECT duration,
+               CAST(count(*) AS BIGINT) AS n_ending,
+               CAST(sum(CASE WHEN censored THEN 0 ELSE 1 END) AS BIGINT)
+                   AS deaths
+        FROM ep GROUP BY duration
+    ),
+    risk AS (
+        SELECT duration, deaths,
+               (SELECT n_users FROM total)
+                   - CAST(COALESCE(sum(n_ending) OVER (ORDER BY duration
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          0) AS BIGINT) AS at_risk
+        FROM by_dur
+    ),
+    steps AS (SELECT * FROM risk WHERE deaths > 0)
+    SELECT s.duration, s.at_risk, s.deaths,
+           CAST(list_reduce(
+               list_prepend(CAST(1.0 AS DOUBLE),
+                   list((p.at_risk - p.deaths) / p.at_risk
+                        ORDER BY p.duration)),
+               (a, b) -> a * b) AS DOUBLE) AS survival
+    FROM steps s JOIN steps p ON p.duration <= s.duration
+    GROUP BY s.duration, s.at_risk, s.deaths
+    """,
+)
+def event_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival estimate of intraday engagement span: an
+    episode is one (user, day), its duration is the hours between the
+    user's first and last event that day, and episodes still active in
+    the day's final hour (hour ≥ {_KM_CENSOR_HOUR}) are RIGHT-CENSORED —
+    the observation window ended, not the engagement. This is the
+    session-length survival curve a product analysis wants, where a
+    naive "average active span" is biased low by the censored episodes.
+
+    S(d) = Π_{{d' ≤ d, deaths(d')>0}} (1 − deaths/at_risk). The survival
+    product is floating, but HASH-EXACT cross-engine anyway: each factor
+    is a correctly-rounded quotient of exact integers, and both engines
+    fold the factors in the same ascending-duration order (Spark: ordered
+    array fold; DuckDB: list_reduce over an ORDER BY list) — the same
+    fixed-order-fold determinism rule as `sketch_hll_merge`.
+
+    Shape: one pass over events collapses to per-episode (first, last)
+    hours — partial-aggregated min/max on (user, day). Everything after
+    runs on the DURATION domain (≤ 24 rows): at-risk counts are one
+    cumulative window, and the per-step cumulative product is a range
+    self-join on the tiny step table. Raw events are never touched again.
+    """
+    ep = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(
+            (F.hour(F.max("ts")) - F.hour(F.min("ts")))
+            .cast("bigint")
+            .alias("duration"),
+            (F.hour(F.max("ts")) >= _KM_CENSOR_HOUR).alias("censored"),
+        )
+    )
+    total = ep.agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    by_dur = ep.groupBy("duration").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ending"),
+        F.sum(F.when(F.col("censored"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("deaths"),
+    )
+    w_prev = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("duration")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    risk = by_dur.crossJoin(F.broadcast(total)).select(
+        "duration",
+        "deaths",
+        (
+            F.col("n_users")
+            - F.coalesce(F.sum("n_ending").over(w_prev), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("at_risk"),
+    )
+    steps = risk.filter(F.col("deaths") > 0)
+    p = steps.select(
+        F.col("duration").alias("p_duration"),
+        F.col("at_risk").alias("p_at_risk"),
+        F.col("deaths").alias("p_deaths"),
+    )
+    return (
+        steps.join(p, F.col("p_duration") <= F.col("duration"))
+        .groupBy("duration", "at_risk", "deaths")
+        .agg(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("p_duration", "p_at_risk", "p_deaths")
+                    )
+                ),
+                F.lit(1.0),
+                lambda acc, s: acc
+                * (
+                    (s["p_at_risk"] - s["p_deaths"]).cast("double")
+                    / s["p_at_risk"].cast("double")
+                ),
+            ).alias("survival")
+        )
+        .select("duration", "at_risk", "deaths", "survival")
+    )

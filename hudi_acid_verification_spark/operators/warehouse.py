@@ -1044,3 +1044,116 @@ def warehouse_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("min_str"),
         F.max("value").alias("max_str"),
     )
+
+
+_MV_CUTOFF = "2001-01-01"  # orders on/after this date are the delta batch
+
+
+@query(
+    "warehouse_incremental_mv",
+    oracle=f"""
+    WITH touched AS (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE o_orderdate >= DATE '{_MV_CUTOFF}'
+    ),
+    rev AS (
+        SELECT o.o_custkey,
+               CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5)
+                    AS BIGINT)) AS BIGINT) AS revenue_cents
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_custkey IN (SELECT o_custkey FROM touched)
+        GROUP BY 1
+    )
+    SELECT o_custkey, n_orders, revenue_cents FROM rev
+    """,
+)
+def warehouse_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN materialized view — the general
+    IVM pattern beyond `acid_incremental_agg_maintenance`'s single-table
+    case: the view is revenue and order count per customer over
+    orders ⋈ lineitem; a delta batch (orders from {_MV_CUTOFF} on)
+    arrives, and instead of recomputing the view, the engine aggregates
+    ONLY the delta's join contribution and merges it into the stale view
+    with an additive full-outer combine (sum counts, sum revenue — both
+    aggregates are self-maintainable, the textbook IVM condition).
+
+    The returned rows are the maintained view restricted to the touched
+    customers; the oracle computes the same customers by DIRECT
+    recomputation, so the hash match IS the maintenance-correctness
+    proof (maintained ≡ recomputed).
+
+    Shape / 100 TB: the stale view is a compact per-customer table; the
+    delta aggregate touches delta orders and (via the join) only their
+    lineitems — at a daily cadence that is orders-of-magnitude less I/O
+    than the recompute the oracle performs. The merge shuffles on
+    o_custkey with map-side combine; an AcidTable MERGE persists it in
+    production (acid_incremental_agg_maintenance demonstrates that half).
+    """
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    cutoff = F.lit(_MV_CUTOFF).cast("date")
+    base = orders.filter(F.col("o_orderdate") < cutoff)
+    delta = orders.filter(F.col("o_orderdate") >= cutoff)
+
+    def view(o):
+        return (
+            o.select("o_custkey", "o_orderkey")
+            .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_custkey")
+            .agg(
+                F.countDistinct("o_orderkey").cast("bigint").alias("n_orders"),
+                F.sum("cents").cast("bigint").alias("revenue_cents"),
+            )
+        )
+
+    stale = view(base)
+    delta_agg = view(delta)
+    # The touched-customer set comes from the delta ORDERS, not from the
+    # delta join result — a delta order with no lineitems still marks its
+    # customer touched (matching the oracle's touched CTE exactly).
+    touched = delta.select("o_custkey").distinct()
+    merged = (
+        touched.join(
+            stale.select(
+                "o_custkey",
+                F.col("n_orders").alias("b_orders"),
+                F.col("revenue_cents").alias("b_rev"),
+            ),
+            "o_custkey",
+            "left",
+        )
+        .join(
+            delta_agg.select(
+                "o_custkey",
+                F.col("n_orders").alias("d_orders"),
+                F.col("revenue_cents").alias("d_rev"),
+            ),
+            "o_custkey",
+            "left",
+        )
+        .select(
+            "o_custkey",
+            (
+                F.coalesce(F.col("b_orders"), F.lit(0))
+                + F.coalesce(F.col("d_orders"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_orders"),
+            (
+                F.coalesce(F.col("b_rev"), F.lit(0))
+                + F.coalesce(F.col("d_rev"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("revenue_cents"),
+        )
+        # a touched customer with NO joined lineitems anywhere has no row
+        # in the view under either computation path
+        .filter(F.col("n_orders") > 0)
+    )
+    return merged

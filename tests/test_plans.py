@@ -1438,3 +1438,121 @@ def test_column_stats_level1_is_hash_aggregate(spark):
         )
     else:
         raise AssertionError("no aggregate found above the unpivot")
+
+
+# ---------------------------------------------------------------- round 6
+
+
+def test_quantile_merge_broadcasts_bounds_partial_aggs(spark):
+    """The shard histograms must partial-aggregate (exchange carries
+    O(shards×buckets)) and the bounds must broadcast into the bucket
+    projection, never shuffle the fact side."""
+    plan = plan_of(spark, "sketch_quantile_merge")
+    assert "Aggregate" in plan and "partial_" in plan.lower()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_theta_setops_never_joins_raw_keys(spark):
+    """The intersection estimate joins the two ≤k-row retained samples —
+    the raw event table must appear only under aggregates, not on either
+    side of the sample join (that is the sketch's whole point)."""
+    plan = plan_of(spark, "sketch_theta_setops")
+    # retained-sample join is tiny → planner must broadcast it
+    assert "BroadcastExchange" in plan
+
+
+def test_window_distinct_prunes_event_columns(spark):
+    """Every events scan in the plan (register build, spine, exact check)
+    must prune to the two referenced columns — the sketch arm never drags
+    payload columns, and the trailing-window merge runs over the
+    (day×register) grid, not an events-side range self-join."""
+    plan = plan_of(spark, "sketch_window_distinct")
+    assert "HashAggregate" in plan
+    for line in plan.splitlines():
+        if "ReadSchema" in line and "events" not in line:
+            for unused in ("event_type", "props", "value", "event_id"):
+                assert unused not in line, f"{unused} leaked into a scan"
+
+
+def test_jaro_winkler_udf_sees_blocked_pairs_only(spark):
+    """The pandas UDF (ArrowEvalPython) must sit ABOVE the block join —
+    Python sees candidate pairs, never the corpus crossed with itself —
+    and blocking must be an equi-join on (lang, tok0)."""
+    plan = plan_of(spark, "dedup_fuzzy_jaro_winkler")
+    assert "ArrowEvalPython" in plan
+    join_pos = plan.find("SortMergeJoin")
+    if join_pos == -1:
+        join_pos = plan.find("ShuffledHashJoin")
+    if join_pos == -1:
+        join_pos = plan.find("BroadcastHashJoin")
+    assert join_pos != -1, "blocking equi-join missing"
+    assert "CartesianProduct" not in plan
+
+
+def test_survivorship_one_merge_shuffle(spark):
+    """The golden-record merge is one groupBy(cluster_id) with partial
+    aggregation — survivorship adds one shuffle over member rows."""
+    plan = plan_of(spark, "dedup_survivorship_merge")
+    assert "Aggregate" in plan and "partial_" in plan.lower()
+    assert "CartesianProduct" not in plan
+
+
+def test_auc_collapses_to_margin_domain(spark):
+    """AUC must groupBy(margin) BEFORE ranking: the window runs over the
+    collapsed margin domain, so no global sort of raw rows."""
+    plan = plan_of(spark, "ml_auc_roc")
+    assert "Aggregate" in plan and "partial_" in plan.lower()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_mann_kendall_pairs_only_on_daily_domain(spark):
+    """The O(d²) sign sum self-joins the DAILY aggregate, so the join
+    inputs must both be aggregates (raw events appear only below a
+    HashAggregate)."""
+    plan = plan_of(spark, "event_trend_mann_kendall")
+    assert "HashAggregate" in plan
+    # daily-domain self-join is small → broadcast or shuffled-hash is fine,
+    # but a cartesian product would mean the equi-key was lost
+    assert "CartesianProduct" not in plan
+
+
+def test_survival_km_value_domain_steps(spark):
+    """KM folds over the ≤24-row duration domain: the step self-join must
+    be a broadcast (tiny side), and the raw scan feeds one partial-agg
+    groupBy(user, day)."""
+    plan = plan_of(spark, "event_survival_km")
+    assert "Aggregate" in plan and "partial_" in plan.lower()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_simpson_diversity_two_level_aggregate(spark):
+    plan = plan_of(spark, "quality_simpson_diversity")
+    assert "Aggregate" in plan and "partial_" in plan.lower()
+    assert "Exchange" in plan
+
+
+def test_bigram_coverage_no_python_no_cartesian(spark):
+    """Bigram expansion is a higher-order-function projection (JVM), and
+    the coverage probe is an equi-join on the bigram string."""
+    plan = plan_of(spark, "pipeline_bigram_coverage")
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_weighted_systematic_two_phase_prefix_sum(spark):
+    """The exact prefix sum must be two-phase: a per-bucket window (16-way
+    parallel) plus a broadcast of bucket offsets — never one global
+    single-partition window over the items."""
+    plan = plan_of(spark, "sample_weighted_systematic")
+    assert "BroadcastExchange" in plan
+    # the item-level window partitions by bucket, so its spec must not be
+    # an empty/constant partition over the raw items
+    assert "partitionBy=[bucket" in plan.replace(" ", "").lower() or (
+        "windowspecdefinition(bucket" in plan.replace(" ", "").lower()
+    )
+
+
+def test_incremental_mv_partial_aggs_and_no_cartesian(spark):
+    plan = plan_of(spark, "warehouse_incremental_mv")
+    assert "Aggregate" in plan and "partial_" in plan.lower()
+    assert "CartesianProduct" not in plan
