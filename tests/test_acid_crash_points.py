@@ -202,3 +202,59 @@ def test_vacuum_reclaims_crashed_writer_debris(spark, crash_table, monkeypatch):
     after = data_files()
     assert after < with_debris, f"vacuum deleted no debris ({rep})"
     assert _state(crash_table) == before
+
+
+def test_streamer_crash_between_commit_and_checkpoint(
+    spark, tmp_path, monkeypatch
+):
+    """IngestStreamer's delivery contract (acid/streamer.py module
+    docstring): the ingest checkpoint is written AFTER the table commit,
+    so a crash between the two replays the same source files on restart —
+    and the idempotent keyed upsert makes the replay converge to the
+    identical table state (at-least-once delivery, effectively-once
+    result). Fault-inject the checkpoint write to simulate the crash."""
+    from hudi_acid_verification_spark.acid.streamer import IngestStreamer
+
+    t = AcidTable.create(
+        spark, str(tmp_path / "t"), _SCHEMA, pk="pk", partition_col="part"
+    )
+    drops = tmp_path / "drops"
+    _rows(spark, range(6), "b1").write.parquet(str(drops / "d1"))
+    s = IngestStreamer(t, str(drops / "*" / "*.parquet"))
+
+    died = {"n": 0}
+    real_save = IngestStreamer._save_processed
+
+    def dying_save(self, files):
+        died["n"] += 1
+        raise OSError("simulated crash before checkpoint write")
+
+    monkeypatch.setattr(IngestStreamer, "_save_processed", dying_save)
+    with pytest.raises(OSError, match="simulated crash"):
+        s.run_once(spark)
+    assert died["n"] == 1
+    monkeypatch.undo()
+
+    # the table commit LANDED (checkpoint-after-commit ordering) ...
+    committed = _state(t)
+    assert {r[0] for r in committed} == set(range(6))
+    v_after_crash = t.version()
+    # ... and the batch is still PENDING (checkpoint never advanced)
+    restarted = IngestStreamer(t, str(drops / "*" / "*.parquet"))
+    n_pending = len(restarted.pending())
+    assert n_pending >= 1
+
+    # restart replays the same files; the keyed upsert is idempotent, so
+    # the state is unchanged and the checkpoint finally advances
+    assert restarted.run_once(spark) == n_pending
+    assert _state(t) == committed, "replay must converge, not duplicate"
+    assert t.version() == v_after_crash + 1  # replay commit, same content
+    assert restarted.pending() == []
+    assert restarted.run_once(spark) == 0
+
+    # a second source drop flows normally after recovery
+    _rows(spark, range(4, 9), "b2").write.parquet(str(drops / "d2"))
+    assert restarted.run_once(spark) >= 1
+    assert {r[0] for r in _state(t)} == set(range(9))
+    # real checkpoint writer restored for later suites
+    assert IngestStreamer._save_processed is real_save

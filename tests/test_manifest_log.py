@@ -199,3 +199,163 @@ def test_delta_manifest_is_small_on_a_many_file_table(spark, tmp_path):
         f"({delta_size}B delta vs {full_size}B full, "
         f"{len(m.files)} live files)"
     )
+
+
+def _fake_entries(parts: int, per_part: int, tag: str = "a"):
+    return [
+        {
+            "file": f"part=p{p}/{tag}-{i:06d}.parquet",
+            "partition": f"p{p}",
+        }
+        for p in range(parts)
+        for i in range(per_part)
+    ]
+
+
+def test_sharded_checkpoint_roundtrip_and_pruned_read(spark, tmp_path):
+    """A checkpoint above _SHARD_MIN_FILES entries must carry shard_refs
+    (no inline file list), resolve to the identical entry set, and a
+    partition-pruned read must open only that partition's shards."""
+    from hudi_acid_verification_spark.acid.table import (
+        _Manifest, _SHARD_MIN_FILES,
+    )
+
+    t = AcidTable.create(
+        spark, str(tmp_path / "t"), _SCHEMA, pk="pk", partition_col="part"
+    )
+    m0 = t._read_manifest()
+    entries = _fake_entries(parts=10, per_part=100)
+    assert len(entries) >= _SHARD_MIN_FILES
+    m1 = _Manifest(
+        1, m0.schema, m0.pk, m0.partition_col, m0.precombine_col,
+        entries, m0.mode, m0.compact_every, op="upsert", dropped=[],
+    )
+    t._write_manifest_and_swap(m1, prev=m0)
+    raw = _raw(t, 1)
+    assert "shard_refs" in raw and "files" not in raw
+    assert sum(r["n"] for r in raw["shard_refs"]) == len(entries)
+    # full resolution round-trips the entry set exactly
+    got = t._read_manifest(version=1).files
+    assert sorted(e["file"] for e in got) == sorted(
+        e["file"] for e in entries
+    )
+    # pruned resolution touches only the requested partition's shards
+    pruned = t._read_manifest(version=1, partitions={"p3"}).files
+    assert len(pruned) == 100
+    assert all(e["partition"] == "p3" for e in pruned)
+
+
+def test_checkpoint_shards_reused_when_unchanged(spark, tmp_path):
+    """Content addressing is the write-cost bound: re-encoding a
+    checkpoint after touching ONE partition must write only that
+    partition's shard files — the other shards are byte-identical and
+    reused by name."""
+    from hudi_acid_verification_spark.acid.table import _Manifest
+
+    t = AcidTable.create(
+        spark, str(tmp_path / "t"), _SCHEMA, pk="pk", partition_col="part"
+    )
+    m0 = t._read_manifest()
+    entries = _fake_entries(parts=10, per_part=100)
+    m1 = _Manifest(
+        1, m0.schema, m0.pk, m0.partition_col, m0.precombine_col,
+        entries, m0.mode, m0.compact_every, op="upsert", dropped=[],
+    )
+    t._encode_full(m1)
+    before = set(os.listdir(t._shard_dir))
+    assert len(before) == 10  # one shard per partition at this size
+    changed = entries + [
+        {"file": "part=p0/extra-1.parquet", "partition": "p0"}
+    ]
+    m2 = _Manifest(
+        2, m0.schema, m0.pk, m0.partition_col, m0.precombine_col,
+        changed, m0.mode, m0.compact_every, op="upsert", dropped=[],
+    )
+    payload = json.loads(t._encode_full(m2))
+    after = set(os.listdir(t._shard_dir))
+    assert len(after - before) == 1, "only p0's shard may be rewritten"
+    reused = {r["name"] for r in payload["shard_refs"]} & before
+    assert len(reused) == 9
+
+
+def test_sharded_checkpoint_at_1e5_files_writes_only_changed_shards(
+    spark, tmp_path
+):
+    """The 1e5-entry regime the sharding exists for: the second
+    checkpoint's I/O is bounded by the changed partition (≤2 shard files
+    of ~5k entries), not the 100k-entry list, and a pruned read parses
+    one partition's shards only."""
+    import time as _time
+
+    from hudi_acid_verification_spark.acid.table import _Manifest
+
+    t = AcidTable.create(
+        spark, str(tmp_path / "t"), _SCHEMA, pk="pk", partition_col="part"
+    )
+    m0 = t._read_manifest()
+    entries = _fake_entries(parts=20, per_part=5000)  # 100k entries
+    m1 = _Manifest(
+        1, m0.schema, m0.pk, m0.partition_col, m0.precombine_col,
+        entries, m0.mode, m0.compact_every, op="upsert", dropped=[],
+    )
+    t0 = _time.perf_counter()
+    t._write_manifest_and_swap(m1, prev=m0)
+    first_write = _time.perf_counter() - t0
+    n_shards = len(os.listdir(t._shard_dir))
+    assert n_shards >= 20
+    changed = entries + [
+        {"file": "part=p7/extra-1.parquet", "partition": "p7"}
+    ]
+    m2 = _Manifest(
+        2, m0.schema, m0.pk, m0.partition_col, m0.precombine_col,
+        changed, m0.mode, m0.compact_every, op="upsert", dropped=[],
+    )
+    before = set(os.listdir(t._shard_dir))
+    t0 = _time.perf_counter()
+    payload = t._encode_full(m2)
+    second_encode = _time.perf_counter() - t0
+    new_shards = set(os.listdir(t._shard_dir)) - before
+    assert len(new_shards) <= 2, "re-encode must write only p7's shards"
+    # manifest list itself stays tiny (refs, not entries)
+    assert len(payload) < 0.05 * (100_000 * 40)
+    # pruned read opens only p7's shards
+    t._write_manifest_and_swap(m2, prev=m1)
+    pruned = t._read_manifest(version=2, partitions={"p7"}).files
+    assert len(pruned) == 5001
+    # loose wall bound: the changed-shard encode must not cost like the
+    # full 40-shard write (hash pass over entries is CPU-only; the I/O is
+    # 1-2 shard files)
+    assert second_encode < max(1.0, first_write), (
+        f"second encode {second_encode:.2f}s vs first write "
+        f"{first_write:.2f}s"
+    )
+
+
+def test_vacuum_gcs_unreferenced_shards(spark, tmp_path):
+    """Shards referenced by NO retained manifest are garbage after the
+    log-tail compaction; vacuum must delete them (zero grace) and keep
+    every referenced shard readable."""
+    from hudi_acid_verification_spark.acid.table import _Manifest
+
+    t = AcidTable.create(
+        spark, str(tmp_path / "t"), _SCHEMA, pk="pk", partition_col="part"
+    )
+    m0 = t._read_manifest()
+    prev = m0
+    for v in range(1, 6):
+        # each version rewrites one partition's entries (distinct tag) so
+        # old checkpoints pin shards newer ones no longer reference
+        entries = _fake_entries(parts=10, per_part=100, tag=f"v{v}")
+        m = _Manifest(
+            v, m0.schema, m0.pk, m0.partition_col, m0.precombine_col,
+            entries, m0.mode, m0.compact_every, op="upsert", dropped=[],
+        )
+        t._write_manifest_and_swap(m, prev=prev)
+        prev = m
+    n_before = len(os.listdir(t._shard_dir))
+    rep = t.vacuum(retain_versions=2, orphan_grace_seconds=0.0)
+    assert rep["dropped_shards"] > 0
+    assert len(os.listdir(t._shard_dir)) < n_before
+    # retained versions still resolve completely
+    for v in (4, 5):
+        assert len(t._read_manifest(version=v).files) == 1000
