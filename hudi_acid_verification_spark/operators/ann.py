@@ -872,15 +872,17 @@ def _lsh_band_pairs(
     # (dedup_embedding_lsh, similarity_knn_graph, the _dup_pairs edge
     # list behind components/group-split) consume this same rescored
     # per-band pair stream — stage the bucket rescore once per
-    # (context, plan) and fan the consumers out from the blocks.
-    # LIMITATION: constants bound into the rescore CLOSURE (tau, matmul
-    # chunk) are invisible to the plan key — a test overriding them must
-    # clear operators._ONCE to force a rebuild (plan-visible parameters
-    # like bucket_cap and the plane literals key correctly on their own).
+    # (context, plan, closure params) and fan the consumers out from the
+    # blocks. Constants bound into the rescore CLOSURE (tau, matmul
+    # chunk) are invisible to the canonicalized plan, so they ride in
+    # extra_key: an override (test monkeypatch, future parameterization)
+    # rebuilds instead of silently serving rows scored under the old
+    # threshold (ADVICE r5).
     return materialize_once(
         bands.groupBy("band_id", "band_key", "g1", "g2").applyInPandas(
             rescore, "lo bigint, hi bigint, cosine double"
-        )
+        ),
+        extra_key=f"tau={_DUP_TAU}:chunk={chunk}",
     )
 
 

@@ -65,3 +65,58 @@ def test_graph_consumers_share_one_staging(spark):
     ops.QUERIES["graph_triangle_count"](spark, SF_SMALL).collect()
     # triangle count adds NO new staging for the shared full edge list
     assert len(ops._ONCE) == n_after_first
+
+
+def test_lru_eviction_bounds_cache_and_rebuilds(spark, monkeypatch):
+    """VERDICT r5 #2: the staged-artifact cache must be bounded. Past
+    _ONCE_MAX the least-recently-used entry is evicted, and a re-request
+    of an evicted plan rebuilds with identical rows."""
+    ops._ONCE.clear()
+    monkeypatch.setattr(ops, "_ONCE_MAX", 3)
+    base = load(spark, SF_SMALL, "nation").select("n_nationkey")
+    staged = [
+        materialize_once(base.filter(F.col("n_nationkey") % 7 == r))
+        for r in range(3)
+    ]
+    assert len(ops._ONCE) == 3
+    first_rows = {r["n_nationkey"] for r in staged[0].collect()}
+    # touching an entry refreshes its LRU position: re-request plan 0,
+    # then insert a 4th — plan 1 (now oldest) must be the eviction victim
+    assert materialize_once(base.filter(F.col("n_nationkey") % 7 == 0)) is staged[0]
+    materialize_once(base.filter(F.col("n_nationkey") % 7 == 3))
+    assert len(ops._ONCE) == 3
+    assert materialize_once(base.filter(F.col("n_nationkey") % 7 == 0)) is staged[0]
+    rebuilt = materialize_once(base.filter(F.col("n_nationkey") % 7 == 1))
+    assert rebuilt is not staged[1], "evicted entry must rebuild"
+    assert {r["n_nationkey"] for r in rebuilt.collect()} == {
+        r["n_nationkey"] for r in staged[1].collect()
+    }
+    # and the re-staged plan 0 still serves the same rows
+    assert {r["n_nationkey"] for r in staged[0].collect()} == first_rows
+    ops._ONCE.clear()
+
+
+def test_extra_key_separates_closure_variants(spark):
+    """ADVICE r5: parameters invisible to the canonicalized plan (closure
+    constants) must key separately via extra_key — same plan, different
+    extra_key, different staged artifact."""
+    ops._ONCE.clear()
+    base = load(spark, SF_SMALL, "region").select("r_regionkey")
+    a = materialize_once(base, extra_key="tau=0.35")
+    b = materialize_once(base, extra_key="tau=0.50")
+    assert a is not b
+    assert materialize_once(base, extra_key="tau=0.35") is a
+    ops._ONCE.clear()
+
+
+def test_dead_context_entries_dropped_on_insert(spark):
+    """Entries keyed by a dead SparkContext pin nothing useful (their
+    checkpointed blocks died with the context) — the next insert sweeps
+    them."""
+    ops._ONCE.clear()
+    base = load(spark, SF_SMALL, "region").select("r_regionkey")
+    live = materialize_once(base)
+    ops._ONCE[("app-deadbeef", "x" * 64)] = live  # simulated dead entry
+    materialize_once(base.filter(F.col("r_regionkey") >= 0))
+    assert ("app-deadbeef", "x" * 64) not in ops._ONCE
+    ops._ONCE.clear()
