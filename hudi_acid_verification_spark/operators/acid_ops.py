@@ -1091,32 +1091,42 @@ def acid_table_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hudi_acid_verification_spark",
         f"acid_detail_{os.path.basename(sf_dir.rstrip('/'))}",
     )
-    shutil.rmtree(base, ignore_errors=True)
-    orders = (
-        load(spark, sf_dir, "orders")
-        .filter(F.col("o_orderkey") % 10 == 0)
-        .select(
-            "o_orderkey", "o_orderpriority",
-            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+
+    def build() -> dict:
+        orders = (
+            load(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") % 10 == 0)
+            .select(
+                "o_orderkey", "o_orderpriority",
+                F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            )
         )
-    )
-    schema = T.StructType(
-        [
-            T.StructField("o_orderkey", T.LongType(), False),
-            T.StructField("o_orderpriority", T.StringType(), False),
-            T.StructField("o_totalprice", T.DoubleType(), True),
-        ]
-    )
-    table = AcidTable.create(
-        spark, base, schema,
-        pk="o_orderkey", partition_col="o_orderpriority",
-        precombine_col=None, mode="mor",
-    )
-    table.upsert(orders)
-    table.upsert(orders.limit(50).withColumn("o_totalprice", F.lit(1.0)))
-    probe = [int(r[0]) for r in orders.limit(3).collect()]
-    table.delete(probe)
-    table.compact()
+        schema = T.StructType(
+            [
+                T.StructField("o_orderkey", T.LongType(), False),
+                T.StructField("o_orderpriority", T.StringType(), False),
+                T.StructField("o_totalprice", T.DoubleType(), True),
+            ]
+        )
+        t = AcidTable.create(
+            spark, base, schema,
+            pk="o_orderkey", partition_col="o_orderpriority",
+            precombine_col=None, mode="mor",
+        )
+        t.upsert(orders)
+        t.upsert(orders.limit(50).withColumn("o_totalprice", F.lit(1.0)))
+        probe = [int(r[0]) for r in orders.limit(3).collect()]
+        t.delete(probe)
+        t.compact()
+        return {}
+
+    # build-once memo (VERDICT r5 plan audit: "memo-eligible if it
+    # grows"): the lifecycle commits run once per (code, storage-layer,
+    # fixture) state; the PROBE phase below — the timeline walk and the
+    # per-version time-traveled counts, i.e. the observability surface
+    # the demo exists to exhibit — always runs live against the table.
+    _lifecycle_memo(base, _memo_token(acid_table_detail, sf_dir), build)
+    table = AcidTable(spark, base)
 
     rows = []
     for name in sorted(os.listdir(table._manifest_dir)):

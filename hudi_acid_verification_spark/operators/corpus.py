@@ -1183,27 +1183,36 @@ def pipeline_bigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("seen", F.lit(True))
     )
-    eval_bg = bigrams.filter(F.col("doc_id") % _BG_CORPUS_MOD != 0).select(
-        "source", "bg"
+    # collapse eval INSTANCES to (source, type) + count BEFORE the
+    # coverage join: the join then shuffles distinct types (a small
+    # fraction of token instances — the Heaps'-law gap), and the instance
+    # tallies ride along as integer weights. Values identical to joining
+    # raw instances; the oracle spells the plain instance join.
+    eval_types = (
+        bigrams.filter(F.col("doc_id") % _BG_CORPUS_MOD != 0)
+        .groupBy("source", "bg")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_inst"))
     )
-    hits = eval_bg.join(train, "bg", "left").select(
-        "source", "bg", F.coalesce(F.col("seen"), F.lit(False)).alias("seen")
+    hits = eval_types.join(train, "bg", "left").select(
+        "source",
+        "n_inst",
+        F.coalesce(F.col("seen"), F.lit(False)).alias("seen"),
     )
     return hits.groupBy("source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
-        F.sum(F.when(F.col("seen"), 1).otherwise(0))
+        F.sum("n_inst").cast("bigint").alias("n_bigrams"),
+        F.sum(F.when(F.col("seen"), F.col("n_inst")).otherwise(0))
         .cast("bigint")
         .alias("n_seen"),
         F.expr(
-            "CAST(sum(CASE WHEN seen THEN 1 ELSE 0 END) * 10000"
-            " DIV count(*) AS BIGINT)"
+            "CAST(sum(CASE WHEN seen THEN n_inst ELSE 0 END) * 10000"
+            " DIV sum(n_inst) AS BIGINT)"
         ).alias("coverage_x10k"),
-        F.countDistinct("bg").cast("bigint").alias("n_distinct"),
-        F.countDistinct(F.when(F.col("seen"), F.col("bg")))
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.sum(F.when(F.col("seen"), 1).otherwise(0))
         .cast("bigint")
         .alias("n_distinct_seen"),
         F.expr(
-            "CAST(count(DISTINCT CASE WHEN seen THEN bg END) * 10000"
-            " DIV count(DISTINCT bg) AS BIGINT)"
+            "CAST(sum(CASE WHEN seen THEN 1 ELSE 0 END) * 10000"
+            " DIV count(*) AS BIGINT)"
         ).alias("distinct_coverage_x10k"),
     )

@@ -40,11 +40,12 @@ def _jaro_winkler(s1: str, s2: str) -> float:
     prefix capped at 4, scale 0.1. Verified bit-identical on the fixture
     and on the classic test vectors (martha/marhta, DIXON/DICKSONX, ...).
     """
-    if s1 == s2:
-        return 1.0
     l1, l2 = len(s1), len(s2)
+    # empties first: DuckDB scores ("", "") as 0.0, not 1.0
     if not l1 or not l2:
         return 0.0
+    if s1 == s2:
+        return 1.0
     md = max(l1, l2) // 2 - 1
     m1 = [False] * l1
     m2 = [False] * l2

@@ -1157,3 +1157,96 @@ def warehouse_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_orders") > 0)
     )
     return merged
+
+
+@query(
+    "warehouse_scd2_build",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type,
+               epoch_ns(ts) AS ts_ns, event_id,
+               lag(event_type) OVER w AS prev_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+    ),
+    changes AS (
+        SELECT user_id, event_type, ts_ns, event_id,
+               CAST(sum(CASE WHEN prev_type IS NULL
+                             OR prev_type <> event_type
+                        THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id
+                          ORDER BY ts_ns, event_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
+        FROM ordered
+    ),
+    runs AS (
+        SELECT user_id, run_id,
+               min(event_type) AS attr,
+               CAST(min(ts_ns) AS BIGINT) AS valid_from_ns,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM changes GROUP BY 1, 2
+    )
+    SELECT user_id, run_id AS version_seq, attr, valid_from_ns,
+           CAST(COALESCE(lead(valid_from_ns) OVER (
+                    PARTITION BY user_id ORDER BY run_id) - 1, -1)
+                AS BIGINT) AS valid_to_ns,
+           (lead(valid_from_ns) OVER (
+                PARTITION BY user_id ORDER BY run_id) IS NULL)
+               AS is_current,
+           n_events
+    FROM runs
+    """,
+)
+def warehouse_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUILD an SCD2 (slowly-changing-dimension type 2) table from a raw
+    change stream — the write-side companion of `join_scd2_point_in_time`
+    (which consumes one): collapse each user's event-type history into
+    versioned validity runs with [valid_from, valid_to] nanosecond
+    bounds, a version sequence, and an is_current flag (open interval
+    encoded as valid_to = -1 so every emitted value stays an exact
+    BIGINT).
+
+    The classic three-window derivation, all on integer nanoseconds:
+    lag() marks attribute changes, a cumulative sum over change flags
+    assigns run ids (the gaps-and-islands identity), and lead() over the
+    per-run minima closes each version's interval against the next.
+
+    Scale shape: every window partitions by user_id — Spark shuffles
+    once on user_id and all three windows (plus the run groupBy) reuse
+    that single partitioning, which WindowExec's required-distribution
+    matching guarantees; nothing here is a global sort. The run table is
+    a partial-aggregated groupBy. At 100 TB this is the standard
+    dimension-build: one shuffle by entity key, windows within.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    changes = ev.select(
+        "user_id", "event_type", "ts_ns", "event_id",
+        (
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type"))
+        ).cast("int").alias("chg"),
+    ).select(
+        "user_id", "event_type", "ts_ns", "event_id",
+        F.sum("chg").over(
+            Window.partitionBy("user_id")
+            .orderBy("ts_ns", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("bigint").alias("run_id"),
+    )
+    runs = changes.groupBy("user_id", "run_id").agg(
+        F.min("event_type").alias("attr"),
+        F.min("ts_ns").cast("bigint").alias("valid_from_ns"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    w_run = Window.partitionBy("user_id").orderBy("run_id")
+    nxt = F.lead("valid_from_ns").over(w_run)
+    return runs.select(
+        "user_id",
+        F.col("run_id").alias("version_seq"),
+        "attr",
+        "valid_from_ns",
+        F.coalesce(nxt - 1, F.lit(-1)).cast("bigint").alias("valid_to_ns"),
+        nxt.isNull().alias("is_current"),
+        "n_events",
+    )

@@ -1556,3 +1556,19 @@ def test_incremental_mv_partial_aggs_and_no_cartesian(spark):
     plan = plan_of(spark, "warehouse_incremental_mv")
     assert "Aggregate" in plan and "partial_" in plan.lower()
     assert "CartesianProduct" not in plan
+
+
+def test_scd2_build_single_entity_shuffle(spark):
+    """All three windows and the run groupBy key on user_id: the plan must
+    carry exactly ONE hashpartitioning exchange on user_id (WindowExec's
+    required-distribution reuse), with partial aggregation for the runs."""
+    plan = plan_of(spark, "warehouse_scd2_build")
+    assert "Aggregate" in plan and "partial_" in plan.lower()
+    user_exchanges = [
+        ln for ln in plan.splitlines()
+        if "hashpartitioning" in ln and "user_id" in ln
+    ]
+    assert len(user_exchanges) <= 1, (
+        f"user_id repartitioned {len(user_exchanges)}× — windows must "
+        "reuse one exchange"
+    )
