@@ -90,13 +90,15 @@ def main() -> None:
     for _pass in range(2):
         for name in sorted(queries):
             samples[name].append(run_one(name))
-    # Headline queries get a THIRD warm sample so their reported number is
-    # a median of the warm runs — robust to one-off box noise, which at the
-    # ±0.02-0.2 s/query driver-vs-idle drift band (README) otherwise makes
-    # sub-0.5 s round-over-round deltas unreadable (VERDICT r5 #3). The
-    # cold first pass stays excluded (it measures codegen, not the engine).
-    for name in sorted(n for n in headline if n in queries):
-        samples[name].append(run_one(name))
+    # Headline queries get TWO extra samples (three warm in total, the
+    # cold first pass excluded — it measures codegen, not the engine) so
+    # their reported number is a true median of 3 warm runs: robust to
+    # one-off box noise, which at the ±0.02-0.2 s/query driver-vs-idle
+    # drift band (README) otherwise makes sub-0.5 s round-over-round
+    # deltas unreadable (VERDICT r5 #3).
+    for _extra in range(2):
+        for name in sorted(n for n in headline if n in queries):
+            samples[name].append(run_one(name))
 
     def median(xs: list[float]) -> float:
         s = sorted(xs)
