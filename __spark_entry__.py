@@ -152,7 +152,7 @@ _CERT_ORDER = [
     "ml_auc_roc", "event_trend_mann_kendall", "event_survival_km",
     "quality_simpson_diversity", "pipeline_bigram_coverage",
     "sample_weighted_systematic", "warehouse_incremental_mv",
-    "warehouse_scd2_build",
+    "warehouse_scd2_build", "window_bollinger_breach",
     # tier 4 — rows-only by design
     "pipeline_bpe_merges", "pipeline_bpe_encode",
     "agg_approx_distinct", "multimodal_decode_features",

@@ -977,3 +977,95 @@ def event_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("duration", "at_risk", "deaths", "survival")
     )
+
+
+_BB_WINDOW = 20  # trailing days in the band
+
+
+@query(
+    "window_bollinger_breach",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    framed AS (
+        SELECT event_type, day, v,
+               CAST(count(*) OVER w AS BIGINT) AS n,
+               CAST(sum(v) OVER w AS BIGINT) AS s1,
+               CAST(sum(v * v) OVER w AS BIGINT) AS s2
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN {_BB_WINDOW - 1} PRECEDING
+                           AND CURRENT ROW)
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day, v AS v_cents,
+           n AS n_window,
+           CAST(s1 * 100 // n AS BIGINT) AS mean_x100,
+           CAST(n * s2 - s1 * s1 AS BIGINT) AS var_num,
+           ((v * n - s1) > 0 AND
+            (v * n - s1) * (v * n - s1) > 4 * (n * s2 - s1 * s1))
+               AS breach_upper,
+           ((v * n - s1) < 0 AND
+            (v * n - s1) * (v * n - s1) > 4 * (n * s2 - s1 * s1))
+               AS breach_lower
+    FROM framed
+    """,
+)
+def window_bollinger_breach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger-band breach detection over the daily value series: for
+    each (event_type, day), is the day's value more than 2 trailing
+    standard deviations above/below the trailing {_BB_WINDOW}-day mean —
+    the classic volatility-scaled anomaly band (complements
+    `event_burst_zscore`'s fixed z-score with a rolling-σ one).
+
+    σ is irrational, so the band test runs ENTIRELY in integers via the
+    squared cross-multiplied identity:
+        |v − s1/n| > 2·σ  ⇔  (v·n − s1)² > 4·(n·s2 − s1²)
+    with s1 = Σv, s2 = Σv² over the trailing frame (cents keep every
+    term < 2⁶³). The mean (×100, integer DIV) and the variance numerator
+    ride along, so every emitted value hashes cross-engine — no sqrt, no
+    float variance, same no-transcendentals rule as the whole family.
+
+    Shape: one partial-aggregated groupBy to the daily domain, then one
+    window per event_type over ≤ |days| rows with count/sum/sum-of-
+    squares in a single frame pass. Raw events are scanned once.
+    """
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+            .cast("bigint")
+            .alias("v")
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-(_BB_WINDOW - 1), 0)
+    )
+    framed = daily.select(
+        "event_type",
+        "day",
+        "v",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n"),
+        F.sum("v").over(w).cast("bigint").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).over(w).cast("bigint").alias("s2"),
+    )
+    dev = F.col("v") * F.col("n") - F.col("s1")
+    var4 = 4 * (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
+    return framed.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("v").alias("v_cents"),
+        F.col("n").alias("n_window"),
+        F.expr("CAST(s1 * 100 DIV n AS BIGINT)").alias("mean_x100"),
+        (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
+        .cast("bigint")
+        .alias("var_num"),
+        ((dev > 0) & (dev * dev > var4)).alias("breach_upper"),
+        ((dev < 0) & (dev * dev > var4)).alias("breach_lower"),
+    )

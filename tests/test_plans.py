@@ -1572,3 +1572,14 @@ def test_scd2_build_single_entity_shuffle(spark):
         f"user_id repartitioned {len(user_exchanges)}× — windows must "
         "reuse one exchange"
     )
+
+
+def test_bollinger_collapses_then_single_window(spark):
+    """Bollinger runs on the daily domain: one partial-aggregated groupBy
+    over raw events, then one window frame computing count/sum/sum-sq
+    together; no Python, no join at all."""
+    plan = plan_of(spark, "window_bollinger_breach")
+    assert "Aggregate" in plan and "partial_" in plan.lower()
+    assert "Join" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert plan.count("Window") >= 1
