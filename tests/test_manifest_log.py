@@ -359,3 +359,62 @@ def test_vacuum_gcs_unreferenced_shards(spark, tmp_path):
     # retained versions still resolve completely
     for v in (4, 5):
         assert len(t._read_manifest(version=v).files) == 1000
+
+
+@pytest.mark.soak  # ~2 min: real MOR table grown past the shard threshold
+def test_real_table_crosses_shard_threshold_and_stays_consistent(
+    spark, tmp_path
+):
+    """Integration (not synthetic manifests): grow a real MOR table past
+    _SHARD_MIN_FILES live entries with plain upserts, so a periodic
+    checkpoint genuinely shards; then every resolution path — full read,
+    time travel across the sharded checkpoint, partition-pruned read,
+    vacuum + tail compaction, post-vacuum commits — must agree with an
+    independently tracked expectation."""
+    from hudi_acid_verification_spark.acid.table import (
+        _CHECKPOINT_EVERY, _SHARD_MIN_FILES,
+    )
+
+    t = AcidTable.create(
+        spark, str(tmp_path / "t"), _SCHEMA,
+        pk="pk", partition_col="part", mode="mor",
+    )
+    expected: dict[int, set] = {}
+    sharded_cp = None
+    v = 0
+    # MOR append-only: each upsert adds ~2 files; run until a CHECKPOINT
+    # version lands with >= _SHARD_MIN_FILES live entries, then a bit more
+    while v < 200:
+        keys = [v % 37, 1000 + v, 2000 + 2 * v]
+        t.upsert(_rows(spark, keys, f"c{v}"))
+        v = t.version()
+        if v % 8 == 0:  # track a subset of versions (collect is slow)
+            expected[v] = _state(t)
+        if (
+            sharded_cp is None
+            and v % _CHECKPOINT_EVERY == 0
+            and len(t._read_manifest().files) >= _SHARD_MIN_FILES
+        ):
+            sharded_cp = v
+        if sharded_cp is not None and v >= sharded_cp + 6:
+            break
+    assert sharded_cp is not None, "table never crossed the shard threshold"
+    raw = _raw(t, sharded_cp)
+    assert "shard_refs" in raw and "files" not in raw
+    # time travel THROUGH the sharded checkpoint and around it
+    for ver, want in expected.items():
+        assert _state(t, ver) == want, f"v{ver} diverged"
+    # partition-pruned read on the sharded head: p0 rows only, exact
+    full_now = _state(t)
+    p0 = {
+        (r["pk"], r["val"])
+        for r in t.snapshot(partitions=["p0"]).collect()
+    }
+    assert p0 == {x for x in full_now if x[0] % 2 == 0}
+    # vacuum: tail compaction + shard GC, retained versions intact
+    rep = t.vacuum(retain_versions=5, orphan_grace_seconds=0.0)
+    assert rep["retained_from_version"] > 0
+    assert _state(t) == full_now
+    # and the table keeps committing after all of it
+    t.upsert(_rows(spark, [9999], "post"))
+    assert (9999, "post-9999") in _state(t)
