@@ -2757,7 +2757,10 @@ class AcidTable:
             if os.path.isdir(self._shard_dir):
                 now_s = time.time()
                 for sname in os.listdir(self._shard_dir):
-                    if not sname.endswith(".json") or sname in live_shards:
+                    # anything in shards/ that no retained manifest
+                    # references is garbage — including `.tmp.` files a
+                    # crashed writer left mid-rename
+                    if sname in live_shards:
                         continue
                     spath = os.path.join(self._shard_dir, sname)
                     try:

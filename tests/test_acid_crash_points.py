@@ -258,3 +258,64 @@ def test_streamer_crash_between_commit_and_checkpoint(
     assert {r[0] for r in _state(t)} == set(range(9))
     # real checkpoint writer restored for later suites
     assert IngestStreamer._save_processed is real_save
+
+
+def test_crash_mid_shard_write_leaves_old_checkpoint_readable(
+    spark, tmp_path, monkeypatch
+):
+    """Writer dies while writing a SHARDED checkpoint's shard files (r6
+    encoding): some new content-addressed shards exist on disk, the
+    checkpoint manifest was never swapped in. Readers stay on the old
+    snapshot, the table stays writable, and zero-grace vacuum reclaims
+    the orphan shards no manifest references."""
+    from hudi_acid_verification_spark.acid.table import _Manifest
+
+    t = AcidTable.create(
+        spark, str(tmp_path / "t"), _SCHEMA, pk="pk", partition_col="part"
+    )
+    t.upsert(_rows(spark, range(4), "base"))
+    before = _state(t)
+    v_before = t.version()
+
+    # a big synthetic full manifest that will shard (the crash target)
+    entries = [
+        {"file": f"part=p{p}/x-{i:05d}.parquet", "partition": f"p{p}"}
+        for p in range(6)
+        for i in range(100)
+    ]
+    m_big = _Manifest(
+        v_before + 1, t._read_manifest().schema, "pk", "part", None,
+        entries, "cow", None, op="upsert", dropped=[],
+    )
+
+    real_rename = os.rename
+    seen = {"n": 0}
+
+    def failing(src, dst):
+        if os.sep + "shards" + os.sep in dst:
+            seen["n"] += 1
+            if seen["n"] >= 3:
+                raise RuntimeError("simulated crash mid shard write")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", failing)
+    with pytest.raises(RuntimeError, match="mid shard write"):
+        t._write_manifest_and_swap(m_big, prev=t._read_manifest())
+    assert seen["n"] >= 3
+    monkeypatch.undo()
+
+    # old snapshot intact on both the crashed handle and a fresh one;
+    # orphan shards exist but are unreferenced
+    assert _state(t) == before
+    assert t.version() == v_before
+    fresh = AcidTable(spark, t.path)
+    assert _state(fresh) == before
+    orphans = set(os.listdir(t._shard_dir))
+    assert len(orphans) >= 2, "crash left no shard orphans to reclaim"
+
+    # the table keeps committing, and vacuum reclaims the orphans
+    t.upsert(_rows(spark, [99], "post"))
+    assert (99, "p1", "post-99") in _state(t)
+    rep = t.vacuum(retain_versions=1, orphan_grace_seconds=0.0)
+    assert rep["dropped_shards"] >= len(orphans)
+    assert _state(t) == _state(AcidTable(spark, t.path))
