@@ -153,6 +153,7 @@ _CERT_ORDER = [
     "quality_simpson_diversity", "pipeline_bigram_coverage",
     "sample_weighted_systematic", "warehouse_incremental_mv",
     "warehouse_scd2_build", "window_bollinger_breach",
+    "dedup_threshold_sweep",
     # tier 4 — rows-only by design
     "pipeline_bpe_merges", "pipeline_bpe_encode",
     "agg_approx_distinct", "multimodal_decode_features",

@@ -1542,3 +1542,85 @@ def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("knn_rank") <= _KNN_K)
         .select("vec_id", "neighbor_id", "knn_rank", "cosine")
     )
+
+
+_SWEEP_TAUS = (0.35, 0.5, 0.7, 0.9)
+
+
+def _sweep_oracle() -> str:
+    taus = ", ".join(str(t) for t in _SWEEP_TAUS)
+    return f"""
+    {_scored_pairs_cte()},
+    dedup AS (SELECT DISTINCT lo, hi, cosine FROM scored),
+    n_corpus AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+    ts AS (SELECT unnest([{taus}]) AS tau)
+    SELECT CAST(ts.tau * 100 AS BIGINT) AS tau_x100,
+           CAST(count(CASE WHEN d.cosine >= ts.tau THEN 1 END) AS BIGINT)
+               AS n_pairs,
+           CAST(count(DISTINCT CASE WHEN d.cosine >= ts.tau THEN d.hi END)
+                AS BIGINT) AS n_docs_flagged,
+           CAST(count(DISTINCT CASE WHEN d.cosine >= ts.tau THEN d.hi END)
+                * 10000 // min(n_corpus.n) AS BIGINT) AS flagged_rate_x10k
+    FROM ts
+    CROSS JOIN n_corpus
+    LEFT JOIN dedup d ON d.cosine >= ts.tau
+    GROUP BY ts.tau
+    """
+
+
+@query("dedup_threshold_sweep", oracle=_sweep_oracle())
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-threshold sensitivity sweep: pair counts, flagged-document
+    counts, and corpus flagged-rate at several cosine thresholds, all
+    from ONE pass over the staged LSH candidate pairs — the table a data
+    curator reads before PICKING tau (how much of the corpus does 0.7
+    remove vs 0.9?), priced at marginal cost because the expensive
+    candidate generation + exact rescore is the same staged artifact
+    every other LSH consumer reuses.
+
+    Sweeping above the generation threshold (tau={_DUP_TAU}) is sound:
+    candidates are a superset of every stricter threshold's pairs.
+    Cosines are bit-identical cross-engine (exact int64 dots, one double
+    divide — the `dedup_embedding_lsh` exactness argument), so the
+    threshold memberships and counts hash exactly.
+
+    Shape: thresholds explode against the deduped pair set (tiny); the
+    aggregates are conditional sums — no per-threshold rescan of
+    anything.
+    """
+    pairs = (
+        _lsh_band_pairs(spark, sf_dir)
+        .select("lo", "hi", "cosine")
+        .dropDuplicates(["lo", "hi"])
+    )
+    n_corpus = load(spark, sf_dir, "embeddings").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    ts = spark.range(1).select(
+        F.explode(F.array(*[F.lit(t) for t in _SWEEP_TAUS])).alias("tau")
+    )
+    return (
+        ts.crossJoin(F.broadcast(n_corpus))
+        .join(F.broadcast(pairs), F.col("cosine") >= F.col("tau"), "left")
+        .groupBy("tau")
+        .agg(
+            F.count(F.when(F.col("cosine") >= F.col("tau"), 1))
+            .cast("bigint")
+            .alias("n_pairs"),
+            F.countDistinct(
+                F.when(F.col("cosine") >= F.col("tau"), F.col("hi"))
+            )
+            .cast("bigint")
+            .alias("n_docs_flagged"),
+            F.expr(
+                "CAST(count(DISTINCT CASE WHEN cosine >= tau THEN hi END)"
+                " * 10000 DIV min(n) AS BIGINT)"
+            ).alias("flagged_rate_x10k"),
+        )
+        .select(
+            (F.col("tau") * 100).cast("bigint").alias("tau_x100"),
+            "n_pairs",
+            "n_docs_flagged",
+            "flagged_rate_x10k",
+        )
+    )

@@ -1583,3 +1583,20 @@ def test_bollinger_collapses_then_single_window(spark):
     assert "Join" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert plan.count("Window") >= 1
+
+
+def test_threshold_sweep_reuses_staged_pairs(spark):
+    """The sweep must consume the staged LSH pair artifact (no fresh
+    band-build in its plan: the staged scan appears, not a second
+    signature pipeline) and broadcast the tiny pair set."""
+    import hudi_acid_verification_spark.operators as o
+
+    o._ONCE.clear()
+    ops.QUERIES["dedup_embedding_lsh"](spark, SF_SMALL).collect()  # stages
+    n_keys = len(o._ONCE)
+    plan = plan_of(spark, "dedup_threshold_sweep")
+    assert len(o._ONCE) == n_keys, "sweep must not stage a new artifact"
+    assert "Scan ExistingRDD" in plan or "LogicalRDD" in plan or (
+        "BroadcastExchange" in plan
+    )
+    assert "CartesianProduct" not in plan
