@@ -246,7 +246,14 @@ def _hash_payload(name: str) -> str | None:
             if obj is not None and isinstance(
                 obj, (bool, int, float, str, bytes, tuple, frozenset)
             ):
-                parts.append(f"--const:{ref}={obj!r}--")
+                # unordered collections repr in per-process-random order
+                # (PYTHONHASHSEED) — canonicalize so the staleness hash
+                # cannot flap between driver runs (ADVICE r6).
+                if isinstance(obj, frozenset):
+                    rep = "frozenset(%r)" % (sorted(obj, key=repr),)
+                else:
+                    rep = repr(obj)
+                parts.append(f"--const:{ref}={rep}--")
     parts.append("--oracle--\n" + ops.ORACLES.get(name, ""))
     return "\n".join(parts)
 

@@ -50,6 +50,20 @@ def main() -> None:
 
     bucketed._bucketed_tables(spark, sf_dir)
 
+    # Pre-warm the SHARED staged artifacts (LSH band pairs, dup-pair edges,
+    # shingle postings, co-purchase edge variants) as explicitly-timed
+    # "staging" lines BEFORE the per-query loop: otherwise whichever
+    # consumer runs first eats the build cost and round-over-round
+    # per-query deltas in the LSH/graph families become attribution noise,
+    # not signal (VERDICT r6 "What's wrong" #2). Every consumer's number
+    # below is therefore MARGINAL cost, reproducible across driver and
+    # idle runs.
+    staging: dict[str, float] = {}
+    for s_name, s_fn in ops.STAGING.items():
+        s_start = time.perf_counter()
+        s_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        staging[s_name] = round(time.perf_counter() - s_start, 3)
+
     # Two passes, report the per-query minimum: pass 1 absorbs residual
     # codegen/alloc noise (first-touch of an operator's plan shape is
     # JVM-compile-bound, not engine-bound). A single-pass variant was
@@ -119,6 +133,7 @@ def main() -> None:
                 {
                     "sf": sf,
                     "total_sec": total,
+                    "staging": staging,
                     "queries": timings,
                     "headline_median_warm": headline_median,
                     "samples_headline": {
@@ -137,6 +152,7 @@ def main() -> None:
                 "sf": sf,
                 "n_queries": len(timings),
                 "headline_basis": "median_of_warm_samples",
+                "staging": staging,
                 "queries": (
                     timings
                     if only

@@ -18,6 +18,14 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+# Named builders for the shared staged artifacts (`materialize_once`
+# consumers): bench.py pre-warms these as explicitly-timed "staging" lines
+# so per-query numbers report MARGINAL cost — otherwise whichever consumer
+# runs first eats the build and round-over-round deltas become attribution
+# noise (VERDICT r6 "What's wrong" #2). Each value is (spark, sf_dir) ->
+# DataFrame returning the staged artifact (building it as a side effect).
+STAGING: dict[str, QueryFn] = {}
+
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Register a named operator and (optionally) its DuckDB oracle SQL."""
@@ -104,15 +112,13 @@ def materialize_once(df: DataFrame, extra_key: str = "") -> DataFrame:
 
 
 def _evict_oldest() -> None:
-    """Drop the least-recently-used staged artifact and best-effort
-    release its blocks (dropping the reference is sufficient for the
-    ContextCleaner; the explicit unpersist just accelerates it)."""
-    old_key, old_df = next(iter(_ONCE.items()))
+    """Drop the least-recently-used staged artifact. Releasing the Python
+    reference is the whole mechanism: the JVM ContextCleaner GCs the
+    localCheckpoint blocks once unreachable. (An explicit
+    ``df.rdd.unpersist`` would be a no-op here — ``df.rdd`` constructs a
+    FRESH conversion RDD, not the checkpoint's internal one — ADVICE r6.)"""
+    old_key, _ = next(iter(_ONCE.items()))
     _ONCE.pop(old_key, None)
-    try:
-        old_df.rdd.unpersist(False)
-    except Exception:
-        pass
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:

@@ -1584,9 +1584,13 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     divide — the `dedup_embedding_lsh` exactness argument), so the
     threshold memberships and counts hash exactly.
 
-    Shape: thresholds explode against the deduped pair set (tiny); the
-    aggregates are conditional sums — no per-threshold rescan of
-    anything.
+    Shape (100x-safe): the broadcast side is the FOUR-ROW tau spine, never
+    the pair set — at a realistic near-dup rate the candidate pairs are
+    millions+ of rows and must stay distributed. Each pair replicates
+    against the broadcast spine (factor len(_SWEEP_TAUS)), partial-aggs
+    map-side, and only the <=4-row per-tau summary is ever exchanged; a
+    final left join back onto the spine keeps zero-match thresholds in
+    the output (matching the oracle's LEFT JOIN semantics).
     """
     pairs = (
         _lsh_band_pairs(spark, sf_dir)
@@ -1599,28 +1603,46 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts = spark.range(1).select(
         F.explode(F.array(*[F.lit(t) for t in _SWEEP_TAUS])).alias("tau")
     )
-    return (
-        ts.crossJoin(F.broadcast(n_corpus))
-        .join(F.broadcast(pairs), F.col("cosine") >= F.col("tau"), "left")
+    per_tau = (
+        pairs.crossJoin(F.broadcast(ts))
+        .where(F.col("cosine") >= F.col("tau"))
         .groupBy("tau")
         .agg(
-            F.count(F.when(F.col("cosine") >= F.col("tau"), 1))
-            .cast("bigint")
-            .alias("n_pairs"),
-            F.countDistinct(
-                F.when(F.col("cosine") >= F.col("tau"), F.col("hi"))
-            )
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.countDistinct("hi").cast("bigint").alias("n_docs_flagged"),
+        )
+    )
+    return (
+        ts.join(F.broadcast(per_tau), "tau", "left")
+        .crossJoin(F.broadcast(n_corpus))
+        .select(
+            (F.col("tau") * 100).cast("bigint").alias("tau_x100"),
+            F.coalesce("n_pairs", F.lit(0)).cast("bigint").alias("n_pairs"),
+            F.coalesce("n_docs_flagged", F.lit(0))
             .cast("bigint")
             .alias("n_docs_flagged"),
             F.expr(
-                "CAST(count(DISTINCT CASE WHEN cosine >= tau THEN hi END)"
-                " * 10000 DIV min(n) AS BIGINT)"
+                "CAST(coalesce(n_docs_flagged, 0) * 10000 DIV n AS BIGINT)"
             ).alias("flagged_rate_x10k"),
         )
-        .select(
-            (F.col("tau") * 100).cast("bigint").alias("tau_x100"),
-            "n_pairs",
-            "n_docs_flagged",
-            "flagged_rate_x10k",
-        )
     )
+
+
+# ---- staged-artifact registry (bench pre-warm; VERDICT r6 #2) -------------
+def _stage_lsh_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build (or fetch) the rescored banded-LSH candidate pairs — the
+    artifact dedup_embedding_lsh / similarity_knn_graph / the components
+    family all consume."""
+    return _lsh_band_pairs(spark, sf_dir)
+
+
+def _stage_lsh_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build (or fetch) the deduped dup-pair edge list layered on the band
+    pairs (components / group split / leakage consumers)."""
+    return _dup_pairs(spark, sf_dir)
+
+
+from . import STAGING as _STAGING  # noqa: E402
+
+_STAGING["lsh_band_pairs"] = _stage_lsh_band_pairs
+_STAGING["lsh_dup_pairs"] = _stage_lsh_dup_pairs

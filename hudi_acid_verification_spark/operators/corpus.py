@@ -1166,15 +1166,23 @@ def pipeline_bigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigrams = toks.select(
         "doc_id",
         "source",
+        # guard single-token/empty docs: sequence(0, -1) expands as
+        # [0, -1] (step defaults to -1 when start > stop) and the
+        # transform would then call element_at(t, 0) — a runtime error.
+        # Empty array -> explode drops the row, matching the oracle's
+        # empty generate_series for zero-bigram docs.
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("t") - 2),
-                lambda i: F.concat(
-                    F.element_at(F.col("t"), i + 1),
-                    F.lit(" "),
-                    F.element_at(F.col("t"), i + 2),
+            F.when(
+                F.size("t") >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - 2),
+                    lambda i: F.concat(
+                        F.element_at(F.col("t"), i + 1),
+                        F.lit(" "),
+                        F.element_at(F.col("t"), i + 2),
+                    ),
                 ),
-            )
+            ).otherwise(F.array().cast("array<string>"))
         ).alias("bg"),
     )
     train = (

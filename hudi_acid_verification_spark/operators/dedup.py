@@ -1258,3 +1258,15 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# ---- staged-artifact registry (bench pre-warm; VERDICT r6 #2) -------------
+def _stage_capped_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build (or fetch) the df-capped shingle postings shared by the
+    n-gram Jaccard / shingle-containment pair operators."""
+    return _capped_shingles_spark(spark, sf_dir)
+
+
+from . import STAGING as _STAGING  # noqa: E402
+
+_STAGING["capped_shingles"] = _stage_capped_shingles

@@ -764,3 +764,27 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.groupBy(F.col("lbl").alias("label")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_members")
     )
+
+
+# ---- staged-artifact registry (bench pre-warm; VERDICT r6 #2) -------------
+def _stage_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build (or fetch) the three co-purchase edge-list variants the graph
+    family stages: full part projection (triangles, degrees), the
+    _CN_MOD partkey sample (common neighbors, k-core, BFS), and the
+    _LPA_ORDER_MOD order slice (label propagation). Returns the full one;
+    all three are materialized as a side effect."""
+    full = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    sampled = full.filter(F.col("l_partkey") % _CN_MOD == 0)
+    order_slice = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % _LPA_ORDER_MOD == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    _pair_edges(sampled)
+    _pair_edges(order_slice)
+    return _pair_edges(full)
+
+
+from . import STAGING as _STAGING  # noqa: E402
+
+_STAGING["copurchase_edges"] = _stage_copurchase_edges

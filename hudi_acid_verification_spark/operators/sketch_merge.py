@@ -341,12 +341,18 @@ def sketch_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     theta_min = thetas.agg(F.min("kth").alias("theta"))
     a = kept.filter(F.col("s") == _THETA_PAIR[0]).select("h")
     b = kept.filter(F.col("s") == _THETA_PAIR[1]).select("h")
+    # UNGROUPED agg so an empty sample intersection still yields exactly
+    # one row (n_below=0, theta=NULL -> NULL estimate) — a groupBy over
+    # zero rows would collapse the whole chained-crossJoin result to 0
+    # rows while the oracle's scalar subquery returns one NULL row.
     inter_est = (
         a.join(b, "h")
         .crossJoin(F.broadcast(theta_min))
         .filter(F.col("h") < F.col("theta"))
-        .groupBy("theta")
-        .agg(F.count(F.lit(1)).alias("n_below"))
+        .agg(
+            F.count(F.lit(1)).alias("n_below"),
+            F.min("theta").alias("theta"),
+        )
         .select(
             F.expr(f"n_below * {_THETA_M} DIV theta").alias("est_intersect")
         )

@@ -1588,7 +1588,7 @@ def test_bollinger_collapses_then_single_window(spark):
 def test_threshold_sweep_reuses_staged_pairs(spark):
     """The sweep must consume the staged LSH pair artifact (no fresh
     band-build in its plan: the staged scan appears, not a second
-    signature pipeline) and broadcast the tiny pair set."""
+    signature pipeline) and broadcast only the tiny sides."""
     import hudi_acid_verification_spark.operators as o
 
     o._ONCE.clear()
@@ -1600,3 +1600,51 @@ def test_threshold_sweep_reuses_staged_pairs(spark):
         "BroadcastExchange" in plan
     )
     assert "CartesianProduct" not in plan
+
+
+def _walk_plan(node):
+    yield node
+    children = node.children()
+    for i in range(children.size()):
+        yield from _walk_plan(children.apply(i))
+
+
+def test_threshold_sweep_never_broadcasts_pair_set(spark):
+    """100x-scale guard: the unbounded LSH candidate-pair relation must
+    never sit RAW under a BroadcastExchange — at a realistic near-dup
+    rate it is millions+ of rows and broadcasting it is an OOM. Only an
+    aggregate of it (the <=4-row per-tau summary) may broadcast; the
+    4-row tau spine broadcasts freely. Structurally: every path from a
+    BroadcastExchange down to an RDD/parquet scan must cross an
+    Aggregate node."""
+    df = ops.QUERIES["dedup_threshold_sweep"](spark, SF_SMALL)
+    root = df._jdf.queryExecution().sparkPlan()
+
+    def scan_reachable_without_agg(node) -> bool:
+        name = node.nodeName()
+        if "Aggregate" in name:
+            return False
+        if "Scan" in name or "ExistingRDD" in name:
+            return True
+        children = node.children()
+        return any(
+            scan_reachable_without_agg(children.apply(i))
+            for i in range(children.size())
+        )
+
+    # sparkPlan() predates exchange insertion, so inspect the broadcast
+    # JOIN nodes' build sides instead of BroadcastExchange operators.
+    bjoins = [
+        n
+        for n in _walk_plan(root)
+        if "BroadcastNestedLoopJoin" in n.nodeName()
+        or "BroadcastHashJoin" in n.nodeName()
+    ]
+    assert bjoins, "expected broadcast joins for the tau spine / summaries"
+    for j in bjoins:
+        side = j.buildSide().toString()
+        build = j.children().apply(1 if "Right" in side else 0)
+        assert not scan_reachable_without_agg(build), (
+            "pair set (or another scan) broadcast without aggregation:\n"
+            + build.toString()[:2000]
+        )
