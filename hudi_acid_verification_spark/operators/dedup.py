@@ -414,13 +414,14 @@ _LEV_LEN_BAND = 5    # |Δn_chars| blocking band (lossless for dist ≤ 5,
     oracle=f"""
     WITH d AS (
         SELECT doc_id, text, lang, n_chars,
-               string_split(text, ' ')[1] AS tok0
+               string_split(text, ' ')[1] AS tok0,
+               coalesce(string_split(text, ' ')[2], '') AS tok1
         FROM documents
     )
     SELECT b.doc_id AS vec_id, min(a.doc_id) AS dup_of,
            min(levenshtein(a.text, b.text)) AS min_dist
     FROM d a
-    JOIN d b ON b.lang = a.lang AND b.tok0 = a.tok0
+    JOIN d b ON b.lang = a.lang AND b.tok0 = a.tok0 AND b.tok1 = a.tok1
      AND b.doc_id > a.doc_id
      AND abs(a.n_chars - b.n_chars) <= {_LEV_LEN_BAND}
     WHERE levenshtein(a.text, b.text) <= {_LEV_MAX_DIST}
@@ -434,33 +435,66 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     such id.
 
     Blocking makes the O(N²·len²) metric tractable: candidates must share
-    (lang, first token) and sit within ±5 characters of length. The length
-    band is LOSSLESS for thresholds ≤ 5 (|len(a)−len(b)| lower-bounds edit
-    distance); the token block is the recall/cost knob — the standard
-    trade in record-linkage, stated rather than hidden. Both engines use
-    the identical block + identical levenshtein (classic DP definition),
-    so parity is exact — the distance is a JVM built-in here, not a UDF.
+    (lang, first TWO tokens) and sit within ±5 characters of length. The
+    length band is LOSSLESS for thresholds ≤ 5 (|len(a)−len(b)|
+    lower-bounds edit distance); the token block is the recall/cost knob —
+    the standard trade in record-linkage, stated rather than hidden. Both
+    engines use the identical block + identical levenshtein (classic DP
+    definition), so parity is exact — the distance is a JVM built-in here,
+    not a UDF.
 
-    Scale notes: the block join shuffles on the small (lang, tok0) key
-    space; the quadratic work happens only WITHIN blocks (the skew lever
-    is block granularity — add a length-bucket to the key if a block gets
-    hot). No broadcast of the corpus, unlike the embedding dedup.
+    Scale notes (re-shaped after the 10x Zipf scale bench): the original
+    (lang, tok0) block measured 54x at 10x data — a Zipf HEAD token starts
+    ~15% of all docs, and pair volume inside that block grows
+    quadratically with the corpus no matter how the tasks are spread. Two
+    levers applied, both stated: (1) the block key carries the first TWO
+    tokens (head-bigram mass is the square of head-token mass, so hot
+    blocks shrink quadratically; twins differing inside the leading
+    bigram are forgone recall — the knob's price); (2) the b-side
+    length-bucket expansion below spreads whatever blocks remain across
+    ~corpus-length/{_LEV_LEN_BAND} tasks, killing stragglers. The exact
+    ±{_LEV_LEN_BAND} filter is unchanged, so the emitted pair set equals
+    the plain block's after filtering. No broadcast of the corpus, unlike
+    the embedding dedup.
     """
     d = load(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "n_chars",
         F.split("text", " ").getItem(0).alias("tok0"),
+        F.coalesce(F.split("text", " ").getItem(1), F.lit("")).alias("tok1"),
     )
     a = d.select(
         F.col("doc_id").alias("a_id"), F.col("text").alias("a_text"),
-        "lang", "tok0", F.col("n_chars").alias("a_len"),
+        "lang", "tok0", "tok1", F.col("n_chars").alias("a_len"),
     )
     b = d.select(
         F.col("doc_id").alias("b_id"), F.col("text").alias("b_text"),
-        "lang", "tok0", F.col("n_chars").alias("b_len"),
+        "lang", "tok0", "tok1", F.col("n_chars").alias("b_len"),
+    )
+    # Length-bucket the block key (the docstring's stated skew lever,
+    # pulled after the 10x scale bench measured 54x on a Zipf corpus:
+    # tok0 blocks go hot when a head token starts ~15% of all docs, and
+    # the whole block lands in ONE task). Buckets are _LEV_LEN_BAND wide;
+    # the b side expands to its three adjacent buckets, so every pair
+    # within the +-{band} exact filter shares exactly one (a_bucket,
+    # b_expansion) match — the candidate set is IDENTICAL to the plain
+    # (lang, tok0) block after the band filter, the oracle is unchanged,
+    # and the quadratic work spreads over #length-buckets more tasks.
+    a = a.withColumn(
+        "lb", (F.col("a_len") / _LEV_LEN_BAND).cast("bigint")
+    )
+    b = b.withColumn(
+        "lb",
+        F.explode(
+            F.array(
+                (F.col("b_len") / _LEV_LEN_BAND).cast("bigint") - 1,
+                (F.col("b_len") / _LEV_LEN_BAND).cast("bigint"),
+                (F.col("b_len") / _LEV_LEN_BAND).cast("bigint") + 1,
+            )
+        ),
     )
     dist = F.levenshtein("a_text", "b_text")
     return (
-        a.join(b, ["lang", "tok0"])
+        a.join(b, ["lang", "tok0", "tok1", "lb"])
         .filter(
             (F.col("b_id") > F.col("a_id"))
             & (F.abs(F.col("a_len") - F.col("b_len")) <= _LEV_LEN_BAND)
@@ -637,7 +671,7 @@ def _split_sql(doc_col: str) -> str:
 @query(
     "dedup_split_leakage",
     oracle=f"""
-    WITH {_SHINGLES_SQL},
+    WITH {_CAPPED_SHINGLES_SQL},
     sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
     inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
@@ -677,15 +711,21 @@ def dedup_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     every serious pretraining pipeline runs before freezing a split, and
     the reason naive random splits of crawled corpora overstate quality.
 
-    Shape: the pair scan is the shared inverted-index path (shuffle on
-    shingle hash); split labels are a narrow hash map over doc ids joined
-    onto the pair list. At 100 TB the same audit runs off the banded-LSH
+    Shape: the pair scan is the shared DF-CAPPED inverted-index path (the
+    staged `_capped_shingles_spark` postings — similarity defined over the
+    rare-shingle universe, the module's scale contract). The uncapped
+    index was this operator's original form and measured 64x on the 10x
+    Zipf scale bench: hot head shingles put df² pair work on single hash
+    keys (a 31/32-done straggler stage) — exactly the blowup the df
+    ceiling exists to cut; with the cap it tracks dedup_ngram_jaccard's
+    ~1.1x. Split labels are a narrow hash map over doc ids joined onto
+    the pair list. At 100 TB the same audit runs off the banded-LSH
     candidate pairs (dedup_near_minhash) instead of the exact index — the
     downstream matrix logic is identical. The fix for leaky pairs is
     GROUP-aware splitting: hash the dup-cluster id (dedup_components), not
     the doc id, so twins land in the same split by construction.
     """
-    sh = _shingles_spark(spark, sf_dir).cache()
+    sh = _capped_shingles_spark(spark, sf_dir).cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "h")
     b = sh.select(F.col("doc_id").alias("doc_b"), "h")
@@ -1270,3 +1310,126 @@ def _stage_capped_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 from . import STAGING as _STAGING  # noqa: E402
 
 _STAGING["capped_shingles"] = _stage_capped_shingles
+
+
+_INC_MOD = 10   # doc_id % 10 == _INC_NEW marks the arriving batch
+_INC_NEW = 7
+
+
+def _inc_minhash_oracle() -> str:
+    sig_cols = ", ".join(
+        f"min(({_a(k)} * h + {_b(k)}) % {_P}) AS s{k}" for k in range(_K)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {j} AS band_id, "
+        + " || '_' || ".join(f"s{j * _R + r}" for r in range(_R))
+        + " AS band_key FROM sigs"
+        for j in range(_BANDS)
+    )
+    return f"""
+    WITH {_SHINGLES_SQL},
+    sigs AS (SELECT doc_id, {sig_cols} FROM shingles GROUP BY doc_id),
+    bands AS ({band_selects}),
+    cands AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM bands x
+        JOIN bands y ON x.band_id = y.band_id AND x.band_key = y.band_key
+                    AND x.doc_id < y.doc_id
+        WHERE x.doc_id % {_INC_MOD} = {_INC_NEW}
+           OR y.doc_id % {_INC_MOD} = {_INC_NEW}
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+    verified AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS n_common
+        FROM cands c
+        JOIN shingles a ON a.doc_id = c.doc_a
+        JOIN shingles b ON b.doc_id = c.doc_b AND b.h = a.h
+        GROUP BY 1, 2
+    )
+    SELECT v.doc_a, v.doc_b,
+           CAST(v.n_common AS DOUBLE) / (sa.n + sb.n - v.n_common) AS jaccard,
+           CASE WHEN v.doc_a % {_INC_MOD} = {_INC_NEW}
+                 AND v.doc_b % {_INC_MOD} = {_INC_NEW} THEN 'new_new'
+                ELSE 'new_index' END AS pair_type
+    FROM verified v
+    JOIN sizes sa ON sa.doc_id = v.doc_a
+    JOIN sizes sb ON sb.doc_id = v.doc_b
+    WHERE CAST(v.n_common AS DOUBLE) / (sa.n + sb.n - v.n_common)
+          >= {_JACCARD_T}
+    """
+
+
+@query("dedup_incremental_minhash", oracle=_inc_minhash_oracle())
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash INDEX MAINTENANCE (VERDICT r6 #5): a new
+    document batch (doc_id % {_INC_MOD} == {_INC_NEW} plays the arriving
+    slice) is near-dup-checked against the already-indexed corpus AND
+    within itself, emitting only the NEW dup pairs — the nightly-ingest
+    companion of `pipeline_incremental_dedup` (which does exact-hash
+    incremental dedup) at the near-dup tier.
+
+    The batch's K={_K} signatures and band keys are computed fresh; the
+    corpus side reuses the SAME banding that built the stored index, so
+    the maintenance cost is O(batch) signature work plus one band-key
+    join of the small batch against the posting list — never a corpus
+    re-pairing. Candidates with at least one new side verify by exact
+    Jaccard ≥ {_JACCARD_T} on their shingle sets (the standard
+    candidates-then-rescore contract), and each surviving pair is tagged
+    `new_index` or `new_new` — the split an index maintainer monitors
+    (intra-batch dup bursts vs catalog collisions).
+
+    Scale shape: the new batch is ~1/{_INC_MOD} of the corpus and its
+    band rows BROADCAST against the distributed posting list; the verify
+    join touches only candidate shingle sets. At 100 TB with a stored
+    index the corpus banding below is a parquet read of the posting
+    table; nothing else changes.
+    """
+    sh = _shingles_spark(spark, sf_dir).cache()
+    is_new = (F.col("doc_id") % _INC_MOD) == _INC_NEW
+    bands_new = _sig_bands(_minhash_sigs(sh.filter(is_new)))
+    bands_all = _sig_bands(_minhash_sigs(sh))
+    n = bands_new.select(
+        F.col("doc_id").alias("new_id"), "band_id", "band_key"
+    )
+    cands = (
+        F.broadcast(n)
+        .join(bands_all, ["band_id", "band_key"])
+        .filter(F.col("new_id") != F.col("doc_id"))
+        .select(
+            F.least("new_id", "doc_id").alias("doc_a"),
+            F.greatest("new_id", "doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), "h")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "h")
+    verified = (
+        cands.join(a, "doc_a")
+        .join(b, ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    both_new = (
+        (F.col("doc_a") % _INC_MOD == _INC_NEW)
+        & (F.col("doc_b") % _INC_MOD == _INC_NEW)
+    )
+    return (
+        verified.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= _JACCARD_T)
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            F.when(both_new, F.lit("new_new"))
+            .otherwise(F.lit("new_index"))
+            .alias("pair_type"),
+        )
+    )

@@ -526,3 +526,150 @@ def multimodal_audio_energy_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_energy bigint"
         ),
     )
+
+
+# ---- DCT perceptual hash (pHash) ------------------------------------------
+import math as _math
+
+_PH_N = 32            # resample cells (DCT input length)
+_PH_BITS = 16         # sign bits kept: coefficients k = 1.._PH_BITS (DC skipped)
+_PH_TSCALE = 1_000_000  # fixed-point scale of the cosine table
+_PH_VSCALE = 64       # fixed-point scale of the resampled cell means
+# Integer DCT-II basis, built ONCE in this process and inlined into BOTH
+# engines' plans — whatever libm produces here, the two sides share it
+# bit-for-bit, so the coefficient signs (and hence the hashes) match.
+_PH_COS = [
+    [
+        round(_math.cos(_math.pi * (2 * j + 1) * k / (2 * _PH_N)) * _PH_TSCALE)
+        for j in range(_PH_N)
+    ]
+    for k in range(1, _PH_BITS + 1)
+]
+
+
+def _phash_oracle() -> str:
+    values = ", ".join(
+        f"({k + 1}, {j}, {_PH_COS[k][j]})"
+        for k in range(_PH_BITS)
+        for j in range(_PH_N)
+    )
+    return f"""
+    WITH costab(k, j, t) AS (VALUES {values}),
+    eligible AS (
+        SELECT doc_id, text, length(text) // 3 AS w
+        FROM documents
+        WHERE NOT regexp_matches(text, '[^\\x00-\\x7F]')
+          AND length(text) >= {3 * _PH_N}
+    ),
+    px AS (
+        SELECT e.doc_id, e.w, u.i,
+               (ascii(substr(e.text, 3 * u.i + 1, 1))
+                + ascii(substr(e.text, 3 * u.i + 2, 1))
+                + ascii(substr(e.text, 3 * u.i + 3, 1))) // 3 AS gray,
+               (u.i * {_PH_N}) // e.w AS cell
+        FROM eligible e,
+             LATERAL (SELECT unnest(generate_series(0, e.w - 1)) AS i) u
+    ),
+    cells AS (
+        SELECT doc_id, w, cell,
+               CAST(sum(gray) AS BIGINT) AS cell_sum,
+               CAST(count(*) AS BIGINT) AS cell_cnt
+        FROM px GROUP BY 1, 2, 3
+    ),
+    vals AS (
+        SELECT doc_id, w, cell,
+               cell_sum * {_PH_VSCALE} // cell_cnt AS v
+        FROM cells
+    ),
+    coeffs AS (
+        SELECT v.doc_id, t.k, CAST(sum(v.v * t.t) AS BIGINT) AS ck
+        FROM vals v JOIN costab t ON t.j = v.cell
+        GROUP BY 1, 2
+    ),
+    hashes AS (
+        SELECT c.doc_id,
+               CAST(sum(CASE WHEN c.ck > 0 THEN 1 << c.k ELSE 0 END)
+                    AS BIGINT) AS phash
+        FROM coeffs c GROUP BY 1
+    )
+    SELECT h.doc_id, CAST(e.w AS BIGINT) AS n_pixels, h.phash,
+           CAST(count(*) OVER (PARTITION BY h.phash) AS BIGINT)
+               AS bucket_size
+    FROM hashes h JOIN eligible e ON e.doc_id = h.doc_id
+    """
+
+
+@query("multimodal_image_phash", oracle=_phash_oracle())
+def multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DCT perceptual hash (pHash) image near-dup bucketing — the
+    frequency-domain complement of `multimodal_image_ahash` (VERDICT r6
+    #5): the decoded gray strip resamples to {_PH_N} cells, a fixed-point
+    integer DCT-II projects them onto the {_PH_BITS} lowest non-DC
+    frequencies, and each coefficient contributes its SIGN bit. Dropping
+    the DC term makes the hash (near-)invariant to uniform brightness
+    shifts — the perturbation class where aHash's mean-threshold bits all
+    flip together — up to the rounding of the fixed-point basis; sign-of-
+    DCT is the classic pHash decision rule.
+
+    Exactness: the cosine basis is rounded to integers ONCE at plan-build
+    time and inlined into both engines (same values by construction), cell
+    means are integer-scaled (sum·{_PH_VSCALE} DIV count — nonnegative, so
+    trunc and floor agree), and every coefficient is an int64 dot — the
+    signs, hashes, and bucket sizes all hash-match DuckDB.
+
+    Scale shape: encode+decode+DCT are per-row Arrow-batched map work (a
+    32-value integer matmul per image — no shuffle, no driver bytes); the
+    only exchange is the bucket-count window on the {_PH_BITS}-bit hash,
+    the same key an LSH bucket join would use before pixel-level rescore.
+    """
+    import numpy as np
+
+    from .media_codecs import decode_netpbm, encode_ppm
+
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(~F.col("text").rlike("[^\\x00-\\x7F]"))
+        .filter(F.length("text") >= 3 * _PH_N)
+        .select("doc_id", "text")
+    )
+    basis = [row[:] for row in _PH_COS]  # close over plain lists, not module
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        T = np.array(basis, dtype=np.int64)  # (_PH_BITS, _PH_N)
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                w = len(b) // 3
+                payload = encode_ppm(b[: 3 * w].tobytes(), width=w, height=1)
+                img = decode_netpbm(payload)  # real codec path
+                raster = np.frombuffer(img["raster"], dtype=np.uint8).astype(
+                    np.int64
+                )
+                gray = (raster[0::3] + raster[1::3] + raster[2::3]) // 3
+                cells = (np.arange(w, dtype=np.int64) * _PH_N) // w
+                cell_sum = np.bincount(cells, weights=gray).astype(np.int64)
+                cell_cnt = np.bincount(cells).astype(np.int64)
+                v = (cell_sum * _PH_VSCALE) // cell_cnt
+                ck = T @ v
+                bits = (ck > 0).astype(np.int64)
+                phash = int(
+                    (bits << np.arange(1, _PH_BITS + 1, dtype=np.int64)).sum()
+                )
+                rows.append((int(doc_id), int(w), phash))
+            yield pd.DataFrame(rows, columns=["doc_id", "n_pixels", "phash"])
+
+    hashes = d.mapInPandas(
+        hash_batch, schema="doc_id bigint, n_pixels bigint, phash bigint"
+    )
+    from pyspark.sql import Window
+
+    return hashes.select(
+        "doc_id",
+        "n_pixels",
+        "phash",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("phash"))
+        .cast("bigint")
+        .alias("bucket_size"),
+    )

@@ -343,3 +343,94 @@ def sample_weighted_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "weight_share_x10k"
         ),
     )
+
+
+_WR_K = 100      # reservoir size
+_WR_W_CAP = 8    # weight cap (bounds the per-row key array)
+
+
+@query(
+    "sample_weighted_reservoir",
+    oracle=f"""
+    WITH items AS (
+        SELECT o_orderkey, o_orderpriority,
+               least({_WR_W_CAP}, 1 + CAST(floor(o_totalprice / 50000)
+                     AS BIGINT)) AS w
+        FROM orders
+    ),
+    keyed AS (
+        SELECT o_orderkey, o_orderpriority, w,
+               list_min(list_transform(
+                   generate_series(1, w),
+                   c -> CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)
+                        || ':' || CAST(c AS VARCHAR)), 1, 12)) AS BIGINT)
+               )) AS hmin
+        FROM items
+    )
+    SELECT o_orderkey, o_orderpriority, CAST(w AS BIGINT) AS w, hmin
+    FROM keyed
+    ORDER BY hmin, o_orderkey
+    LIMIT {_WR_K}
+    """,
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted RESERVOIR sample (without replacement,
+    inclusion probability increasing in weight) — the one-pass streaming
+    companion of `sample_weighted_systematic`: a reservoir needs no total
+    weight up front, so it runs over an unbounded stream or an unknown-size
+    scan, where the systematic walk needs sum(w) first.
+
+    Scheme: each item gets the MIN of w independent 48-bit hash keys
+    (md5(id:c) for copy c = 1..w) and the sample is the global bottom-k by
+    that key — min-of-w-uniforms is Beta(1, w), so heavier items hold
+    stochastically smaller keys and win reservoir slots more often; ties
+    are impossible in practice at 48 bits and the id tiebreak makes the
+    selected SET fully deterministic either way. This is the integer-exact
+    stand-in for Efraimidis–Spirakis u^(1/w) keys, whose pow()/ln() last
+    bits differ across engines' libm and can never hash (the same reason
+    the systematic variant walks integers).
+
+    Shape — no explode, no pre-shuffle: the w keys materialize IN-ROW
+    (transform over sequence(1, w), w capped at {_WR_W_CAP}) so the scan
+    stays narrow, and the bottom-k is a sort-limit — Spark plans
+    TakeOrdered: each partition keeps its local k (O(n log k) with early
+    pruning), one k-row exchange to the driver-side merge. At 100 TB the
+    only data movement is #partitions * k rows of (key, id). Weight here
+    is the order's price tier (1..{_WR_W_CAP}); any bounded integer weight
+    slots in unchanged.
+    """
+    items = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.least(
+            F.lit(_WR_W_CAP),
+            1 + F.floor(F.col("o_totalprice") / 50000).cast("bigint"),
+        ).alias("w"),
+    )
+    kcol = F.array_min(
+        F.transform(
+            F.sequence(F.lit(1).cast("bigint"), F.col("w")),
+            lambda c: F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("o_orderkey").cast("string"),
+                            F.lit(":"),
+                            c.cast("string"),
+                        )
+                    ),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("bigint"),
+        )
+    )
+    return (
+        items.select(
+            "o_orderkey", "o_orderpriority", "w", kcol.alias("hmin")
+        )
+        .orderBy("hmin", "o_orderkey")
+        .limit(_WR_K)
+    )

@@ -858,3 +858,161 @@ def text_readability_fre(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("very_difficult")
         .alias("band"),
     )
+
+
+_QB_OFF = 30  # per-token margin offset making the scaled quotient nonnegative
+
+
+@query(
+    "quality_margin_bins",
+    oracle=f"""
+    WITH weights AS (
+        SELECT b.bucket,
+               (CAST(('0x' || substr(md5('w' || CAST(b.bucket AS VARCHAR)), 1, 8))
+                     AS BIGINT) % 41) - 20 AS weight
+        FROM (SELECT unnest(generate_series(0, {_QM_BUCKETS - 1})) AS bucket) b
+    ),
+    feats AS (
+        SELECT d.doc_id,
+               CAST(('0x' || substr(md5(u.tok), 1, 8)) AS BIGINT)
+                   % {_QM_BUCKETS} AS bucket,
+               count(*) AS tf
+        FROM documents d,
+             LATERAL (SELECT unnest(string_split(d.text, ' ')) AS tok) u
+        WHERE u.tok <> ''
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT f.doc_id,
+               CAST(sum(f.tf) AS BIGINT) AS n_tokens,
+               CAST(sum(f.tf * w.weight) + {_QM_BIAS} AS BIGINT) AS score_sum,
+               (sum(f.tf * w.weight) + {_QM_BIAS} >= 0) AS keep
+        FROM feats f JOIN weights w ON w.bucket = f.bucket
+        GROUP BY 1
+    ),
+    m AS (
+        SELECT s.doc_id, d.source, s.n_tokens, s.keep,
+               CAST((s.score_sum + {_QB_OFF} * s.n_tokens) * 1000000
+                    // s.n_tokens - {_QB_OFF} * 1000000 AS BIGINT)
+                   AS margin_x1e6
+        FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+    ),
+    dom AS (
+        SELECT source, margin_x1e6 AS mg, count(*) AS c FROM m GROUP BY 1, 2
+    ),
+    cumd AS (
+        SELECT source, mg, c,
+               CAST(sum(c) OVER (PARTITION BY source ORDER BY mg) AS BIGINT)
+                   AS cum
+        FROM dom
+    ),
+    tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM dom GROUP BY 1),
+    thr AS (
+        SELECT c.source,
+               min(CASE WHEN c.cum * 4 >= t.n THEN c.mg END) AS t1,
+               min(CASE WHEN c.cum * 2 >= t.n THEN c.mg END) AS t2,
+               min(CASE WHEN c.cum * 4 >= 3 * t.n THEN c.mg END) AS t3
+        FROM cumd c JOIN tot t ON t.source = c.source
+        GROUP BY 1
+    ),
+    binned AS (
+        SELECT m.source, m.n_tokens, m.keep, m.margin_x1e6,
+               1 + CASE WHEN m.margin_x1e6 > t.t1 THEN 1 ELSE 0 END
+                 + CASE WHEN m.margin_x1e6 > t.t2 THEN 1 ELSE 0 END
+                 + CASE WHEN m.margin_x1e6 > t.t3 THEN 1 ELSE 0 END AS bin
+        FROM m JOIN thr t ON t.source = m.source
+    )
+    SELECT source, CAST(bin AS INT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+           min(margin_x1e6) AS margin_min_x1e6,
+           max(margin_x1e6) AS margin_max_x1e6
+    FROM binned GROUP BY 1, 2
+    """,
+)
+def quality_margin_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quality binning over the hashing-trick model margins —
+    the perplexity-proxy curriculum table (VERDICT r6 #5): for each source
+    domain, split its documents into four quality quartiles by
+    mean-per-token margin and report each bin's doc/token mass, the table
+    a data-mixing pass reads to upsample high-quality tails per domain
+    (a real perplexity needs ln() and can never hash cross-engine; the
+    linear model's margin is the standard servable proxy).
+
+    Integer exactness: the per-token margin is
+    (score_sum + {_QB_OFF}·n_tokens)·1e6 DIV n_tokens − {_QB_OFF}e6 —
+    the {_QB_OFF}-per-token shift keeps the numerator nonnegative (weights
+    are ≥ −20/token, bias −3), so Spark's truncate-toward-zero DIV and
+    DuckDB's floor // agree. Quartile THRESHOLDS come from the collapsed
+    per-(source, margin) value domain (cum·4 ≥ N ⇔ cum ≥ N/4 in exact
+    integers), and bin = 1 + #(thresholds strictly below) — value-based,
+    tie-stable, no per-doc ntile.
+
+    Scale shape: margins are one corpus scan (the quality model's
+    broadcast-weights groupBy); the threshold spine works on the COLLAPSED
+    (source, margin) domain — orders of magnitude smaller than the corpus
+    — and broadcasts ≤ #sources rows back; the final rollup is one
+    partial-agg groupBy. No global sort, no per-source single-reducer pass
+    over raw docs (the window runs on the collapsed domain only).
+    Zero-token docs never enter the model's feature join and are absent
+    here too, matching the oracle's inner joins.
+    """
+    qm = text_quality_model(spark, sf_dir)
+    src = load(spark, sf_dir, "documents").select("doc_id", "source")
+    m = qm.join(src, "doc_id").select(
+        "source",
+        "n_tokens",
+        "keep",
+        (
+            (F.col("score_sum") + _QB_OFF * F.col("n_tokens"))
+            * F.lit(1000000)
+        )
+        .cast("bigint")
+        .alias("num"),
+    ).select(
+        "source",
+        "n_tokens",
+        "keep",
+        (
+            F.expr("num DIV n_tokens") - F.lit(_QB_OFF * 1000000)
+        ).cast("bigint").alias("margin_x1e6"),
+    )
+    dom = m.groupBy("source", F.col("margin_x1e6").alias("mg")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w_cum = Window.partitionBy("source").orderBy("mg")
+    cumd = dom.withColumn("cum", F.sum("c").over(w_cum).cast("bigint"))
+    tot = dom.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
+    thr = (
+        cumd.join(tot, "source")
+        .groupBy("source")
+        .agg(
+            F.min(F.when(F.col("cum") * 4 >= F.col("n"), F.col("mg"))).alias("t1"),
+            F.min(F.when(F.col("cum") * 2 >= F.col("n"), F.col("mg"))).alias("t2"),
+            F.min(
+                F.when(F.col("cum") * 4 >= 3 * F.col("n"), F.col("mg"))
+            ).alias("t3"),
+        )
+    )
+    binned = m.join(F.broadcast(thr), "source").select(
+        "source",
+        "n_tokens",
+        "keep",
+        "margin_x1e6",
+        (
+            F.lit(1)
+            + (F.col("margin_x1e6") > F.col("t1")).cast("int")
+            + (F.col("margin_x1e6") > F.col("t2")).cast("int")
+            + (F.col("margin_x1e6") > F.col("t3")).cast("int")
+        ).alias("bin"),
+    )
+    return binned.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_keep"),
+        F.min("margin_x1e6").alias("margin_min_x1e6"),
+        F.max("margin_x1e6").alias("margin_max_x1e6"),
+    )

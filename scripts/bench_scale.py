@@ -70,6 +70,12 @@ SCALE_SET = [
     "text_tfidf_topterms",
     "search_bm25_topk",
     "pipeline_pretrain_e2e",
+    # round-7 additions
+    "dedup_incremental_minhash",
+    "similarity_hnsw_beam",
+    "multimodal_image_phash",
+    "quality_margin_bins",
+    "sample_weighted_reservoir",
 ]
 
 
@@ -80,14 +86,21 @@ def bench_dir(spark, sf_dir: str, names: list[str], passes: int = 2):
         s_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         staging[s_name] = round(time.perf_counter() - t0, 3)
     samples: dict[str, list[float]] = {n: [] for n in names}
+    errors: dict[str, str] = {}
     for _ in range(passes):
         for n in names:
+            if n in errors:
+                continue
             t0 = time.perf_counter()
-            ops.QUERIES[n](spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
+            try:
+                ops.QUERIES[n](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception as ex:  # record and keep benching the rest
+                errors[n] = repr(ex)[:400]
+                continue
             samples[n].append(round(time.perf_counter() - t0, 3))
-    return staging, {n: min(xs) for n, xs in samples.items()}
+    return staging, {n: min(xs) for n, xs in samples.items() if xs}, errors
 
 
 def main() -> None:
@@ -115,13 +128,14 @@ def main() -> None:
     from hudi_acid_verification_spark.operators import bucketed
 
     bucketed._bucketed_tables(spark, base)
-    stage_b, t_base = bench_dir(spark, base, names)
+    stage_b, t_base, err_b = bench_dir(spark, base, names)
     bucketed._bucketed_tables(spark, large)
-    stage_l, t_large = bench_dir(spark, large, names)
+    stage_l, t_large, err_l = bench_dir(spark, large, names)
 
     ratios = {
-        n: (round(t_large[n] / t_base[n], 2) if t_base[n] > 0 else None)
+        n: round(t_large[n] / t_base[n], 2)
         for n in names
+        if n in t_base and n in t_large and t_base[n] > 0
     }
     flagged = {
         n: r for n, r in ratios.items() if r is not None and r > args.budget
@@ -137,6 +151,8 @@ def main() -> None:
         "ratio_10x": ratios,
         "budget": args.budget,
         "flagged_over_budget": flagged,
+        "errors_base": err_b,
+        "errors_large": err_l,
         "base_total_sec": round(sum(t_base.values()), 3),
         "large_total_sec": round(sum(t_large.values()), 3),
     }

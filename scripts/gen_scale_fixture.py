@@ -79,19 +79,36 @@ def _replicate(con: duckdb.DuckDBPyConnection, table: str, out_dir: str) -> None
 
 
 def _gen_documents(n_docs: int, vocab: int, path: str, rng: np.random.Generator) -> None:
+    # ZIPF token distribution (s=1.07): real corpora have a hot head and a
+    # long rare tail — prefix-filtered similarity joins PRUNE on the rare
+    # tail, so a uniform vocabulary (first cut of this generator) made
+    # PPJoin's candidate bound explode to near-all-pairs and its guard
+    # rightly refused to run. Zipf restores the df shape the plans are
+    # designed for.
     words = np.array([f"w{i}" for i in range(vocab)])
+    p = 1.0 / np.arange(1, vocab + 1) ** 1.07
+    p /= p.sum()
     lengths = rng.integers(10, 101, size=n_docs)
+    # one vectorized Zipf draw for the whole corpus (per-doc rng.choice
+    # with an explicit p is O(vocab) per call — 1e9 ops at the 10x tier)
+    pool = rng.choice(vocab, size=int(lengths.sum()) + n_docs * 8, p=p)
+    pos = 0
     texts: list[str] = []
     for i in range(n_docs):
         if i > 0 and rng.random() < DUP_RATE:
             # planted near-dup: mutate ~5% of an earlier doc's tokens
             src_toks = texts[int(rng.integers(0, i))].split(" ")
-            toks = [
-                (words[int(rng.integers(0, vocab))] if rng.random() < 0.05 else t)
-                for t in src_toks
-            ]
+            toks = []
+            for t in src_toks:
+                if rng.random() < 0.05:
+                    toks.append(words[pool[pos]])
+                    pos += 1
+                else:
+                    toks.append(t)
         else:
-            toks = list(words[rng.integers(0, vocab, size=int(lengths[i]))])
+            k = int(lengths[i])
+            toks = list(words[pool[pos : pos + k]])
+            pos += k
         texts.append(" ".join(toks))
     tbl = pa.table(
         {
@@ -153,11 +170,13 @@ def main() -> None:
     con.close()
 
     rng = np.random.default_rng(42)
-    _gen_documents(5_000, 31, f"{base}/documents.parquet", rng)
+    _gen_documents(5_000, 2_000, f"{base}/documents.parquet", rng)
     _gen_embeddings(2_000, f"{base}/embeddings.parquet", rng)
     rng = np.random.default_rng(43)
-    # Heaps-grown vocabulary: types ~ n^0.5 at this corpus size
-    _gen_documents(50_000, 98, f"{large}/documents.parquet", rng)
+    # Heaps-grown vocabulary: types grow ~linearly with corpus size at
+    # this scale under Zipf draws (the observed-type count saturates the
+    # nominal vocab slowly; 10x docs -> 10x nominal vocab)
+    _gen_documents(50_000, 20_000, f"{large}/documents.parquet", rng)
     _gen_embeddings(20_000, f"{large}/embeddings.parquet", rng)
 
     for d in (base, large):

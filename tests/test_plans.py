@@ -1648,3 +1648,58 @@ def test_threshold_sweep_never_broadcasts_pair_set(spark):
             "pair set (or another scan) broadcast without aggregation:\n"
             + build.toString()[:2000]
         )
+
+
+def test_weighted_reservoir_is_take_ordered_no_explode(spark):
+    """The reservoir keys materialize IN-ROW (transform over sequence —
+    never an explode shuffle) and the bottom-k is a TakeOrdered, not a
+    global sort: per-partition local k, one k-row merge."""
+    plan = plan_of(spark, "sample_weighted_reservoir")
+    assert "TakeOrderedAndProject" in plan
+    assert "Generate" not in plan, "weight copies must not explode rows"
+    assert "Exchange" not in plan.replace("TakeOrdered", ""), (
+        "bottom-k needs no shuffle exchange"
+    )
+
+
+def test_quality_margin_bins_broadcast_thresholds(spark):
+    """Quartile thresholds come from the collapsed (source, margin)
+    domain and BROADCAST back to the doc stream; the per-source window
+    runs on the collapsed domain only (no per-doc ntile sort)."""
+    plan = plan_of(spark, "quality_margin_bins")
+    assert "BroadcastExchange" in plan
+    assert "ntile" not in plan.lower()
+    assert "Window" in plan  # the collapsed-domain cumsum spine
+
+
+def test_incremental_minhash_broadcasts_new_batch(spark):
+    """The arriving batch's band rows are the BROADCAST side against the
+    corpus posting list — maintenance cost must stay O(batch), never a
+    corpus re-pairing."""
+    plan = plan_of(spark, "dedup_incremental_minhash")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_phash_single_window_no_join(spark):
+    """pHash is per-row Arrow-batched map work plus ONE bucket-count
+    window on the hash — no joins, no extra exchanges."""
+    plan = plan_of(spark, "multimodal_image_phash")
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan
+    assert "Join" not in plan
+    # formatted plans print each node twice (tree + details section)
+    assert plan.count("Window") == 2
+
+
+def test_hnsw_beam_no_cartesian_no_udf(spark):
+    """The beam probe is pure JVM expression work (quantized dots inside
+    codegen) over broadcast frontiers: no Python eval, no cartesian
+    product, one row_number window per beam cut (entry + each round)."""
+    plan = plan_of(spark, "similarity_hnsw_beam")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastExchange" in plan
+    from hudi_acid_verification_spark.operators.ann import _BEAM_ROUNDS
+
+    # each node prints twice in formatted mode (tree + details)
+    assert plan.count("Window") >= 2 * (_BEAM_ROUNDS + 1)
