@@ -2148,6 +2148,15 @@ class AcidTable:
 
     # ------------------------------------------------- incremental / timeline
 
+    def current_version(self) -> int:
+        """Version the ``_latest`` pointer resolves to right now — the pin
+        a partition-scoped reader uses to compare PRUNED vs FULL resolution
+        of the *same* snapshot while writers keep committing (harness
+        ``partition_scoped_reads`` mode; VERDICT r6 directive #7)."""
+        with open(self._latest_ptr) as f:
+            name = f.read().strip()
+        return int(name[1:-5])
+
     def history(self) -> list[dict]:
         """Commit timeline (Hudi `.hoodie` timeline analog): one entry per
         retained manifest version with its live-file count per partition."""

@@ -17,6 +17,7 @@ loop (ReaderThread.java:40-72) until the stop flag.
 
 from __future__ import annotations
 
+import itertools
 import logging
 import random
 import threading
@@ -73,6 +74,12 @@ class HarnessConfig:
     # conflicts surface as CommitConflictError and take the retry path —
     # exercises AcidTable's OCC rebase under the real concurrent workload
     occ: bool = False
+    # readers additionally pin a version and compare the PARTITION-PRUNED
+    # snapshot resolution (sharded-checkpoint shard pruning included)
+    # against the full resolution of the same version, while writers keep
+    # committing — exercises snapshot(partitions=[...]) under concurrency
+    # (VERDICT r6 directive #7)
+    partition_scoped_reads: bool = False
 
 
 @dataclass
@@ -81,6 +88,7 @@ class HarnessReport:
     failed_transactions: int = 0
     verification_runs: int = 0
     verification_failures: int = 0
+    scoped_read_checks: int = 0
     writer_errors: list = field(default_factory=list)
     reader_errors: list = field(default_factory=list)
     failure_details: list = field(default_factory=list)
@@ -119,6 +127,9 @@ class TransactionHarness:
         self._counter_lock = threading.Lock()
         self._report_lock = threading.Lock()
         self._retry_rng = random.Random(config.seed ^ 0x5EED)
+        # rotates the scoped-read partition across reader iterations
+        # (itertools.count: single C-level step, safe across threads)
+        self._scope_seq = itertools.count()
 
     # ------------------------------------------------------------ lifecycle
 
@@ -329,6 +340,9 @@ class TransactionHarness:
         except InconsistentResultSetException as exc:
             ok, detail = False, f"duplicate pk: {exc}"
 
+        if ok and self.config.partition_scoped_reads:
+            ok, detail = self._scoped_read_check(table)
+
         with self._report_lock:
             self.report.verification_runs += 1
             self.report.read_seconds.append(elapsed)
@@ -342,3 +356,35 @@ class TransactionHarness:
             "read rows=%d events=[%d,%d] duration=%.3fs ok=%s",
             len(records), cnt_before, cnt_after, elapsed, ok,
         )
+
+    def _scoped_read_check(self, table: AcidTable) -> tuple[bool, str]:
+        """Pin the current version, then compare the PARTITION-PRUNED
+        snapshot (manifest/shard resolution restricted to one rotating
+        partition) against the full resolution of that same version
+        filtered client-side. Any divergence means pruned resolution
+        dropped or invented rows under concurrent commits — the defect
+        class this mode exists to catch. The version pin makes the check
+        race-free by construction: writers may commit between the two
+        reads, but both reads resolve the identical immutable manifest."""
+        version = table.current_version()
+        part = (
+            f"Partition{next(self._scope_seq) % self.config.maximum_number_of_partitions}"
+        )
+        full = {
+            (r["primaryKeyValue"], r["partitionKeyValue"], r["dataValue"])
+            for r in table.snapshot(version=version).collect()
+            if r["partitionKeyValue"] == part
+        }
+        scoped = {
+            (r["primaryKeyValue"], r["partitionKeyValue"], r["dataValue"])
+            for r in table.snapshot(version=version, partitions=[part]).collect()
+        }
+        with self._report_lock:
+            self.report.scoped_read_checks += 1
+        if full != scoped:
+            return False, (
+                f"scoped-read mismatch v{version} {part}: "
+                f"pruned-only={sorted(scoped - full)[:3]} "
+                f"full-only={sorted(full - scoped)[:3]}"
+            )
+        return True, ""

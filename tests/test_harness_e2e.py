@@ -118,3 +118,35 @@ def test_concurrent_harness_passes_mor_occ(spark, tmp_path):
     assert not report.writer_errors, report.writer_errors[:3]
     assert not report.reader_errors, report.reader_errors[:3]
     assert 0 < report.final_row_count <= 40
+
+
+@pytest.mark.slow
+def test_partition_scoped_reads_race(spark, tmp_path):
+    """Partition-scoped read mode (VERDICT r6 directive #7): readers pin a
+    version and compare the PRUNED snapshot resolution against the full
+    resolution of that same version while OCC writers keep committing —
+    shard/manifest pruning must never drop or invent rows under
+    concurrency. MOR + OCC is the hardest mode (delta resolution on the
+    read path, rebased appends on the write path)."""
+    cfg = HarnessConfig(
+        table_path=str(tmp_path / "acid_tbl_scoped"),
+        number_of_writers=2,
+        number_of_readers=2,
+        total_transactions=30,
+        records_per_transaction=3,
+        maximum_number_of_records=40,
+        maximum_number_of_partitions=4,
+        seed=1234,
+        table_mode="mor",
+        occ=True,
+        partition_scoped_reads=True,
+    )
+    report = TransactionHarness(spark, cfg).run()
+
+    assert report.committed_transactions == 30
+    assert report.failed_transactions == 0
+    assert report.verification_failures == 0, report.failure_details[:3]
+    assert not report.writer_errors, report.writer_errors[:3]
+    assert not report.reader_errors, report.reader_errors[:3]
+    assert report.scoped_read_checks > 0, "scoped mode never engaged"
+    assert 0 < report.final_row_count <= 40
