@@ -178,6 +178,11 @@ _CERT_ORDER = [
     "acid_incremental_agg_maintenance", "acid_zorder_skipping",
     "acid_partition_evolution", "acid_clone_branching",
     "acid_schema_evolution",
+    # tier 7 (round 7) — new operators, never driver-certified
+    "sample_weighted_reservoir", "quality_margin_bins",
+    "dedup_incremental_minhash", "multimodal_image_phash",
+    "similarity_hnsw_beam", "text_zipf_head_share", "quality_lexicon_gate",
+    "window_gap_interpolate", "dedup_cluster_stats",
 ]
 
 

@@ -1812,3 +1812,95 @@ def similarity_hnsw_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rn").cast("bigint").alias("beam_rank"),
         "cosine",
     )
+
+
+# ---- dup-cluster quality audit ---------------------------------------------
+_CQ_T70, _CQ_T90 = 0.7, 0.9  # tightness bands over the exact pair cosines
+
+
+def _cluster_stats_oracle() -> str:
+    return (
+        _components_cte()
+        + f""",
+    sizes AS (
+        SELECT component_id, CAST(count(*) AS BIGINT) AS sz
+        FROM comp GROUP BY 1
+    ),
+    by_cluster AS (
+        SELECT c.component_id,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(CASE WHEN s.cosine >= {_CQ_T70} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_tight70,
+               CAST(sum(CASE WHEN s.cosine >= {_CQ_T90} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_tight90
+        FROM scored s JOIN comp c ON c.vec_id = s.lo
+        GROUP BY 1
+    )
+    SELECT s.sz AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(b.n_pairs) AS BIGINT) AS n_pairs,
+           CAST(sum(b.n_tight70) AS BIGINT) AS n_tight70,
+           CAST(sum(b.n_tight90) AS BIGINT) AS n_tight90
+    FROM sizes s JOIN by_cluster b ON b.component_id = s.component_id
+    WHERE s.sz >= 2
+    GROUP BY s.sz
+    """
+    )
+
+
+@query("dedup_cluster_stats", oracle=_cluster_stats_oracle())
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dup-cluster QUALITY audit — the table a curator reads before
+    trusting `dedup_components`' clusters for canonical-pick or
+    group-aware splitting: per cluster SIZE, how many clusters exist and
+    how tight their internal evidence is (candidate-pair counts in
+    cosine bands ≥{_CQ_T70} / ≥{_CQ_T90}). Big loose clusters (high size,
+    low tight-pair share) are transitive-closure chaining artifacts — the
+    classic LSH failure where A~B~C links A to C at low similarity — and
+    the signal to raise tau or switch to star-splitting before survivors
+    are picked. Counts are integers over the exact bit-identical pair
+    cosines, so the whole audit hashes.
+
+    Scale shape: reuses BOTH staged artifacts (the rescored band pairs
+    and the memoized component labels) — marginal cost is two
+    partial-agg groupBys (per-cluster, then per-size) plus one join of
+    the pair list onto the label table on vec_id; nothing rescans the
+    corpus, nothing broadcasts anything unbounded.
+    """
+    pairs = (
+        _lsh_band_pairs(spark, sf_dir)
+        .groupBy("lo", "hi")
+        .agg(F.max("cosine").alias("cosine"))  # per-band emissions agree
+    )
+    edges = _dup_pairs(spark, sf_dir)
+    labels = _components_labels(spark, sf_dir, edges)
+    sizes = labels.groupBy("component_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz")
+    )
+    lab_lo = labels.select(
+        F.col("vec_id").alias("lo"), "component_id"
+    )
+    by_cluster = (
+        pairs.join(lab_lo, "lo")
+        .groupBy("component_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(F.when(F.col("cosine") >= _CQ_T70, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_tight70"),
+            F.sum(F.when(F.col("cosine") >= _CQ_T90, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_tight90"),
+        )
+    )
+    return (
+        sizes.join(by_cluster, "component_id")
+        .filter(F.col("sz") >= 2)
+        .groupBy(F.col("sz").alias("cluster_size"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+            F.sum("n_pairs").cast("bigint").alias("n_pairs"),
+            F.sum("n_tight70").cast("bigint").alias("n_tight70"),
+            F.sum("n_tight90").cast("bigint").alias("n_tight90"),
+        )
+    )

@@ -353,3 +353,140 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "staleness_us"
         ),
     )
+
+
+@query(
+    "window_gap_interpolate",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY 1, 2
+    ),
+    span AS (
+        SELECT event_type, min(day) AS d0, max(day) AS d1
+        FROM daily GROUP BY 1
+    ),
+    grid AS (
+        SELECT s.event_type, CAST(u.d AS DATE) AS day
+        FROM span s, LATERAL (
+            SELECT unnest(generate_series(CAST(s.d0 AS TIMESTAMP),
+                                          CAST(s.d1 AS TIMESTAMP),
+                                          INTERVAL 1 DAY)) AS d
+        ) u
+    ),
+    joined AS (
+        SELECT g.event_type, g.day, d.cents,
+               CAST(datediff('day', DATE '2024-01-01', g.day) AS BIGINT)
+                   AS dnum
+        FROM grid g
+        LEFT JOIN daily d ON d.event_type = g.event_type AND d.day = g.day
+    ),
+    bracketed AS (
+        SELECT event_type, day, dnum, cents,
+               last_value(cents IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY dnum
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS v_prev,
+               last_value(CASE WHEN cents IS NOT NULL THEN dnum END
+                          IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY dnum
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS d_prev,
+               first_value(cents IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY dnum
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+               ) AS v_next,
+               first_value(CASE WHEN cents IS NOT NULL THEN dnum END
+                           IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY dnum
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+               ) AS d_next
+        FROM joined
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+           (cents IS NULL) AS is_interpolated,
+           CAST(CASE WHEN cents IS NOT NULL THEN cents * 1000000
+                WHEN d_next = d_prev THEN v_prev * 1000000
+                ELSE (v_prev * (d_next - dnum) + v_next * (dnum - d_prev))
+                     * 1000000 // (d_next - d_prev)
+           END AS BIGINT) AS cents_x1e6
+    FROM bracketed
+    """,
+)
+def window_gap_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap fill with LINEAR interpolation — the companion of
+    `window_gap_fill`'s LOCF: missing days on each event type's daily
+    revenue spine take the straight line between the bracketing observed
+    days, the default imputation for rate-like series (LOCF steps, linear
+    ramps). Interpolated values are exact scaled integers:
+    (v_prev·(d_next−d) + v_next·(d−d_prev))·1e6 DIV (d_next−d_prev) —
+    cents are nonnegative so truncating and floor division agree, and no
+    float ever enters, so even the imputed values hash cross-engine.
+    Boundary days are observed by construction (the spine spans min..max
+    observed day per key), so both brackets always exist.
+
+    Shape: identical cost class to `window_gap_fill` — daily-grain
+    partial agg, per-key span, distributed sequence+explode grid, one
+    exchange on the key serving both the grid join and the two
+    bracket-carry windows (forward + backward over the same partition).
+    At 100 TB the spine is O(keys × days) ≪ O(events).
+    """
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    span = daily.groupBy("event_type").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = span.select(
+        "event_type",
+        F.explode(
+            F.sequence(F.col("d0"), F.col("d1"), F.expr("interval 1 day"))
+        ).alias("day"),
+    )
+    joined = grid.join(daily, ["event_type", "day"], "left").withColumn(
+        "dnum", F.datediff("day", F.lit("2024-01-01")).cast("bigint")
+    )
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("dnum")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("dnum")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("cents").isNotNull(), F.col("dnum"))
+    bracketed = joined.select(
+        "event_type",
+        "day",
+        "dnum",
+        "cents",
+        F.last("cents", ignorenulls=True).over(wb).alias("v_prev"),
+        F.last(obs_day, ignorenulls=True).over(wb).alias("d_prev"),
+        F.first("cents", ignorenulls=True).over(wf).alias("v_next"),
+        F.first(obs_day, ignorenulls=True).over(wf).alias("d_next"),
+    )
+    interp = F.when(
+        F.col("cents").isNotNull(), F.col("cents") * 1000000
+    ).when(
+        F.col("d_next") == F.col("d_prev"), F.col("v_prev") * 1000000
+    ).otherwise(
+        F.expr(
+            "(v_prev * (d_next - dnum) + v_next * (dnum - d_prev))"
+            " * 1000000 DIV (d_next - d_prev)"
+        )
+    )
+    return bracketed.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("cents").isNull().alias("is_interpolated"),
+        interp.cast("bigint").alias("cents_x1e6"),
+    )

@@ -838,3 +838,89 @@ def quality_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "berger_parker_x10k"
         ),
     )
+
+
+# Deterministic blocklist lexicon (the fixture vocabulary's "undesirable"
+# terms stand in for a real toxicity/spam list — swapping in a production
+# lexicon changes this table, not the plan).
+_LEX_TERMS = ("slow", "error", "drop")
+_LEX_RATE_T_X10K = 500  # block a doc when hits exceed 5% of its tokens
+
+
+@query(
+    "quality_lexicon_gate",
+    oracle=f"""
+    WITH lex(term) AS (VALUES {", ".join(f"('{t}')" for t in _LEX_TERMS)}),
+    toks AS (
+        SELECT d.doc_id, d.source, u.tok
+        FROM documents d,
+             LATERAL (SELECT unnest(string_split(d.text, ' ')) AS tok) u
+        WHERE u.tok <> ''
+    ),
+    per_doc AS (
+        SELECT t.doc_id, t.source,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN l.term IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hits
+        FROM toks t LEFT JOIN lex l ON l.term = t.tok
+        GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n_hits * 10000 > {_LEX_RATE_T_X10K} * n_tokens
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked,
+           CAST(sum(n_hits) AS BIGINT) AS total_hits,
+           CAST(max(n_hits * 10000 // n_tokens) AS BIGINT)
+               AS max_hit_rate_x10k
+    FROM per_doc GROUP BY source
+    """,
+)
+def quality_lexicon_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist-lexicon gate — the term-table companion of the regex PII
+    scrub and the hashing-trick quality model: per-token exact matches
+    against a broadcast lexicon, a doc blocks when its hit RATE clears
+    {_LEX_RATE_T_X10K / 100}% (integer cross-multiplied — no float rate),
+    and the per-source rollup is what a curation dashboard shows. A real
+    toxicity/spam/brand-safety list is this exact plan with a bigger
+    VALUES table: term lists version like models, so they enter as DATA
+    (a joinable table), not as code — the reason this is not another
+    regex.
+
+    Scale shape: the lexicon BROADCASTS (term lists are KBs–MBs); the
+    token stream never shuffles on content — hits fold into per-doc
+    partial aggregates inside the scan, then one groupBy(source). At
+    100 TB this is one pass, same cost class as `text_token_count`.
+    """
+    lex = spark.createDataFrame(
+        [(t,) for t in _LEX_TERMS], "term string"
+    )
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "source", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    per_doc = (
+        toks.join(F.broadcast(lex), toks.tok == lex.term, "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("term").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hits"),
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(
+            F.when(
+                F.col("n_hits") * 10000 > _LEX_RATE_T_X10K * F.col("n_tokens"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_blocked"),
+        F.sum("n_hits").cast("bigint").alias("total_hits"),
+        F.expr("CAST(max(n_hits * 10000 DIV n_tokens) AS BIGINT)").alias(
+            "max_hit_rate_x10k"
+        ),
+    )

@@ -1016,3 +1016,82 @@ def quality_margin_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("margin_x1e6").alias("margin_min_x1e6"),
         F.max("margin_x1e6").alias("margin_max_x1e6"),
     )
+
+
+_ZIPF_HEAD_K = 10  # "head" = the K most frequent types per source
+
+
+@query(
+    "text_zipf_head_share",
+    oracle=f"""
+    WITH toks AS (
+        SELECT d.source, u.tok
+        FROM documents d,
+             LATERAL (SELECT unnest(string_split(d.text, ' ')) AS tok) u
+        WHERE u.tok <> ''
+    ),
+    dom AS (
+        SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+        FROM toks GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT source, tok, c,
+               row_number() OVER (
+                   PARTITION BY source ORDER BY c DESC, tok
+               ) AS rnk
+        FROM dom
+    )
+    SELECT source,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(CASE WHEN rnk <= {_ZIPF_HEAD_K} THEN c ELSE 0 END)
+                * 10000 // sum(c) AS BIGINT) AS head_share_x10k,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS hapax_types,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 10000
+                // count(*) AS BIGINT) AS hapax_share_x10k
+    FROM ranked GROUP BY source
+    """,
+)
+def text_zipf_head_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf head/tail diagnostics per source — the rank-frequency shape
+    check a corpus curator runs before trusting similarity joins and
+    df-capped indexes on a new slice: the top-{_ZIPF_HEAD_K} type share
+    (a heavy head means stop-shingle ceilings and prefix filters have
+    little tail to prune on — the exact regime the 10x scale bench showed
+    turning blocked joins quadratic) and the hapax-legomena type share
+    (a thin tail means OCR noise / template spam; a fat one, healthy
+    Heaps growth). All ratios are integer cross-multiplied (x10k) — a
+    log-log Zipf slope fit would need ln() and can never hash
+    cross-engine; the head/hapax masses carry the same signal exactly.
+
+    Scale shape: one corpus scan collapses to the (source, type) domain
+    with map-side partial counts; the rank window runs on the COLLAPSED
+    domain (vocabulary-sized, orders of magnitude under the token
+    stream); the rollup is one partial-agg groupBy. No global sort.
+    """
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    dom = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    w = Window.partitionBy("source").orderBy(F.col("c").desc(), "tok")
+    ranked = dom.withColumn("rnk", F.row_number().over(w))
+    return ranked.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.expr(
+            f"CAST(sum(CASE WHEN rnk <= {_ZIPF_HEAD_K} THEN c ELSE 0 END)"
+            " * 10000 DIV sum(c) AS BIGINT)"
+        ).alias("head_share_x10k"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("hapax_types"),
+        F.expr(
+            "CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 10000"
+            " DIV count(*) AS BIGINT)"
+        ).alias("hapax_share_x10k"),
+    )

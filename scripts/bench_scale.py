@@ -76,6 +76,10 @@ SCALE_SET = [
     "multimodal_image_phash",
     "quality_margin_bins",
     "sample_weighted_reservoir",
+    "text_zipf_head_share",
+    "quality_lexicon_gate",
+    "window_gap_interpolate",
+    "dedup_cluster_stats",
 ]
 
 

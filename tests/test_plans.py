@@ -1703,3 +1703,41 @@ def test_hnsw_beam_no_cartesian_no_udf(spark):
 
     # each node prints twice in formatted mode (tree + details)
     assert plan.count("Window") >= 2 * (_BEAM_ROUNDS + 1)
+
+
+def test_zipf_head_share_collapsed_domain_window(spark):
+    """The rank window runs on the collapsed (source, type) domain after
+    a partial-agg collapse — never a per-token sort."""
+    plan = plan_of(spark, "text_zipf_head_share")
+    assert "partial_count" in plan.lower() or "partial" in plan.lower()
+    assert plan.count("Window") == 2  # one node, printed twice
+    assert "Join" not in plan
+
+
+def test_lexicon_gate_broadcasts_terms(spark):
+    """The term table broadcasts; the token stream never shuffles on
+    content — one scan, two partial-agg groupBys."""
+    plan = plan_of(spark, "quality_lexicon_gate")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_gap_interpolate_no_cartesian_two_windows(spark):
+    """Both bracket-carry windows share the per-key partition; the grid
+    comes from sequence+explode, not a cross join."""
+    plan = plan_of(spark, "window_gap_interpolate")
+    assert "CartesianProduct" not in plan
+    assert "Generate" in plan  # the sequence+explode spine
+
+
+def test_cluster_stats_reuses_staged_artifacts(spark):
+    """The audit must consume the staged pair/label artifacts (plans show
+    the checkpointed RDD scans), never rebuild the LSH pipeline."""
+    import hudi_acid_verification_spark.operators as o
+
+    o._ONCE.clear()
+    ops.QUERIES["dedup_components"](spark, SF_SMALL).collect()  # stages
+    n_keys = len(o._ONCE)
+    plan = plan_of(spark, "dedup_cluster_stats")
+    assert "Scan ExistingRDD" in plan or "LogicalRDD" in plan
+    assert "ArrowEvalPython" not in plan, "must not rebuild the LSH rescore"

@@ -94,7 +94,9 @@ def test_wide_banding_is_tau_derived():
     assert 1.0 - (1.0 - 0.5**band_bits) ** r < 0.2
 
 
-@pytest.mark.soak  # at-scale execution tier: ~3-5 min of real 120k-vector work
+@pytest.mark.nightly  # ~5 min of real 120k-vector work — blew the 900s soak
+# budget (VERDICT r6 #6: displace, don't accumulate); the wide-path banding
+# CONTRACT stays per-commit via test_plans.test_lsh_wide_signature_path_is_sound
 def test_wide_lsh_engages_and_completes_at_120k_vectors(spark, scale_dir):
     """Past _LSH_SMALL_N the banding must AUTO-select the tau-derived wide
     parameterization (band keys widen to 8 bits) and the whole candidate +
