@@ -253,14 +253,32 @@ def _hash_payload(name: str) -> str | None:
             ):
                 # unordered collections repr in per-process-random order
                 # (PYTHONHASHSEED) — canonicalize so the staleness hash
-                # cannot flap between driver runs (ADVICE r6).
-                if isinstance(obj, frozenset):
-                    rep = "frozenset(%r)" % (sorted(obj, key=repr),)
-                else:
-                    rep = repr(obj)
-                parts.append(f"--const:{ref}={rep}--")
+                # cannot flap between driver runs (ADVICE r6). Recursive
+                # (ADVICE r7): a frozenset nested inside a tuple must
+                # canonicalize too, not just the outermost type. The
+                # formatting mirrors repr() exactly for scalars and plain
+                # tuples so pre-existing ledger hashes are unchanged.
+                parts.append(f"--const:{ref}={_canon_const(obj)}--")
     parts.append("--oracle--\n" + ops.ORACLES.get(name, ""))
     return "\n".join(parts)
+
+
+def _canon_const(obj) -> str:
+    """PYTHONHASHSEED-independent repr of a hashable constant: unordered
+    collections (frozensets) sort their elements at EVERY nesting depth —
+    a frozenset inside a tuple canonicalizes the same as a top-level one
+    (ADVICE r7; the r6 fix only special-cased the outermost type). For
+    scalars and plain tuples the output is byte-identical to ``repr``,
+    so certified ledger hashes for such constants do not move."""
+    if isinstance(obj, frozenset):
+        inner = ", ".join(_canon_const(x) for x in sorted(obj, key=repr))
+        return f"frozenset([{inner}])"
+    if isinstance(obj, tuple):
+        inner = ", ".join(_canon_const(x) for x in obj)
+        if len(obj) == 1:
+            inner += ","
+        return f"({inner})"
+    return repr(obj)
 
 
 def _source_hash(name: str) -> str | None:

@@ -1793,6 +1793,12 @@ def similarity_hnsw_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _BEAM_B)
     )
     for _ in range(_BEAM_ROUNDS):
+        # Each round references the previous beam TWICE (expand + union),
+        # so without truncation the physical plan doubles per round —
+        # 2^rounds recomputes of the round-0 scoring. Same discipline as
+        # the label-propagation loop above: checkpoint so round N's plan
+        # is O(1). The beam is ≤ Q·B rows, so the checkpoint is cheap.
+        beam = beam.localCheckpoint()
         # frontier (≤ Q·B rows) broadcasts INTO the distributed edge
         # list — never the reverse: the kNN adjacency is O(N·K) rows and
         # broadcasting it is the exact 100x-scale OOM class VERDICT r6

@@ -404,15 +404,23 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
                ) AS d_next
         FROM joined
+    ),
+    num AS (
+        SELECT *, (v_prev * (d_next - dnum) + v_next * (dnum - d_prev))
+                  * 1000000 AS a,
+                  (d_next - d_prev) AS b
+        FROM bracketed
     )
     SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
            (cents IS NULL) AS is_interpolated,
+           -- explicit FLOOR division (// truncates toward zero in both
+           -- engines; floor is sign-safe — ADVICE r7): b > 0 always
            CAST(CASE WHEN cents IS NOT NULL THEN cents * 1000000
                 WHEN d_next = d_prev THEN v_prev * 1000000
-                ELSE (v_prev * (d_next - dnum) + v_next * (dnum - d_prev))
-                     * 1000000 // (d_next - d_prev)
+                ELSE a // b - (CASE WHEN a % b != 0 AND a < 0
+                               THEN 1 ELSE 0 END)
            END AS BIGINT) AS cents_x1e6
-    FROM bracketed
+    FROM num
     """,
 )
 def window_gap_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -421,9 +429,13 @@ def window_gap_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue spine take the straight line between the bracketing observed
     days, the default imputation for rate-like series (LOCF steps, linear
     ramps). Interpolated values are exact scaled integers:
-    (v_prev·(d_next−d) + v_next·(d−d_prev))·1e6 DIV (d_next−d_prev) —
-    cents are nonnegative so truncating and floor division agree, and no
-    float ever enters, so even the imputed values hash cross-engine.
+    floor((v_prev·(d_next−d) + v_next·(d−d_prev))·1e6 / (d_next−d_prev))
+    — the floor is computed EXPLICITLY on BOTH sides (Spark DIV and
+    DuckDB // each truncate toward zero, so a bare integer division is
+    only sign-safe by accident of the fixture's nonnegative values; the
+    shared a DIV b − 1[a%b≠0 ∧ a<0] form floors for any sign — ADVICE
+    r7, hardened beyond it). No float ever enters, so even the imputed
+    values hash cross-engine.
     Boundary days are observed by construction (the spine spans min..max
     observed day per key), so both brackets always exist.
 
@@ -479,9 +491,18 @@ def window_gap_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).when(
         F.col("d_next") == F.col("d_prev"), F.col("v_prev") * 1000000
     ).otherwise(
+        # Explicit FLOOR division (ADVICE r7): both engines' integer
+        # division truncates toward zero, so negative numerators (refund
+        # days making cents < 0) would round UP — wrong for a floor-based
+        # interpolation contract. With den > 0 by construction, floor(a/b)
+        # = a DIV b − (1 if a % b ≠ 0 and a < 0); mirrored in the oracle.
         F.expr(
-            "(v_prev * (d_next - dnum) + v_next * (dnum - d_prev))"
-            " * 1000000 DIV (d_next - d_prev)"
+            "((v_prev * (d_next - dnum) + v_next * (dnum - d_prev))"
+            " * 1000000) DIV (d_next - d_prev)"
+            " - (CASE WHEN ((v_prev * (d_next - dnum)"
+            " + v_next * (dnum - d_prev)) * 1000000) % (d_next - d_prev)"
+            " != 0 AND (v_prev * (d_next - dnum)"
+            " + v_next * (dnum - d_prev)) < 0 THEN 1 ELSE 0 END)"
         )
     )
     return bracketed.select(

@@ -344,8 +344,8 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("na") + F.col("nb") - F.col("n_common")
     )
     return (
-        verified.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        verified.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= _JACCARD_T)
         .select("doc_a", "doc_b", "jaccard")
@@ -450,7 +450,11 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     levers applied, both stated: (1) the block key carries the first TWO
     tokens (head-bigram mass is the square of head-token mass, so hot
     blocks shrink quadratically; twins differing inside the leading
-    bigram are forgone recall — the knob's price); (2) the b-side
+    bigram are forgone recall — the knob's price, MEASURED in
+    tests/test_blocking_recall.py: 94/127 = 0.740 recall on a planted
+    corpus whose twin edits land at uniform token positions, and 7/7 =
+    1.0 on the organic sf fixture whose dups preserve the bigram); (2)
+    the b-side
     length-bucket expansion below spreads whatever blocks remain across
     ~corpus-length/{_LEV_LEN_BAND} tasks, killing stragglers. The exact
     ±{_LEV_LEN_BAND} filter is unchanged, so the emitted pair set equals
@@ -1378,11 +1382,16 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     `new_index` or `new_new` — the split an index maintainer monitors
     (intra-batch dup bursts vs catalog collisions).
 
-    Scale shape: the new batch is ~1/{_INC_MOD} of the corpus and its
-    band rows BROADCAST against the distributed posting list; the verify
-    join touches only candidate shingle sets. At 100 TB with a stored
-    index the corpus banding below is a parquet read of the posting
-    table; nothing else changes.
+    Scale shape: the fixture's "batch" is doc_id % {_INC_MOD} ==
+    {_INC_NEW}, i.e. corpus-PROPORTIONAL — so no side carries a broadcast
+    hint (ADVICE r7): a forced broadcast of the batch's band rows would
+    grow linearly with the corpus, the exact unbounded-broadcast OOM
+    class `test_threshold_sweep_never_broadcasts_pair_set` guards
+    elsewhere. AQE picks broadcast only when the observed batch is small
+    (a real nightly ingest); otherwise both sides shuffle on the band
+    key. The verify join touches only candidate shingle sets. At 100 TB
+    with a stored index the corpus banding below is a parquet read of
+    the posting table; nothing else changes.
     """
     sh = _shingles_spark(spark, sf_dir).cache()
     is_new = (F.col("doc_id") % _INC_MOD) == _INC_NEW
@@ -1392,7 +1401,7 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("new_id"), "band_id", "band_key"
     )
     cands = (
-        F.broadcast(n)
+        n
         .join(bands_all, ["band_id", "band_key"])
         .filter(F.col("new_id") != F.col("doc_id"))
         .select(
@@ -1420,8 +1429,8 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("doc_b") % _INC_MOD == _INC_NEW)
     )
     return (
-        verified.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        verified.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= _JACCARD_T)
         .select(

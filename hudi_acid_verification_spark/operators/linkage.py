@@ -163,7 +163,10 @@ def dedup_fuzzy_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
     block join shuffles on the small (lang, tok0) key space and the
     Python cost is Arrow-batched O(pairs × key²) with key capped at
     {_JW_KEY_LEN} chars; hot blocks split by tightening the length band
-    into the block key — the standard record-linkage trade, stated.
+    into the block key — the standard record-linkage trade, stated and
+    MEASURED (tests/test_blocking_recall.py): 85/114 = 0.746 recall for
+    the (lang, tok0) block on a planted identifier-like corpus whose
+    twin edits land at uniform token positions.
 
     The Python metric is calibrated bit-for-bit against DuckDB's
     jaro_winkler_similarity (same boost threshold / prefix cap / scale),

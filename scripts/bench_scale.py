@@ -80,6 +80,14 @@ SCALE_SET = [
     "quality_lexicon_gate",
     "window_gap_interpolate",
     "dedup_cluster_stats",
+    # round-8: the event/window family (VERDICT r7 #1 — the uncovered
+    # regime; events replicate 10x with fixture-shaped per-user history,
+    # so these measure window/shuffle scaling over 10x keys)
+    "event_sessionize",
+    "window_retention_cohorts",
+    "window_active_users",
+    "event_funnel_windowed",
+    "sketch_window_distinct",
 ]
 
 
@@ -116,6 +124,12 @@ def main() -> None:
         type=float,
         default=30.0,
         help="flag ratio above this (10x data; 30 =~ generous n log n)",
+    )
+    ap.add_argument(
+        "--spot-out",
+        default="",
+        help="with --only: write the subset run to this JSON artifact "
+        "(per-round scale spot-check of rewritten plans)",
     )
     args = ap.parse_args()
     names = [
@@ -162,6 +176,13 @@ def main() -> None:
     }
     if not args.only:
         with open(os.path.join(REPO, "BENCH_SCALE.json"), "w") as f:
+            json.dump(out, f, indent=1)
+    elif args.spot_out:
+        # per-round spot-check of REWRITTEN plans only (VERDICT r7 #7):
+        # staged artifacts amortize, so re-measuring a handful of changed
+        # operators is cheap — a fix can't reintroduce a cliff between
+        # full tier runs.
+        with open(args.spot_out, "w") as f:
             json.dump(out, f, indent=1)
     print(
         json.dumps(

@@ -12,7 +12,10 @@ plan read, not a measurement. This script builds a measured basis:
   KEY OFFSETS (custkey/suppkey/partkey/orderkey/event_id/user_id shift by
   replica * (max_key+1)), so PK uniqueness and every join relationship hold
   and per-key distributions (lineitems per order, events per user) stay
-  exactly fixture-shaped; documents 50k over a Heaps-grown vocabulary
+  exactly fixture-shaped — EXCEPT ~10% of lineitem partkeys, which rewire
+  into a different replica's key space so the co-purchase graph is
+  organically connected instead of 10 disjoint copies (VERDICT r7 #1:
+  disjoint replicas under-stress triangle/k-core/LPA density behavior); documents 50k over a Heaps-grown vocabulary
   (31 -> 98 =~ 31 * sqrt(10) types) and embeddings 20k, both with a planted
   ~5% near-dup rate so dedup/ANN output volume grows LINEARLY with the
   corpus (a frozen vocabulary would force O(n^2) true pairs and turn every
@@ -58,6 +61,9 @@ N_SOURCES = 20
 DUP_RATE = 0.05  # planted near-dup fraction (docs and vectors)
 
 
+REWIRE_RATE_MOD = 10  # 1-in-10 lineitem rows get a cross-replica partkey
+
+
 def _replicate(con: duckdb.DuckDBPyConnection, table: str, out_dir: str) -> None:
     src = f"{SRC}/{table}.parquet"
     cols = [r[0] for r in con.execute(f"DESCRIBE SELECT * FROM '{src}'").fetchall()]
@@ -66,6 +72,31 @@ def _replicate(con: duckdb.DuckDBPyConnection, table: str, out_dir: str) -> None
         f"t.{c} + r.r * {offsets[c]} AS {c}" if c in offsets else f"t.{c}"
         for c in cols
     )
+    if table == "lineitem":
+        # ORGANIC cross-replica edges (VERDICT r7 #1): pure key-offset
+        # replication makes the co-purchase graph 10 DISJOINT copies of
+        # the 1x graph, so triangle/k-core/LPA ratios measured per-round
+        # overhead, not density growth. Rewire ~1/{REWIRE_RATE_MOD} of
+        # lineitem partkeys into a DIFFERENT replica's key space
+        # (seed-free deterministic: the destination replica derives from
+        # the row's own keys), so orders span replicas at fixture-shaped
+        # rates, the graph is globally connected, and wedge counts grow
+        # with real density — while FK validity holds (every offset
+        # partkey exists in the replicated part table) and PK uniqueness
+        # is untouched (orderkeys offset normally).
+        rewire = (
+            f"(t.l_orderkey + t.l_partkey) % {REWIRE_RATE_MOD} = 0"
+        )
+        dest = f"((r.r + 1 + (t.l_partkey % {REPLICAS - 1})) % {REPLICAS})"
+        proj = ", ".join(
+            (
+                f"t.l_partkey + (CASE WHEN {rewire} THEN {dest} ELSE r.r END)"
+                f" * {offsets['l_partkey']} AS l_partkey"
+            )
+            if c == "l_partkey"
+            else (f"t.{c} + r.r * {offsets[c]} AS {c}" if c in offsets else f"t.{c}")
+            for c in cols
+        )
     con.execute(
         f"""
         COPY (

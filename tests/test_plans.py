@@ -1672,45 +1672,81 @@ def test_quality_margin_bins_broadcast_thresholds(spark):
     assert "Window" in plan  # the collapsed-domain cumsum spine
 
 
-def test_incremental_minhash_broadcasts_new_batch(spark):
-    """The arriving batch's band rows are the BROADCAST side against the
-    corpus posting list — maintenance cost must stay O(batch), never a
-    corpus re-pairing."""
-    plan = plan_of(spark, "dedup_incremental_minhash")
-    assert "BroadcastHashJoin" in plan
-    assert "CartesianProduct" not in plan
+def _plan_nodes(spark, name: str):
+    """(formatted explain string, walked sparkPlan nodes) for a query —
+    structural asserts count NODES in the plan tree instead of substring
+    occurrences of the formatted string, which encode the current Spark
+    version's plan-printing format (ADVICE r7)."""
+    df = ops.QUERIES[name](spark, SF_SMALL)
+    qe = df._jdf.queryExecution()
+    plan = qe.explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    return plan, list(_walk_plan(qe.sparkPlan()))
+
+
+def _window_nodes(nodes):
+    return [n for n in nodes if n.nodeName() == "Window"]
+
+
+def test_incremental_minhash_no_forced_broadcast(spark):
+    """ADVICE r7: the fixture's 'arriving batch' is doc_id % 10 == 7 —
+    corpus-PROPORTIONAL, so no side may carry a broadcast HINT (a forced
+    broadcast would grow linearly with the corpus, the unbounded-broadcast
+    OOM class). AQE may still CHOOSE broadcast at runtime when the observed
+    batch is small; the contract is only that nothing forces it.
+    Structurally: zero hint nodes survive into the analyzed logical plan,
+    and no cartesian product appears in the physical one."""
+    df = ops.QUERIES["dedup_incremental_minhash"](spark, SF_SMALL)
+    qe = df._jdf.queryExecution()
+    hints = [
+        n for n in _walk_plan(qe.analyzed()) if "Hint" in n.nodeName()
+    ]
+    assert not hints, f"broadcast hints on a corpus-proportional side: {hints}"
+    assert "CartesianProduct" not in qe.sparkPlan().toString()
 
 
 def test_phash_single_window_no_join(spark):
     """pHash is per-row Arrow-batched map work plus ONE bucket-count
     window on the hash — no joins, no extra exchanges."""
-    plan = plan_of(spark, "multimodal_image_phash")
+    plan, nodes = _plan_nodes(spark, "multimodal_image_phash")
     assert "ArrowEvalPython" in plan or "MapInPandas" in plan
     assert "Join" not in plan
-    # formatted plans print each node twice (tree + details section)
-    assert plan.count("Window") == 2
+    assert len(_window_nodes(nodes)) == 1
 
 
 def test_hnsw_beam_no_cartesian_no_udf(spark):
     """The beam probe is pure JVM expression work (quantized dots inside
     codegen) over broadcast frontiers: no Python eval, no cartesian
-    product, one row_number window per beam cut (entry + each round)."""
-    plan = plan_of(spark, "similarity_hnsw_beam")
+    product. Each beam round is localCheckpointed (VERDICT r7 #1 — the
+    beam is referenced twice per round, so an uncheckpointed plan doubles
+    per round), so the FINAL plan is one round's marginal work: the
+    previous beam read back from a checkpointed RDD, one beam-cut
+    window."""
+    plan, nodes = _plan_nodes(spark, "similarity_hnsw_beam")
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert "BroadcastExchange" in plan
     from hudi_acid_verification_spark.operators.ann import _BEAM_ROUNDS
 
-    # each node prints twice in formatted mode (tree + details)
-    assert plan.count("Window") >= 2 * (_BEAM_ROUNDS + 1)
+    assert _BEAM_ROUNDS >= 2  # the guard below is vacuous otherwise
+    assert len(_window_nodes(nodes)) <= 2, (
+        "window count must not scale with _BEAM_ROUNDS (checkpointed beam "
+        "= one beam-cut window + the kNN-rank window from the edge list)"
+    )
+    assert any("ExistingRDD" in n.nodeName() for n in nodes), (
+        "previous round must come from the checkpointed RDD, not lineage"
+    )
 
 
 def test_zipf_head_share_collapsed_domain_window(spark):
     """The rank window runs on the collapsed (source, type) domain after
     a partial-agg collapse — never a per-token sort."""
-    plan = plan_of(spark, "text_zipf_head_share")
+    plan, nodes = _plan_nodes(spark, "text_zipf_head_share")
     assert "partial_count" in plan.lower() or "partial" in plan.lower()
-    assert plan.count("Window") == 2  # one node, printed twice
+    assert len(_window_nodes(nodes)) == 1
     assert "Join" not in plan
 
 
