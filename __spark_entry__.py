@@ -183,6 +183,11 @@ _CERT_ORDER = [
     "dedup_incremental_minhash", "multimodal_image_phash",
     "similarity_hnsw_beam", "text_zipf_head_share", "quality_lexicon_gate",
     "window_gap_interpolate", "dedup_cluster_stats",
+    # tier 8 (round 8) — new operators, never driver-certified
+    "dedup_cdc_chunks", "text_lang_segments", "dedup_dbscan_lsh",
+    "audit_join_strategies", "graph_clustering_coefficient",
+    "graph_neighborhood_jaccard", "sample_bootstrap_ci",
+    "text_kgram_source_cosine", "event_decay_ltv",
 ]
 
 

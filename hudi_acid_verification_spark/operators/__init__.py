@@ -46,18 +46,49 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # production pipeline stages each of them ONCE and fans consumers out from
 # the staged artifact — so the engine does too. Keyed by SparkContext
 # application id (a new context invalidates checkpointed blocks) plus the
-# CANONICALIZED logical plan (expression ids normalized, parquet paths
-# embedded in the scan — different sf_dirs, filters, or upstream transforms
-# can never collide) plus the caller's ``extra_key`` for parameters bound
-# into Python closures that the plan can't see. Assumes fixture parquet is
-# immutable for the process lifetime, which the driver's testdata contract
-# guarantees. Insertion-ordered → doubles as the LRU order.
+# CANONICALIZED logical plan (expression ids normalized) plus the plan's
+# SOURCE IDENTITY (input file paths + checkpointed-RDD ids — see
+# ``_plan_source_identity``: canonicalization strips BOTH the parquet path
+# and the RDD identity, so two sf_dirs' builds canonicalize to the same
+# string and would collide without it; round-8 finding, it silently served
+# 1x artifacts to the 10x tier of scripts/bench_scale.py) plus the caller's
+# ``extra_key`` for parameters bound into Python closures that the plan
+# can't see. Assumes fixture parquet is immutable for the process lifetime,
+# which the driver's testdata contract guarantees. Insertion-ordered →
+# doubles as the LRU order.
 _ONCE: dict[tuple[str, str], DataFrame] = {}
 # Cache bound (VERDICT r5 "What's wrong" #2): a long-lived driver staging
 # many distinct plans must not pin checkpointed blocks forever. Eviction
 # drops our reference and best-effort-unpersists; Spark's ContextCleaner
 # reclaims the blocks once the JVM-side RDD is unreachable.
 _ONCE_MAX = 48
+
+
+def _plan_source_identity(df: DataFrame) -> str:
+    """The data-source identity the canonicalized plan ERASES: sorted
+    input file paths (canonicalization prints a parquet scan as
+    ``Relation [...] parquet`` with no path) and the ids of any
+    checkpointed RDDs the plan reads (``LogicalRDD`` canonicalizes to its
+    schema alone, so two different staged artifacts with equal schemas
+    print identically). Without this, a session touching two fixture
+    dirs serves the FIRST dir's staged artifact to the second — the
+    round-8 bug that fed 1x artifacts to bench_scale's 10x tier."""
+    parts = [",".join(sorted(df.inputFiles()))]
+    rdd_ids: list[str] = []
+
+    def walk(node) -> None:
+        if node.nodeName() == "LogicalRDD":
+            try:
+                rdd_ids.append(str(node.rdd().id()))
+            except Exception:  # pragma: no cover - defensive vs API drift
+                rdd_ids.append("unknown")
+        children = node.children()
+        for i in range(children.size()):
+            walk(children.apply(i))
+
+    walk(df._jdf.queryExecution().analyzed())
+    parts.append(",".join(rdd_ids))
+    return "\x00".join(parts)
 
 
 def materialize_once(df: DataFrame, extra_key: str = "") -> DataFrame:
@@ -84,7 +115,11 @@ def materialize_once(df: DataFrame, extra_key: str = "") -> DataFrame:
     key = (
         sc.applicationId,
         hashlib.sha256(
-            plan.encode() + b"\x00" + extra_key.encode()
+            plan.encode()
+            + b"\x00"
+            + _plan_source_identity(df).encode()
+            + b"\x00"
+            + extra_key.encode()
         ).hexdigest(),
     )
     hit = _ONCE.get(key)
@@ -161,6 +196,7 @@ def _import_all() -> None:
         ann,
         asof,
         bucketed,
+        cdc,
         composite,
         composite2,
         composite3,
@@ -174,6 +210,7 @@ def _import_all() -> None:
         ml,
         modern_sql,
         multimodal,
+        observability,
         pipelines,
         pivoting,
         pq,

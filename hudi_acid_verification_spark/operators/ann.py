@@ -1054,10 +1054,18 @@ def _components_labels(
     the closure as a single lazy plan, hence the hand-rolled key)."""
     import hashlib
 
-    from . import _ONCE
+    from . import _ONCE, _plan_source_identity
 
+    # canonicalization erases checkpointed-RDD identity (every staged
+    # pair list prints as the same "LogicalRDD [lo, hi]"), so the key
+    # must also carry _plan_source_identity — without it, dbscan's
+    # core-edge closure was served dedup_components' full-graph labels
+    # whenever both ran in one session (round-8 driver-sim finding, the
+    # same collision class as the materialize_once fix)
     pairs_plan = (
         pairs._jdf.queryExecution().analyzed().canonicalized().toString()
+        + "\x00"
+        + _plan_source_identity(pairs)
     )
     memo_key = (
         spark.sparkContext.applicationId,
@@ -1908,5 +1916,149 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_pairs").cast("bigint").alias("n_pairs"),
             F.sum("n_tight70").cast("bigint").alias("n_tight70"),
             F.sum("n_tight90").cast("bigint").alias("n_tight90"),
+        )
+    )
+
+
+# ---- DBSCAN-style density clustering over the staged LSH pairs -------------
+_DBSCAN_TAU = 0.4     # eps-neighborhood: exact cosine >= tau (> _DUP_TAU
+#                       generation floor, so the staged pair set covers it)
+_DBSCAN_MINPTS = 2    # core point: >= this many eps-neighbors (self excl.)
+
+
+def _dbscan_oracle() -> str:
+    return (
+        _scored_pairs_cte()
+        + f""",
+    dpairs AS (
+        SELECT lo, hi FROM scored WHERE cosine >= {_DBSCAN_TAU}
+    ),
+    dnbr AS (
+        SELECT lo AS a, hi AS b FROM dpairs
+        UNION ALL
+        SELECT hi AS a, lo AS b FROM dpairs
+    ),
+    ddeg AS (SELECT a AS vec_id, count(*) AS d FROM dnbr GROUP BY a),
+    dcore AS (SELECT vec_id FROM ddeg WHERE d >= {_DBSCAN_MINPTS}),
+    dcedges AS (
+        SELECT n.a AS src, n.b AS dst
+        FROM dnbr n
+        JOIN dcore c1 ON c1.vec_id = n.a
+        JOIN dcore c2 ON c2.vec_id = n.b
+    ),
+    dreach(node, lab) AS (
+        SELECT vec_id, vec_id FROM dcore
+        UNION
+        SELECT e.dst, r.lab FROM dreach r JOIN dcedges e ON e.src = r.node
+    ),
+    dcomp AS (
+        SELECT node AS vec_id, min(lab) AS cluster_id
+        FROM dreach GROUP BY node
+    ),
+    dborder AS (
+        SELECT n.a AS vec_id, min(c.cluster_id) AS cluster_id
+        FROM dnbr n JOIN dcomp c ON c.vec_id = n.b
+        WHERE n.a NOT IN (SELECT vec_id FROM dcore)
+        GROUP BY n.a
+    )
+    SELECT vec_id, 'core' AS role, CAST(cluster_id AS BIGINT) AS cluster_id
+    FROM dcomp
+    UNION ALL
+    SELECT vec_id, 'border' AS role, CAST(cluster_id AS BIGINT) AS cluster_id
+    FROM dborder
+    UNION ALL
+    SELECT e.vec_id, 'noise' AS role, CAST(NULL AS BIGINT) AS cluster_id
+    FROM embeddings e
+    WHERE e.vec_id NOT IN (SELECT vec_id FROM dcomp)
+      AND e.vec_id NOT IN (SELECT vec_id FROM dborder)
+    """
+    )
+
+
+@query("dedup_dbscan_lsh", oracle=_dbscan_oracle())
+def dedup_dbscan_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN-style DENSITY clustering over the staged LSH candidate
+    pairs (VERDICT r7 #5): every vector is labeled core (≥{_DBSCAN_MINPTS}
+    exact-cosine-≥{_DBSCAN_TAU} neighbors), border (non-core neighbor of
+    a core; joins its min core neighbor's cluster), or noise — the
+    density complement of `dedup_components`' transitive closure, which
+    chains A~B~C into one cluster regardless of density and so inflates
+    clusters through thin bridges (the failure `dedup_cluster_stats`
+    audits). DBSCAN ignores bridges below the density floor: thin chains
+    become border/noise instead of glue.
+
+    Spark shape: the eps-neighborhood IS the staged banded-LSH rescore
+    artifact filtered at tau (no new pair generation — tau >
+    {_DUP_TAU}, the staged set's generation floor, so the subset is
+    complete); degrees are one partial-agg groupBy over the edge list;
+    core-core components reuse `_components_labels` (min-label + path
+    halving, checkpointed rounds, star rewrite past
+    {_STAR_EDGE_THRESHOLD:,} edges); border attach is one edge⋈labels
+    join + min-combine. Everything downstream of the staged artifact is
+    O(|E|) shuffles — no broadcast of unbounded sides, nothing
+    quadratic. The oracle closes the SAME pair set with a recursive CTE
+    seeded from the core set only.
+    """
+    from . import materialize_once
+
+    pairs = materialize_once(
+        _lsh_band_pairs(spark, sf_dir)
+        .filter(F.col("cosine") >= _DBSCAN_TAU)
+        .select("lo", "hi")
+        .dropDuplicates(["lo", "hi"]),
+        extra_key=f"dbscan_tau={_DBSCAN_TAU}",
+    )
+    nbr = pairs.select(
+        F.col("lo").alias("a"), F.col("hi").alias("b")
+    ).unionByName(pairs.select(F.col("hi").alias("a"), F.col("lo").alias("b")))
+    core = (
+        nbr.groupBy("a")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .filter(F.col("d") >= _DBSCAN_MINPTS)
+        .select(F.col("a").alias("vec_id"))
+    )
+    core_edges = materialize_once(
+        pairs.join(core.withColumnRenamed("vec_id", "lo"), "lo").join(
+            core.withColumnRenamed("vec_id", "hi"), "hi"
+        ),
+        extra_key=f"dbscan_core={_DBSCAN_TAU}:{_DBSCAN_MINPTS}",
+    )
+    labels = _components_labels(spark, sf_dir, core_edges)
+    core_lab = labels.join(core, "vec_id").select(
+        "vec_id", F.col("component_id").alias("cluster_id")
+    )
+    border = (
+        nbr.join(
+            core_lab.select(
+                F.col("vec_id").alias("b"), F.col("cluster_id").alias("bcl")
+            ),
+            "b",
+        )
+        .join(core.withColumnRenamed("vec_id", "a"), "a", "left_anti")
+        .groupBy(F.col("a").alias("vec_id"))
+        .agg(F.min("bcl").alias("cluster_id"))
+    )
+    emb_ids = load(spark, sf_dir, "embeddings").select("vec_id")
+    noise = (
+        emb_ids.join(core, "vec_id", "left_anti")
+        .join(border.select("vec_id"), "vec_id", "left_anti")
+        .select(
+            "vec_id",
+            F.lit(None).cast("bigint").alias("cluster_id"),
+        )
+    )
+    return (
+        core_lab.select(
+            "vec_id", F.lit("core").alias("role"),
+            F.col("cluster_id").cast("bigint").alias("cluster_id"),
+        )
+        .unionByName(
+            border.select(
+                "vec_id", F.lit("border").alias("role"),
+                F.col("cluster_id").cast("bigint").alias("cluster_id"),
+            )
+        )
+        .unionByName(
+            noise.select("vec_id", F.lit("noise").alias("role"), "cluster_id")
         )
     )

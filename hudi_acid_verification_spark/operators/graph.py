@@ -788,3 +788,173 @@ def _stage_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 from . import STAGING as _STAGING  # noqa: E402
 
 _STAGING["copurchase_edges"] = _stage_copurchase_edges
+
+
+# ---- per-node clustering coefficient (round 8) ------------------------------
+def _clustering_coeff_oracle() -> str:
+    return """
+    WITH e AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a
+        JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                       AND a.l_partkey < b.l_partkey
+    ),
+    nbr AS (
+        SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e
+    ),
+    deg AS (SELECT a AS node, count(*) AS d FROM nbr GROUP BY a),
+    tri AS (
+        SELECT e1.u AS x, e1.v AS y, e2.v AS z
+        FROM e e1
+        JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+        JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+    ),
+    pertri AS (
+        SELECT x AS node FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+    ),
+    tcount AS (SELECT node, count(*) AS t FROM pertri GROUP BY node)
+    SELECT d.node, CAST(d.d AS BIGINT) AS degree,
+           CAST(coalesce(t.t, 0) AS BIGINT) AS n_triangles,
+           CAST(CASE WHEN d.d >= 2
+                THEN coalesce(t.t, 0) * 2000000 // (d.d * (d.d - 1))
+                ELSE 0 END AS BIGINT) AS cc_x1e6
+    FROM deg d LEFT JOIN tcount t ON t.node = d.node
+    """
+
+
+@query("graph_clustering_coefficient", oracle=_clustering_coeff_oracle())
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node LOCAL clustering coefficient on the co-purchase graph:
+    cc(x) = 2·tri(x) / (deg(x)·(deg(x)−1)) — how close each node's
+    neighborhood is to a clique, the node-level community signal that
+    `graph_triangle_count`'s single global number can't show (a graph can
+    hold many triangles all concentrated in one dense pocket).
+
+    Scale shape: same degree-ordered orientation as the triangle count
+    (wedges bounded O(m^1.5) regardless of skew), but each closed
+    triangle credits ALL THREE corners via one in-row 3-element explode,
+    then a partial-agg rollup per node — no second wedge pass. Exact
+    integers end-to-end (cc scaled ×1e6 with floor; all-nonnegative so
+    DIV == //). Degrees reuse the staged edge artifact's partial-agg
+    groupBy. No broadcast of unbounded sides; output is O(nodes)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = _pair_edges(li).localCheckpoint(eager=False)
+    deg = (
+        edges.select(F.col("u").alias("x"))
+        .unionAll(edges.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("x").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("x").alias("v"), F.col("d").alias("dv"))
+    ranked = edges.join(du, "u").join(dv, "v")
+    lower_u = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ranked.select(
+        F.when(lower_u, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(lower_u, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    )
+    w1 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    w2 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    wedges = w1.join(w2, "a").filter(F.col("b") < F.col("c"))
+    # close the wedge against the UNDIRECTED edge set (u < v canonical)
+    closing = edges.select(
+        F.least("u", "v").alias("b"), F.greatest("u", "v").alias("c")
+    )
+    tri = wedges.join(closing, ["b", "c"])
+    credit = tri.select(
+        F.explode(F.array("a", "b", "c")).alias("node")
+    ).groupBy("node").agg(F.count(F.lit(1)).alias("t"))
+    return (
+        deg.withColumnRenamed("x", "node")
+        .join(credit, "node", "left")
+        .select(
+            "node",
+            F.col("d").cast("bigint").alias("degree"),
+            F.coalesce("t", F.lit(0)).cast("bigint").alias("n_triangles"),
+            F.expr(
+                "CAST(CASE WHEN d >= 2 THEN coalesce(t, 0) * 2000000"
+                " DIV (d * (d - 1)) ELSE 0 END AS BIGINT)"
+            ).alias("cc_x1e6"),
+        )
+    )
+
+
+# ---- per-edge neighborhood Jaccard (round 8) --------------------------------
+def _nbr_jaccard_oracle() -> str:
+    return """
+    WITH e AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a
+        JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                       AND a.l_partkey < b.l_partkey
+    ),
+    nbr AS (
+        SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e
+    ),
+    deg AS (SELECT a AS node, count(*) AS d FROM nbr GROUP BY a),
+    cn AS (
+        SELECT e.u, e.v, count(*) AS c
+        FROM e
+        JOIN nbr na ON na.a = e.u
+        JOIN nbr nb ON nb.a = e.v AND nb.b = na.b
+        GROUP BY e.u, e.v
+    )
+    SELECT e.u, e.v,
+           CAST(coalesce(c.c, 0) AS BIGINT) AS n_common,
+           CAST(coalesce(c.c, 0) * 1000000
+                // (du.d + dv.d - coalesce(c.c, 0)) AS BIGINT)
+               AS jaccard_x1e6
+    FROM e
+    JOIN deg du ON du.node = e.u
+    JOIN deg dv ON dv.node = e.v
+    LEFT JOIN cn c ON c.u = e.u AND c.v = e.v
+    """
+
+
+@query("graph_neighborhood_jaccard", oracle=_nbr_jaccard_oracle())
+def graph_neighborhood_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-EDGE neighborhood Jaccard on the co-purchase graph:
+    |N(u)∩N(v)| / |N(u)∪N(v)| for every existing edge — the standard
+    tie-strength / embeddedness score (weak ties bridge communities,
+    strong ties sit inside them). Complements `graph_common_neighbors`,
+    which scores NON-edges for link prediction; here the degree-
+    normalized score grades the edges themselves.
+
+    Scale shape: common-neighbor counting joins the edge list against
+    the adjacency twice ON NODE KEYS (shuffle volume O(Σ deg(u)·deg(v))
+    over edges — wedge-bounded, same class as the triangle kernel), then
+    one partial-agg rollup per edge; degrees broadcast-free via two node
+    joins. Union size needs no set materialization: |A∪B| = du+dv−cn.
+    Exact integers (×1e6 floor, all-nonnegative DIV)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = _pair_edges(li).localCheckpoint(eager=False)
+    nbr = edges.select(
+        F.col("u").alias("a"), F.col("v").alias("b")
+    ).unionAll(edges.select(F.col("v").alias("a"), F.col("u").alias("b")))
+    deg = nbr.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+    cn = (
+        edges.join(
+            nbr.select(F.col("a").alias("u"), F.col("b").alias("w")), "u"
+        )
+        .join(nbr.select(F.col("a").alias("v"), F.col("b").alias("w")), ["v", "w"])
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        edges.join(deg.select(F.col("a").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("a").alias("v"), F.col("d").alias("dv")), "v")
+        .join(cn, ["u", "v"], "left")
+        .select(
+            "u",
+            "v",
+            F.coalesce("c", F.lit(0)).cast("bigint").alias("n_common"),
+            F.expr(
+                "CAST(coalesce(c, 0) * 1000000"
+                " DIV (du + dv - coalesce(c, 0)) AS BIGINT)"
+            ).alias("jaccard_x1e6"),
+        )
+    )

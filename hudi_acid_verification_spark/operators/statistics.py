@@ -288,3 +288,144 @@ def pipeline_length_bucket_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pad_waste_frac"),
         )
     )
+
+
+
+# ---- Poisson-bootstrap confidence intervals (round 8) -----------------------
+_BOOT_B = 32  # bootstrap replicates
+# Deterministic per-(row, replicate) uniform: a splitmix-style integer mix
+# shared VERBATIM with the oracle (both engines compute identical int64
+# arithmetic), scaled to [0, 2^31). Poisson(1) replicate weights come from
+# the inverse CDF over that uniform: P(0)=.3679, P(<=1)=.7358, P(<=2)=.9197,
+# P(<=3)=.9810, else 4 (capped) — thresholds pre-scaled to 2^31.
+_BOOT_T0 = 790_015_084    # floor(e^-1 * 2^31)
+_BOOT_T1 = 1_580_030_169  # floor((e^-1 + e^-1) * 2^31)
+_BOOT_T2 = 1_975_037_711  # floor(... * 2^31)
+_BOOT_T3 = 2_106_707_225
+_BOOT_MIX = (
+    "(((event_id * 2654435761 + {b} * 40503 + 987654323) % 2147483647"
+    " + 2147483647) % 2147483647)"
+)
+
+
+def _boot_weight(b_expr: str) -> str:
+    u = _BOOT_MIX.format(b=b_expr)
+    return (
+        f"(CASE WHEN {u} < {_BOOT_T0} THEN 0"
+        f" WHEN {u} < {_BOOT_T1} THEN 1"
+        f" WHEN {u} < {_BOOT_T2} THEN 2"
+        f" WHEN {u} < {_BOOT_T3} THEN 3 ELSE 4 END)"
+    )
+
+
+def _bootstrap_oracle() -> str:
+    w = _boot_weight("b")
+    return f"""
+    WITH ev AS (
+        SELECT event_id, event_type,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events
+    ),
+    rep AS (
+        SELECT e.event_type, r.b,
+               sum({w} * e.cents) AS wsum,
+               sum({w}) AS wn
+        FROM ev e CROSS JOIN (
+            SELECT unnest(range({_BOOT_B})) AS b
+        ) r
+        GROUP BY e.event_type, r.b
+    ),
+    means AS (
+        SELECT event_type, b,
+               wsum * 1000000 // wn AS mean_x1e6,
+               row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY wsum * 1000000 // wn, b
+               ) AS rn
+        FROM rep WHERE wn > 0
+    ),
+    point AS (
+        SELECT event_type,
+               sum(cents) * 1000000 // count(*) AS point_mean_x1e6,
+               count(*) AS n
+        FROM ev GROUP BY event_type
+    )
+    SELECT p.event_type,
+           CAST(p.n AS BIGINT) AS n_events,
+           CAST(p.point_mean_x1e6 AS BIGINT) AS point_mean_x1e6,
+           CAST(min(CASE WHEN m.rn = 2 THEN m.mean_x1e6 END) AS BIGINT)
+               AS boot_lo_x1e6,
+           CAST(min(CASE WHEN m.rn = {_BOOT_B} - 1 THEN m.mean_x1e6 END)
+                AS BIGINT) AS boot_hi_x1e6
+    FROM point p JOIN means m ON m.event_type = p.event_type
+    GROUP BY p.event_type, p.n, p.point_mean_x1e6
+    """
+
+
+@query("sample_bootstrap_ci", oracle=_bootstrap_oracle())
+def sample_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POISSON BOOTSTRAP confidence interval for the per-event-type mean
+    value — THE distributed bootstrap (Chamandy et al., "Estimating
+    Uncertainty for Massive Data Streams", Google TR 2012; public): a
+    classical resample needs n draws over the whole dataset per
+    replicate, but Poisson(1) per-row weights are independent across
+    rows, so ALL {_BOOT_B} replicates compute in ONE scan — each row
+    contributes weight w ~ Poisson(1) to replicate b via a deterministic
+    integer mix of (event_id, b), and replicate means collapse in the
+    same partial aggregate. The CI is the [2nd, {_BOOT_B}-1-th] order
+    statistics of the replicate means (≈ the 5/95 band at B={_BOOT_B}).
+
+    Determinism/exactness: the uniform is pure int64 arithmetic shared
+    verbatim with the oracle; weights are exact inverse-CDF thresholds
+    (capped at 4); means are floor-scaled integers — no float anywhere.
+
+    Scale shape: one events scan → in-row {_BOOT_B}-element explode →
+    partial-agg groupBy on (type, b) (shuffle O(types·B), data-size
+    independent); the order-statistic window runs on the {_BOOT_B}-row
+    per-type domain. At 100 TB this is exactly one extra pass-width of
+    B over the scan — the reason Poisson bootstrap exists."""
+    w = _boot_weight("b")
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    rep = (
+        ev.select(
+            "event_type",
+            "event_id",
+            "cents",
+            F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+        )
+        .groupBy("event_type", "b")
+        .agg(
+            F.expr(f"sum({w} * cents)").alias("wsum"),
+            F.expr(f"sum({w})").alias("wn"),
+        )
+        .filter(F.col("wn") > 0)
+        .select(
+            "event_type",
+            "b",
+            F.expr("wsum * 1000000 DIV wn").alias("mean_x1e6"),
+        )
+    )
+    wnd = Window.partitionBy("event_type").orderBy("mean_x1e6", "b")
+    ranked = rep.withColumn("rn", F.row_number().over(wnd))
+    ci = ranked.groupBy("event_type").agg(
+        F.min(F.when(F.col("rn") == 2, F.col("mean_x1e6")))
+        .cast("bigint")
+        .alias("boot_lo_x1e6"),
+        F.min(F.when(F.col("rn") == _BOOT_B - 1, F.col("mean_x1e6")))
+        .cast("bigint")
+        .alias("boot_hi_x1e6"),
+    )
+    point = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.expr("CAST(sum(cents) * 1000000 DIV count(*) AS BIGINT)").alias(
+            "point_mean_x1e6"
+        ),
+    )
+    return point.join(ci, "event_type").select(
+        "event_type", "n_events", "point_mean_x1e6",
+        "boot_lo_x1e6", "boot_hi_x1e6",
+    )

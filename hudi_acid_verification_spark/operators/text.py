@@ -1095,3 +1095,216 @@ def text_zipf_head_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV count(*) AS BIGINT)"
         ).alias("hapax_share_x10k"),
     )
+
+
+# ---- per-document language-segment splitting (VERDICT r7 #5) ----------------
+_SEG_BLOCK = 8  # tokens per detection window (disjoint blocks)
+# tiny per-language stopword dictionaries — deterministic, shared verbatim
+# with the oracle. Overlaps ('de'/'la' across de/fr/es) are resolved by the
+# fixed preference order in _SEG_LABEL_CASE.
+_SEG_EN = ("the", "a", "of", "and", "to", "in", "is")
+_SEG_DE = ("der", "die", "das", "und", "ist", "von", "mit")
+_SEG_ES = ("el", "los", "las", "y", "por", "un", "es")
+_SEG_FR = ("le", "les", "et", "dans", "une", "est", "du")
+
+
+def _seg_hits(col: str) -> dict[str, str]:
+    """SQL CASE fragments counting stopword hits per language for token
+    column ``col`` — identical text in both engines."""
+    return {
+        lang: "sum(CASE WHEN " + col + " IN ("
+        + ", ".join(f"'{w}'" for w in words)
+        + ") THEN 1 ELSE 0 END)"
+        for lang, words in (
+            ("de", _SEG_DE),
+            ("en", _SEG_EN),
+            ("es", _SEG_ES),
+            ("fr", _SEG_FR),
+        )
+    }
+
+
+# deterministic argmax: greatest hit count wins; ties break by the fixed
+# order de < en < es < fr; all-zero blocks label 'und'
+_SEG_LABEL_CASE = (
+    "CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und' "
+    "WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de' "
+    "WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en' "
+    "WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es' "
+    "ELSE 'fr' END"
+)
+
+
+def _lang_segments_oracle() -> str:
+    hits = _seg_hits("t")
+    return f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    tok AS (
+        SELECT doc_id, (i - 1) // {_SEG_BLOCK} AS blk, toks[i] AS t
+        FROM d, LATERAL (
+            SELECT unnest(generate_series(1, len(toks))) AS i
+        ) u
+    ),
+    blocks AS (
+        SELECT doc_id, blk,
+               {hits['de']} AS h_de, {hits['en']} AS h_en,
+               {hits['es']} AS h_es, {hits['fr']} AS h_fr
+        FROM tok GROUP BY doc_id, blk
+    ),
+    labeled AS (
+        SELECT doc_id, blk, {_SEG_LABEL_CASE} AS label FROM blocks
+    ),
+    runs AS (
+        SELECT doc_id, blk, label,
+               blk - row_number() OVER (
+                   PARTITION BY doc_id, label ORDER BY blk
+               ) AS grp
+        FROM labeled
+    )
+    SELECT doc_id,
+           CAST(min(blk) AS BIGINT) AS start_block,
+           CAST(count(*) AS BIGINT) AS n_blocks,
+           label
+    FROM runs GROUP BY doc_id, label, grp
+    """
+
+
+@query("text_lang_segments", oracle=_lang_segments_oracle())
+def text_lang_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document LANGUAGE-SEGMENT splitting (VERDICT r7 #5) — the
+    multilingual-document gate: label every disjoint {_SEG_BLOCK}-token
+    window by stopword-dictionary argmax (deterministic tie-break, 'und'
+    when no dictionary hits), then collapse consecutive same-label
+    windows into runs. Each output row is one segment (doc_id,
+    start_block, n_blocks, label) — the spans a curation pipeline feeds
+    to per-language downstream gates, or uses to split mixed documents
+    before packing.
+
+    Scale shape: one token explode collapsed immediately by a partial-agg
+    groupBy to the (doc, block) domain (≈ tokens/{_SEG_BLOCK} rows); the
+    run-collapse is the gaps-and-islands window on the per-doc block
+    spine, partitioned by doc — no joins, no self-join, nothing
+    quadratic. Dictionaries live in the expression (IN-lists), so the
+    scan stays whole-stage codegen with zero broadcast.
+    """
+    hits = _seg_hits("tok")
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "tok"),
+    )
+    blocks = (
+        toks.withColumn("blk", F.expr(f"pos DIV {_SEG_BLOCK}"))
+        .groupBy("doc_id", "blk")
+        .agg(
+            F.expr(hits["de"]).alias("h_de"),
+            F.expr(hits["en"]).alias("h_en"),
+            F.expr(hits["es"]).alias("h_es"),
+            F.expr(hits["fr"]).alias("h_fr"),
+        )
+    )
+    labeled = blocks.select(
+        "doc_id", "blk", F.expr(_SEG_LABEL_CASE).alias("label")
+    )
+    w = Window.partitionBy("doc_id", "label").orderBy("blk")
+    runs = labeled.withColumn(
+        "grp", F.col("blk") - F.row_number().over(w)
+    )
+    return runs.groupBy("doc_id", "label", "grp").agg(
+        F.min("blk").cast("bigint").alias("start_block"),
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+    ).select("doc_id", "start_block", "n_blocks", "label")
+
+
+# ---- char-trigram source style profiles (text.py append) --------------------
+_KGRAM_N = 3  # character n-gram width
+
+
+def _kgram_cosine_oracle() -> str:
+    return f"""
+    WITH d AS (SELECT source, text, length(text) AS n FROM documents),
+    grams AS (
+        SELECT source, substr(text, i, {_KGRAM_N}) AS g
+        FROM d, LATERAL (
+            SELECT unnest(generate_series(1, n - {_KGRAM_N} + 1)) AS i
+        ) u
+        WHERE n >= {_KGRAM_N}
+    ),
+    prof AS (SELECT source, g, count(*) AS c FROM grams GROUP BY source, g),
+    nrm AS (
+        SELECT source, sqrt(CAST(sum(c * c) AS DOUBLE)) AS nr
+        FROM prof GROUP BY source
+    ),
+    dots AS (
+        SELECT a.source AS src_a, b.source AS src_b, sum(a.c * b.c) AS dot
+        FROM prof a JOIN prof b ON b.g = a.g AND b.source > a.source
+        GROUP BY 1, 2
+    )
+    SELECT d.src_a, d.src_b,
+           CAST(d.dot AS BIGINT) AS dot,
+           CAST(floor(CAST(d.dot * 1000000 AS DOUBLE) / (na.nr * nb.nr))
+                AS BIGINT) AS cosine_x1e6
+    FROM dots d
+    JOIN nrm na ON na.source = d.src_a
+    JOIN nrm nb ON nb.source = d.src_b
+    """
+
+
+@query("text_kgram_source_cosine", oracle=_kgram_cosine_oracle())
+def text_kgram_source_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise SOURCE style similarity via character-{_KGRAM_N}-gram
+    profiles: each source's texts collapse to one n-gram count vector,
+    and every source pair gets the exact cosine between profiles — the
+    classic authorship/style fingerprint (character n-grams are the
+    strongest single stylometry feature) and the dedup-adjacent signal
+    for "these two crawls mirror each other".
+
+    Exactness: integer dot products over int64 counts; norms are IEEE
+    sqrt of exact integers, and the final floor((dot·1e6)/(na·nb))
+    performs the identical operation sequence in both engines — the
+    module's bit-identical-cosine discipline applied to count vectors.
+
+    Scale shape: the n-gram explode collapses IMMEDIATELY to the
+    (source, gram) domain by a partial-agg groupBy (profile size ≈
+    distinct grams, Heaps-bounded ≪ corpus chars); the pair join runs on
+    the gram key over profiles (posting-list join, output bounded by
+    sources² which is tiny); norms are per-source scalars joined back.
+    The corpus is scanned once; nothing pairwise touches documents."""
+    d = load(spark, sf_dir, "documents").select(
+        "source", "text", F.length("text").alias("n")
+    )
+    grams = d.filter(F.col("n") >= _KGRAM_N).select(
+        "source",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, n - {_KGRAM_N} + 1),"
+                f" i -> substring(text, i, {_KGRAM_N}))"
+            )
+        ).alias("g"),
+    )
+    prof = grams.groupBy("source", "g").agg(F.count(F.lit(1)).alias("c"))
+    nrm = prof.groupBy("source").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c")).cast("double")).alias("nr")
+    )
+    a = prof.select(F.col("source").alias("src_a"), "g", F.col("c").alias("ca"))
+    b = prof.select(F.col("source").alias("src_b"), "g", F.col("c").alias("cb"))
+    dots = (
+        a.join(b, "g")
+        .filter(F.col("src_b") > F.col("src_a"))
+        .groupBy("src_a", "src_b")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+    )
+    na = nrm.select(F.col("source").alias("src_a"), F.col("nr").alias("na"))
+    nb = nrm.select(F.col("source").alias("src_b"), F.col("nr").alias("nb"))
+    return (
+        dots.join(F.broadcast(na), "src_a")
+        .join(F.broadcast(nb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("dot").cast("bigint").alias("dot"),
+            F.expr(
+                "CAST(floor(CAST(dot * 1000000 AS DOUBLE) / (na * nb))"
+                " AS BIGINT)"
+            ).alias("cosine_x1e6"),
+        )
+    )

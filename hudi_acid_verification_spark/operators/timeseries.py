@@ -1069,3 +1069,72 @@ def window_bollinger_breach(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((dev > 0) & (dev * dev > var4)).alias("breach_upper"),
         ((dev < 0) & (dev * dev > var4)).alias("breach_lower"),
     )
+
+
+# ---- half-life decayed LTV (timeseries.py append) ---------------------------
+_LTV_HALF_LIFE_DAYS = 7   # weight halves every week of age
+_LTV_MAX_HALVINGS = 20    # cap: ages past 20 half-lives contribute ~1e-6
+
+
+def _decay_ltv_oracle() -> str:
+    return f"""
+    WITH ev AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events
+    ),
+    anchor AS (SELECT max(day) AS d1 FROM ev),
+    aged AS (
+        SELECT e.user_id, e.cents, e.day,
+               least(CAST(datediff('day', e.day, a.d1) AS BIGINT)
+                     // {_LTV_HALF_LIFE_DAYS}, {_LTV_MAX_HALVINGS}) AS k
+        FROM ev e CROSS JOIN anchor a
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(cents) AS BIGINT) AS raw_cents,
+           CAST(sum(cents * (CAST(1 AS BIGINT) << ({_LTV_MAX_HALVINGS} - k)))
+                AS BIGINT) AS decayed_cents_x2p20,
+           strftime(max(day), '%Y-%m-%d') AS last_seen
+    FROM aged GROUP BY user_id
+    """
+
+
+@query("event_decay_ltv", oracle=_decay_ltv_oracle())
+def event_decay_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-life-decayed lifetime value per user: each event's cents are
+    weighted by 2^(-age/{_LTV_HALF_LIFE_DAYS}d half-lives, integer
+    halvings, capped at {_LTV_MAX_HALVINGS}) relative to the corpus's
+    latest day — the standard recency-weighted LTV/engagement score
+    (RFM's R and M folded into one number). DYADIC weights are the trick
+    that keeps it exact: 2^-k values scale to integers by 2^{_LTV_MAX_HALVINGS},
+    so the decayed sum is pure int64 arithmetic and hashes cross-engine —
+    no float pow, no rounding drift.
+
+    Scale shape: one events scan; the anchor day is a 1-row aggregate
+    cross-joined (broadcast) back; the rollup is one partial-agg groupBy
+    on user_id. O(events) map work, shuffle O(users)."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    anchor = ev.agg(F.max("day").alias("d1"))
+    aged = ev.crossJoin(F.broadcast(anchor)).select(
+        "user_id",
+        "day",
+        "cents",
+        F.expr(
+            f"least(CAST(datediff(d1, day) AS BIGINT)"
+            f" DIV {_LTV_HALF_LIFE_DAYS}, {_LTV_MAX_HALVINGS})"
+        ).alias("k"),
+    )
+    return aged.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("cents").cast("bigint").alias("raw_cents"),
+        F.expr(
+            f"CAST(sum(cents * shiftleft(CAST(1 AS BIGINT),"
+            f" {_LTV_MAX_HALVINGS} - CAST(k AS INT))) AS BIGINT)"
+        ).alias("decayed_cents_x2p20"),
+        F.date_format(F.max("day"), "yyyy-MM-dd").alias("last_seen"),
+    )

@@ -120,3 +120,29 @@ def test_dead_context_entries_dropped_on_insert(spark):
     materialize_once(base.filter(F.col("r_regionkey") >= 0))
     assert ("app-deadbeef", "x" * 64) not in ops._ONCE
     ops._ONCE.clear()
+
+
+def test_staged_artifacts_distinct_across_fixture_dirs(spark):
+    """Round-8 regression (the bench_scale 10x bug): canonicalized plans
+    erase BOTH the parquet path (``Relation [...] parquet``) and the
+    checkpointed-RDD identity (``LogicalRDD [schema]``), so without
+    ``_plan_source_identity`` in the cache key a session touching two
+    fixture dirs silently served the FIRST dir's staged artifact to the
+    second — bench_scale's 10x tier consumed 1x artifacts and every
+    staged-consumer ratio in BENCH_SCALE r7 measured cache reuse, not
+    scaling."""
+    ops._ONCE.clear()
+    sf_medium = "/root/testdata/sf0.01"
+    a = materialize_once(load(spark, SF_SMALL, "embeddings").select("vec_id"))
+    b = materialize_once(load(spark, sf_medium, "embeddings").select("vec_id"))
+    assert a is not b, "two fixture dirs must stage two artifacts"
+    assert a is materialize_once(
+        load(spark, SF_SMALL, "embeddings").select("vec_id")
+    ), "same dir must still cache-hit"
+    # checkpoint-ROOTED plans (the staged-artifact-of-a-staged-artifact
+    # case, e.g. dup pairs filtered from band pairs): identical schemas,
+    # identical canonicalized strings, different RDD ids — must not merge
+    fa = materialize_once(a.filter(F.col("vec_id") % 2 == 0))
+    fb = materialize_once(b.filter(F.col("vec_id") % 2 == 0))
+    assert fa is not fb
+    assert fa is materialize_once(a.filter(F.col("vec_id") % 2 == 0))

@@ -1777,3 +1777,140 @@ def test_cluster_stats_reuses_staged_artifacts(spark):
     plan = plan_of(spark, "dedup_cluster_stats")
     assert "Scan ExistingRDD" in plan or "LogicalRDD" in plan
     assert "ArrowEvalPython" not in plan, "must not rebuild the LSH rescore"
+
+
+# ---- round-8 operator batch -------------------------------------------------
+def _node_names(spark, name: str) -> list[str]:
+    df = ops.QUERIES[name](spark, SF_SMALL)
+    return [n.nodeName() for n in _walk_plan(df._jdf.queryExecution().sparkPlan())]
+
+
+def test_cdc_chunks_single_explode_no_position_blowup(spark):
+    """The rolling-hash boundary scan happens IN-ROW (transform over
+    sequence inside codegen). The chunk relation feeds two lineage
+    branches (frequency aggregate + join-back), so its O(chunks) explode
+    may print twice — but no Generate may expand a per-position
+    ``sequence`` (the O(len²) formulation this operator exists to avoid;
+    the sequence scan lives in-row under transform/filter inside a
+    Project), and the only joins are hash joins (no cartesian)."""
+    df = ops.QUERIES["dedup_cdc_chunks"](spark, SF_SMALL)
+    nodes = list(_walk_plan(df._jdf.queryExecution().sparkPlan()))
+    names = [n.nodeName() for n in nodes]
+    gens = [n for n in nodes if n.nodeName() == "Generate"]
+    assert 1 <= len(gens) <= 2
+    for g in gens:
+        assert "sequence(" not in g.toString().split("\n")[0], (
+            "per-position explode: " + g.toString()[:300]
+        )
+    assert not any("Cartesian" in n or "NestedLoop" in n for n in names)
+
+
+def test_lang_segments_no_joins_one_window(spark):
+    """Token explode collapses straight into a partial-agg groupBy on the
+    (doc, block) domain; the run-collapse is ONE gaps-and-islands window;
+    the whole operator is join-free (dictionaries live in IN-list
+    expressions, not tables)."""
+    names = _node_names(spark, "text_lang_segments")
+    assert not any("Join" in n for n in names)
+    assert sum(1 for n in names if n == "Window") == 1
+
+
+def test_dbscan_reuses_staged_pairs_no_cartesian(spark):
+    """The eps-neighborhood IS the staged LSH rescore artifact (plan roots
+    in checkpointed RDDs, no parquet re-scan of embeddings except the
+    noise-label id scan) and nothing is cartesian."""
+    names = _node_names(spark, "dedup_dbscan_lsh")
+    assert any("ExistingRDD" in n or "RDDScan" in n for n in names), names
+    assert not any("Cartesian" in n or "NestedLoop" in n for n in names)
+
+
+def test_clustering_coeff_triangle_kernel_shape(spark):
+    """Wedge closure joins on node keys only (sort-merge / shuffled-hash —
+    no cartesian, no nested-loop) and each triangle credits its corners
+    via ONE in-row 3-element explode."""
+    names = _node_names(spark, "graph_clustering_coefficient")
+    assert not any("Cartesian" in n or "NestedLoop" in n for n in names)
+    assert sum(1 for n in names if n == "Generate") == 1
+
+
+def test_neighborhood_jaccard_no_cartesian_no_set_materialize(spark):
+    """Common-neighbor counting is a key join over the adjacency; union
+    sizes come from du+dv-cn arithmetic, never a set materialization —
+    plan has no cartesian/nested-loop and no Generate at all."""
+    names = _node_names(spark, "graph_neighborhood_jaccard")
+    assert not any("Cartesian" in n or "NestedLoop" in n for n in names)
+    assert "Generate" not in names
+
+
+def test_bootstrap_ci_one_explode_window_on_replicate_domain(spark):
+    """All replicates compute in one scan: ONE Generate (the B-wide
+    in-row explode), partial aggregation before the (type, b) exchange,
+    and the order-statistic window on the B-row per-type domain."""
+    names = _node_names(spark, "sample_bootstrap_ci")
+    assert sum(1 for n in names if n == "Generate") == 1
+    assert sum(1 for n in names if n == "Window") == 1
+    plan = plan_of(spark, "sample_bootstrap_ci")
+    assert "partial_" in plan  # map-side combine before the shuffle
+
+
+def test_kgram_cosine_profiles_join_not_documents(spark):
+    """The pair join runs over (source, gram) PROFILES — after the
+    explode collapses through a partial-agg groupBy — so no join input
+    is document-sized; norms broadcast back (two BroadcastHashJoins)."""
+    names = _node_names(spark, "text_kgram_source_cosine")
+    assert not any("Cartesian" in n or "NestedLoop" in n for n in names)
+    assert sum(1 for n in names if "BroadcastHashJoin" in n) >= 2
+    plan = plan_of(spark, "text_kgram_source_cosine")
+    assert "partial_" in plan
+
+
+def test_decay_ltv_anchor_broadcasts_aggregate_only(spark):
+    """The 1-row anchor (max day) broadcasts into the events scan; every
+    broadcast build side must cross an Aggregate before any scan — the
+    unbounded side can never be the broadcast one."""
+    df = ops.QUERIES["event_decay_ltv"](spark, SF_SMALL)
+    root = df._jdf.queryExecution().sparkPlan()
+
+    def scan_reachable_without_agg(node) -> bool:
+        name = node.nodeName()
+        if "Aggregate" in name:
+            return False
+        if "Scan" in name or "ExistingRDD" in name:
+            return True
+        children = node.children()
+        return any(
+            scan_reachable_without_agg(children.apply(i))
+            for i in range(children.size())
+        )
+
+    bjoins = [
+        n
+        for n in _walk_plan(root)
+        if "BroadcastNestedLoopJoin" in n.nodeName()
+        or "BroadcastHashJoin" in n.nodeName()
+    ]
+    assert bjoins, "anchor must broadcast"
+    for j in bjoins:
+        side = j.buildSide().toString()
+        build = j.children().apply(1 if "Right" in side else 0)
+        assert not scan_reachable_without_agg(build)
+
+
+def test_audit_join_strategies_is_driver_side_and_deterministic(spark):
+    """The audit plans (never executes) its target queries: its own
+    result is a LocalTableScan (createDataFrame of a bounded constant),
+    and two invocations agree row-for-row on the fixed fixture."""
+    df = ops.QUERIES["audit_join_strategies"](spark, SF_SMALL)
+    names = [
+        n.nodeName()
+        for n in _walk_plan(df._jdf.queryExecution().sparkPlan())
+    ]
+    assert all("Scan parquet" not in n for n in names)
+    r1 = sorted(map(tuple, df.collect()))
+    r2 = sorted(
+        map(tuple, ops.QUERIES["audit_join_strategies"](spark, SF_SMALL).collect())
+    )
+    assert r1 == r2 and len(r1) >= 6
+    # the flagship composites must still broadcast their dimensions
+    strategies = {s for (_, s, _) in r1}
+    assert "BroadcastHashJoin" in strategies
