@@ -188,6 +188,9 @@ _CERT_ORDER = [
     "audit_join_strategies", "graph_clustering_coefficient",
     "graph_neighborhood_jaccard", "sample_bootstrap_ci",
     "text_kgram_source_cosine", "event_decay_ltv",
+    "graph_resource_allocation", "window_rsi_momentum",
+    "ml_ks_separation", "agg_hhi_concentration", "agg_hoover_index",
+    "pipeline_dedup_cascade",
 ]
 
 

@@ -536,3 +536,184 @@ def pipeline_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chosen_score", "rejected_score", "margin",
         )
     )
+
+
+# ---- staged dedup-cascade attrition audit (round 8, batch 2) ----------------
+_CAS_SHINGLE = 5        # token shingle width for the near gate
+_CAS_LEV_MAX = 20       # edit-distance ceiling for the fuzzy gate
+_CAS_LEN_BUCKET = 16    # fuzzy-gate blocking: chars DIV bucket
+
+
+def _cascade_oracle() -> str:
+    return f"""
+    WITH d AS (
+        SELECT doc_id, text, string_split(text, ' ') AS toks
+        FROM documents
+    ),
+    keyed AS (
+        SELECT doc_id,
+               array_to_string(toks[1:3], ' ') AS k,
+               text, toks
+        FROM d
+    ),
+    s1 AS (
+        SELECT min(doc_id) AS doc_id FROM keyed GROUP BY k
+    ),
+    sh AS (
+        SELECT k.doc_id,
+               array_to_string(k.toks[i:i+{_CAS_SHINGLE - 1}], ' ') AS g
+        FROM keyed k JOIN s1 ON s1.doc_id = k.doc_id,
+             LATERAL (SELECT unnest(generate_series(
+                 1, len(k.toks) - {_CAS_SHINGLE} + 1)) AS i) u
+        GROUP BY 1, 2
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    cand AS (
+        SELECT a.doc_id AS lo, b.doc_id AS hi, count(*) AS c
+        FROM sh a JOIN sh b ON b.g = a.g AND b.doc_id > a.doc_id
+        GROUP BY 1, 2
+    ),
+    near_pairs AS (
+        SELECT c.lo, c.hi
+        FROM cand c
+        JOIN sz sa ON sa.doc_id = c.lo
+        JOIN sz sb ON sb.doc_id = c.hi
+        WHERE 3 * c.c >= sa.n + sb.n
+    ),
+    s2 AS (
+        SELECT s1.doc_id FROM s1
+        WHERE s1.doc_id NOT IN (SELECT hi FROM near_pairs)
+    ),
+    blocked AS (
+        SELECT k.doc_id, k.toks[1] AS tok0,
+               length(k.text) // {_CAS_LEN_BUCKET} AS lb, k.text
+        FROM keyed k JOIN s2 ON s2.doc_id = k.doc_id
+    ),
+    fuzzy_pairs AS (
+        SELECT a.doc_id AS lo, b.doc_id AS hi
+        FROM blocked a
+        JOIN blocked b ON b.tok0 = a.tok0 AND b.lb = a.lb
+                       AND b.doc_id > a.doc_id
+        WHERE levenshtein(a.text, b.text) <= {_CAS_LEV_MAX}
+    ),
+    n0 AS (SELECT count(*) AS c FROM d),
+    n1 AS (SELECT count(*) AS c FROM s1),
+    n2 AS (SELECT count(*) AS c FROM s2),
+    n3 AS (SELECT count(DISTINCT hi) AS c FROM fuzzy_pairs)
+    SELECT 'exact' AS stage, CAST(n0.c AS BIGINT) AS docs_in,
+           CAST(n0.c - n1.c AS BIGINT) AS docs_removed,
+           CAST(n1.c AS BIGINT) AS docs_out
+    FROM n0, n1
+    UNION ALL
+    SELECT 'near', CAST(n1.c AS BIGINT), CAST(n1.c - n2.c AS BIGINT),
+           CAST(n2.c AS BIGINT)
+    FROM n1, n2
+    UNION ALL
+    SELECT 'fuzzy', CAST(n2.c AS BIGINT), CAST(n3.c AS BIGINT),
+           CAST(n2.c - n3.c AS BIGINT)
+    FROM n2, n3
+    """
+
+
+@query("pipeline_dedup_cascade", oracle=_cascade_oracle())
+def pipeline_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged DEDUP-CASCADE attrition audit — the cheap-to-expensive
+    gate ordering every production corpus dedup runs (exact hash first,
+    similarity second, edit-distance last, each stage seeing only the
+    previous stage's survivors) — reported as the per-stage attrition
+    table (stage, docs_in, docs_removed, docs_out) a dataset card
+    publishes. Gates: (1) exact first-3-token key, keeper = min doc_id;
+    (2) {_CAS_SHINGLE}-token shingle Jaccard ≥ ½ via the integer test
+    3·|A∩B| ≥ |A|+|B|, remove the larger id of each pair; (3) blocked
+    (first-token, length DIV {_CAS_LEN_BUCKET}) levenshtein ≤
+    {_CAS_LEV_MAX}.
+
+    The ORDER is the scale argument: the exact gate is one hash
+    aggregate over everything; the shingle posting join runs only on
+    stage-1 survivors (and inherits the module family's df-cap
+    discipline at scale); the O(len²)-per-pair levenshtein touches only
+    blocked stage-2 survivor pairs. Each stage's candidate generation is
+    a posting/blocked equi-join — never all-pairs. Counts collapse to
+    three 1-row aggregates unioned into the 3-row report."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.split("text", " ").alias("toks")
+    )
+    keyed = d.select(
+        "doc_id", "text", "toks",
+        F.array_join(F.slice("toks", 1, 3), " ").alias("k"),
+    )
+    s1 = keyed.groupBy("k").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    surv1 = keyed.join(s1, "doc_id")
+    sh = (
+        surv1.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {_CAS_SHINGLE} + 1),"
+                    f" i -> array_join(slice(toks, i, {_CAS_SHINGLE}), ' '))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("lo"), "g")
+    b = sh.select(F.col("doc_id").alias("hi"), "g")
+    cand = (
+        a.join(b, "g")
+        .filter(F.col("hi") > F.col("lo"))
+        .groupBy("lo", "hi")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    near_dupes = (
+        cand.join(sz.select(F.col("doc_id").alias("lo"), F.col("n").alias("na")), "lo")
+        .join(sz.select(F.col("doc_id").alias("hi"), F.col("n").alias("nb")), "hi")
+        .filter(3 * F.col("c") >= F.col("na") + F.col("nb"))
+        .select("hi")
+        .distinct()
+    )
+    s2 = s1.join(near_dupes.withColumnRenamed("hi", "doc_id"), "doc_id", "left_anti")
+    blocked = keyed.join(s2, "doc_id").select(
+        "doc_id",
+        "text",
+        F.element_at("toks", 1).alias("tok0"),
+        F.expr(f"length(text) DIV {_CAS_LEN_BUCKET}").alias("lb"),
+    )
+    ba = blocked.select(
+        F.col("tok0"), F.col("lb"),
+        F.col("doc_id").alias("lo"), F.col("text").alias("ta"),
+    )
+    bb = blocked.select(
+        F.col("tok0"), F.col("lb"),
+        F.col("doc_id").alias("hi"), F.col("text").alias("tb"),
+    )
+    fuzzy_dupes = (
+        ba.join(bb, ["tok0", "lb"])
+        .filter(F.col("hi") > F.col("lo"))
+        .filter(F.levenshtein("ta", "tb") <= _CAS_LEV_MAX)
+        .select("hi")
+        .distinct()
+    )
+    n0 = d.agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    n1 = s1.agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    n2 = s2.agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    n3 = fuzzy_dupes.agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    r1 = n0.crossJoin(n1.withColumnRenamed("c", "c1")).select(
+        F.lit("exact").alias("stage"),
+        F.col("c").alias("docs_in"),
+        (F.col("c") - F.col("c1")).cast("bigint").alias("docs_removed"),
+        F.col("c1").alias("docs_out"),
+    )
+    r2 = n1.crossJoin(n2.withColumnRenamed("c", "c2")).select(
+        F.lit("near").alias("stage"),
+        F.col("c").alias("docs_in"),
+        (F.col("c") - F.col("c2")).cast("bigint").alias("docs_removed"),
+        F.col("c2").alias("docs_out"),
+    )
+    r3 = n2.crossJoin(n3.withColumnRenamed("c", "c3")).select(
+        F.lit("fuzzy").alias("stage"),
+        F.col("c").alias("docs_in"),
+        F.col("c3").alias("docs_removed"),
+        (F.col("c") - F.col("c3")).cast("bigint").alias("docs_out"),
+    )
+    return r1.unionByName(r2).unionByName(r3)

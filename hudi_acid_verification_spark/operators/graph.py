@@ -958,3 +958,91 @@ def graph_neighborhood_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard_x1e6"),
         )
     )
+
+
+# ---- resource-allocation link prediction (round 8, batch 2) -----------------
+_RA_TOPK = 200  # strongest predicted links emitted
+
+
+def _resource_allocation_oracle() -> str:
+    return f"""
+    WITH e AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a
+        JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                       AND a.l_partkey < b.l_partkey
+        WHERE a.l_partkey % {_CN_MOD} = 0 AND b.l_partkey % {_CN_MOD} = 0
+    ),
+    nbr AS (
+        SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e
+    ),
+    deg AS (SELECT a AS node, count(*) AS d FROM nbr GROUP BY a),
+    wedge AS (
+        SELECT n1.b AS lo, n2.b AS hi, n1.a AS ctr
+        FROM nbr n1 JOIN nbr n2 ON n2.a = n1.a AND n1.b < n2.b
+    ),
+    nonedge AS (
+        SELECT w.lo, w.hi, w.ctr FROM wedge w
+        LEFT JOIN e ON e.u = w.lo AND e.v = w.hi
+        WHERE e.u IS NULL
+    ),
+    scored AS (
+        SELECT n.lo, n.hi,
+               CAST(count(*) AS BIGINT) AS n_common,
+               CAST(sum(1000000 // d.d) AS BIGINT) AS ra_x1e6
+        FROM nonedge n JOIN deg d ON d.node = n.ctr
+        GROUP BY n.lo, n.hi
+    )
+    SELECT lo, hi, n_common, ra_x1e6 FROM scored
+    ORDER BY ra_x1e6 DESC, lo, hi LIMIT {_RA_TOPK}
+    """
+
+
+@query("graph_resource_allocation", oracle=_resource_allocation_oracle())
+def graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESOURCE-ALLOCATION link prediction (Zhou/Lü/Zhang 2009, public):
+    for every NON-adjacent pair (lo, hi) sharing neighbors, score
+    RA = Σ_{{ctr ∈ N(lo)∩N(hi)}} 1/deg(ctr) — common neighbors weighted
+    inversely by how promiscuous they are (a hub that co-occurs with
+    everything predicts nothing; a degree-2 bridge predicts strongly).
+    The degree-weighted upgrade of `graph_common_neighbors`, which scores
+    existing edges; this one ranks the top-{_RA_TOPK} MISSING links.
+    Per-term 1e6-scaled integer floor keeps the sum exact cross-engine
+    (Σ floor(1e6/d) — no float accumulation anywhere).
+
+    Scale shape: wedge generation fans out of the adjacency self-joined
+    on the CENTER node (shuffle O(Σ deg²) over the hash-sampled subgraph
+    — the standard wedge bound; the sample mod {_CN_MOD} plus a df-cap on
+    hub centers is the 100 TB control documented in the module header);
+    the existing-edge exclusion is one left-anti join on the canonical
+    pair key; the final top-k is TakeOrdered (per-partition k, one k-row
+    merge — never a global sort)."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .filter(F.col("l_partkey") % _CN_MOD == 0)
+    )
+    edges = _pair_edges(li).localCheckpoint(eager=False)
+    nbr = edges.select(
+        F.col("u").alias("a"), F.col("v").alias("b")
+    ).unionAll(edges.select(F.col("v").alias("a"), F.col("u").alias("b")))
+    deg = nbr.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+    n1 = nbr.select(F.col("a").alias("ctr"), F.col("b").alias("lo"))
+    n2 = nbr.select(F.col("a").alias("ctr"), F.col("b").alias("hi"))
+    wedges = n1.join(n2, "ctr").filter(F.col("lo") < F.col("hi"))
+    nonedge = wedges.join(
+        edges.select(F.col("u").alias("lo"), F.col("v").alias("hi")),
+        ["lo", "hi"],
+        "left_anti",
+    )
+    scored = (
+        nonedge.join(deg.select(F.col("a").alias("ctr"), "d"), "ctr")
+        .groupBy("lo", "hi")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_common"),
+            F.sum(F.expr("1000000 DIV d")).cast("bigint").alias("ra_x1e6"),
+        )
+    )
+    return scored.orderBy(
+        F.col("ra_x1e6").desc(), "lo", "hi"
+    ).limit(_RA_TOPK)

@@ -441,3 +441,127 @@ def ml_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV (2 * np * nn) AS BIGINT)"
         ).alias("auc_x10k"),
     )
+
+
+def _ks_oracle() -> str:
+    score = " + ".join(_tree_case_sql(*t) for t in _TREES)
+    return f"""
+    {_feats_cte()},
+    scored AS (
+        SELECT CAST({score} + {_BIAS} AS BIGINT) AS margin,
+               {_LABEL_SQL} AS label
+        FROM feats
+    ),
+    by_margin AS (
+        SELECT margin, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_pos
+        FROM scored GROUP BY margin
+    ),
+    cum AS (
+        SELECT margin,
+               CAST(sum(n_pos) OVER (ORDER BY margin
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cp,
+               CAST(sum(n - n_pos) OVER (ORDER BY margin
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cn,
+               CAST(sum(n_pos) OVER () AS BIGINT) AS np,
+               CAST(sum(n - n_pos) OVER () AS BIGINT) AS nn
+        FROM by_margin
+    ),
+    gaps AS (
+        SELECT margin, np, nn, abs(cp * nn - cn * np) AS gap
+        FROM cum
+    )
+    SELECT CAST(max(np) AS BIGINT) AS n_pos,
+           CAST(max(nn) AS BIGINT) AS n_neg,
+           CAST(max(gap) * 10000 // (max(np) * max(nn)) AS BIGINT)
+               AS ks_x10k,
+           CAST(min(CASE WHEN gap = (SELECT max(gap) FROM gaps)
+                    THEN margin END) AS BIGINT) AS ks_margin
+    FROM gaps
+    """
+
+
+@query("ml_ks_separation", oracle=_ks_oracle())
+def ml_ks_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov–Smirnov separation of the served ensemble: the largest
+    gap between the label-conditional score CDFs, KS = max_m |F_pos(m) −
+    F_neg(m)| — the scale-free two-sample statistic credit-model and
+    data-quality-gate monitoring tracks next to AUC (AUC integrates
+    ranking quality; KS pins WHERE the distributions separate most, and
+    its argmax margin is the natural operating cutoff). Emits (n_pos,
+    n_neg, ks_x10k, ks_margin) with the argmax tie-broken to the
+    smallest margin.
+
+    Exactness: the gap is compared as |cp·Nn − cn·Np| (cross-multiplied
+    integers — no per-row division), and only the single max gap is
+    scaled ×10⁴ with floor DIV. Pure int64 end-to-end.
+
+    Scale shape: identical to `ml_auc_roc` — collapse to the integer
+    margin domain first (partial-agg groupBy over one scan; the ensemble
+    emits a few hundred distinct margins regardless of corpus size),
+    then the CDF window and the max-fold run over that tiny domain. The
+    single-partition window is on ≤ |margin domain| rows by
+    construction, never on data-sized input."""
+    feats = load(spark, sf_dir, "documents").select(
+        F.expr("length(text) - length(replace(text, ' ', '')) + 1").alias(
+            "n_tokens"
+        ),
+        F.expr(
+            "CAST(length(regexp_replace(text, '[^0-9]', '')) AS BIGINT)"
+        ).alias("digit_cnt"),
+        F.expr(
+            "CAST((length(replace(text, ' ', '')) * 100) DIV "
+            "(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT)"
+        ).alias("avg_tok_len_x100"),
+        F.col("n_chars"),
+    )
+
+    def tree(feat, thr, feat2, thr2, leaves):
+        ll, lr, rl, rr = [F.lit(x) for x in leaves]
+        left = F.when(F.col(feat2) < thr2, ll).otherwise(lr)
+        right = F.when(F.col(feat2) < thr2, rl).otherwise(rr)
+        return F.when(F.col(feat) < thr, left).otherwise(right)
+
+    margin = (
+        sum((tree(*t) for t in _TREES), F.lit(0)) + F.lit(_BIAS)
+    ).cast("bigint")
+    by_margin = (
+        feats.select(margin.alias("margin"), F.expr(_LABEL_SQL).alias("label"))
+        .groupBy("margin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("label"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_pos"),
+        )
+    )
+    from pyspark.sql import Window
+
+    cw = Window.partitionBy(F.lit(0)).orderBy("margin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tw = Window.partitionBy(F.lit(0))
+    cum = by_margin.select(
+        "margin",
+        F.sum("n_pos").over(cw).cast("bigint").alias("cp"),
+        F.sum(F.col("n") - F.col("n_pos")).over(cw).cast("bigint").alias("cn"),
+        F.sum("n_pos").over(tw).cast("bigint").alias("np"),
+        F.sum(F.col("n") - F.col("n_pos")).over(tw).cast("bigint").alias("nn"),
+    )
+    gaps = cum.select(
+        "margin", "np", "nn",
+        F.abs(F.col("cp") * F.col("nn") - F.col("cn") * F.col("np")).alias("gap"),
+    )
+    mg = Window.partitionBy(F.lit(0))
+    flagged = gaps.withColumn("maxgap", F.max("gap").over(mg))
+    return flagged.agg(
+        F.max("np").cast("bigint").alias("n_pos"),
+        F.max("nn").cast("bigint").alias("n_neg"),
+        F.expr(
+            "CAST(max(gap) * 10000 DIV (max(np) * max(nn)) AS BIGINT)"
+        ).alias("ks_x10k"),
+        F.min(F.when(F.col("gap") == F.col("maxgap"), F.col("margin")))
+        .cast("bigint")
+        .alias("ks_margin"),
+    )

@@ -1138,3 +1138,91 @@ def event_decay_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("decayed_cents_x2p20"),
         F.date_format(F.max("day"), "yyyy-MM-dd").alias("last_seen"),
     )
+
+
+# ---- RSI momentum oscillator (round 8, batch 2) -----------------------------
+_RSI_N = 14  # Wilder's classic lookback (here: simple 14-delta window)
+
+
+def _rsi_oracle() -> str:
+    return f"""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM events GROUP BY 1, 2
+    ),
+    delta AS (
+        SELECT event_type, day, cents,
+               cents - lag(cents) OVER w AS d,
+               row_number() OVER w AS rn
+        FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ),
+    gl AS (
+        SELECT event_type, day, rn,
+               sum(CASE WHEN d > 0 THEN d ELSE 0 END) OVER v AS gains,
+               sum(CASE WHEN d < 0 THEN -d ELSE 0 END) OVER v AS losses
+        FROM delta
+        WINDOW v AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN {_RSI_N - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, day,
+           CAST(gains AS BIGINT) AS gain_cents,
+           CAST(losses AS BIGINT) AS loss_cents,
+           CAST(CASE WHEN gains + losses = 0 THEN 5000
+                ELSE gains * 10000 // (gains + losses) END AS BIGINT)
+               AS rsi_x100
+    FROM gl WHERE rn > {_RSI_N}
+    """
+
+
+@query("window_rsi_momentum", oracle=_rsi_oracle())
+def window_rsi_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSI momentum oscillator over daily per-type value totals: the
+    share of the last {_RSI_N} day-over-day deltas' magnitude that was
+    gains, ×100 (RSI = 100·ΣG/(ΣG+ΣL); flat windows pin to the 50
+    midline). The overbought/oversold oscillator every monitoring
+    dashboard reuses for burn-rate and engagement-momentum panels —
+    exact integer cents end-to-end, so both engines agree bitwise.
+
+    Scale shape: events collapse to the (type, day) domain in one
+    partial-agg shuffle (~10⁴:1 like the module's other daily series);
+    the delta lag and the {_RSI_N}-row rolling sums are TWO window
+    passes over the SAME partition key (one exchange, consecutive
+    Window nodes); nothing touches raw events after the collapse."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr("ts_ns DIV 86400000000000").alias("day"),
+            F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("c"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("c").cast("bigint").alias("cents"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    delta = daily.select(
+        "event_type",
+        "day",
+        (F.col("cents") - F.lag("cents").over(w)).alias("d"),
+        F.row_number().over(w).alias("rn"),
+    )
+    v = w.rowsBetween(-(_RSI_N - 1), 0)
+    gl = delta.select(
+        "event_type",
+        "day",
+        "rn",
+        F.sum(F.when(F.col("d") > 0, F.col("d")).otherwise(0)).over(v).alias("gains"),
+        F.sum(F.when(F.col("d") < 0, -F.col("d")).otherwise(0)).over(v).alias("losses"),
+    )
+    return gl.filter(F.col("rn") > _RSI_N).select(
+        "event_type",
+        "day",
+        F.col("gains").cast("bigint").alias("gain_cents"),
+        F.col("losses").cast("bigint").alias("loss_cents"),
+        F.expr(
+            "CAST(CASE WHEN gains + losses = 0 THEN 5000"
+            " ELSE gains * 10000 DIV (gains + losses) END AS BIGINT)"
+        ).alias("rsi_x100"),
+    )

@@ -1250,3 +1250,155 @@ def warehouse_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.isNull().alias("is_current"),
         "n_events",
     )
+
+
+# ---- market-concentration + income-equality scalars (round 8, batch 2) ------
+@query(
+    "agg_hhi_concentration",
+    oracle="""
+    WITH seg AS (
+        SELECT c.c_mktsegment AS segment, c.c_nationkey AS nationkey,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT segment, CAST(sum(cnt) AS BIGINT) AS total FROM seg GROUP BY 1
+    )
+    SELECT s.segment,
+           CAST(max(t.total) AS BIGINT) AS n_orders,
+           CAST(count(*) AS BIGINT) AS n_nations,
+           CAST(sum((s.cnt * 1000 // t.total) * (s.cnt * 1000 // t.total))
+                AS BIGINT) AS hhi_x1e6
+    FROM seg s JOIN tot t ON t.segment = s.segment
+    GROUP BY s.segment
+    """,
+)
+def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration index of order volume per
+    market segment, shares taken across nations: HHI = Σ shareᵢ² with
+    shares in permille, so ×10⁶-scaled (10000/n_nations ≈ perfectly
+    even, 1e6 = single-nation monopoly). The one-number market/domain
+    concentration gauge — for training corpora, the same statistic flags
+    a "segment" whose volume collapsed onto one source. Shares quantize
+    to integer permille BEFORE squaring (cnt·1000 DIV total ≤ 1000), so
+    every term is bounded ≤10⁶ regardless of corpus size — no overflow
+    at any scale, and both engines run the identical integer sequence.
+
+    Scale shape: orders⋈customer is the fact-dim join (AQE broadcasts
+    customer when it fits; co-partitioned otherwise), the (segment,
+    nation) collapse is one partial-agg groupBy to a ≤ segments×nations
+    domain, and everything after runs on that tiny domain."""
+    seg = (
+        load(spark, sf_dir, "orders")
+        .join(
+            load(spark, sf_dir, "customer").select(
+                "c_custkey", "c_mktsegment", "c_nationkey"
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("c_nationkey").alias("nationkey"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    tot = seg.groupBy("segment").agg(
+        F.sum("cnt").cast("bigint").alias("total")
+    )
+    return (
+        seg.join(tot, "segment")
+        .groupBy("segment")
+        .agg(
+            F.max("total").cast("bigint").alias("n_orders"),
+            F.count(F.lit(1)).cast("bigint").alias("n_nations"),
+            F.sum(
+                F.expr("(cnt * 1000 DIV total) * (cnt * 1000 DIV total)")
+            )
+            .cast("bigint")
+            .alias("hhi_x1e6"),
+        )
+    )
+
+
+@query(
+    "agg_hoover_index",
+    oracle="""
+    WITH rev AS (
+        SELECT c.c_mktsegment AS segment, o.o_custkey,
+               CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT segment, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cents) AS BIGINT) AS s
+        FROM rev GROUP BY 1
+    )
+    SELECT r.segment,
+           CAST(max(t.n) AS BIGINT) AS n_customers,
+           CAST(max(t.s) AS BIGINT) AS total_cents,
+           CAST(floor((CAST(sum(abs(t.n * r.cents - t.s)) AS DOUBLE)
+                       * 1000000)
+                      / (2.0 * CAST(max(t.n) AS DOUBLE)
+                         * CAST(max(t.s) AS DOUBLE)))
+                AS BIGINT) AS hoover_x1e6
+    FROM rev r JOIN tot t ON t.segment = r.segment
+    GROUP BY r.segment
+    """,
+)
+def agg_hoover_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hoover (Robin Hood) index of customer revenue per market segment:
+    the share of total revenue that would have to move between customers
+    to equalize them, H = Σ|xᵢ − μ| / (2·Σx) — the third inequality lens
+    next to `agg_gini_coefficient` (whole Lorenz curve) and
+    `agg_pareto_coverage` (top-k mass): Hoover is exactly the maximum
+    vertical Lorenz gap. Computed as Σ|n·xᵢ − S| over integer cents
+    (no per-row division), with ONE final IEEE double divide + floor —
+    both engines execute the identical operation sequence, so the ×10⁶
+    result hashes exactly.
+
+    Scale shape: per-customer collapse is one partial-agg groupBy after
+    the fact-dim join; segment totals are a second ≤|segments|-row
+    aggregate joined back (broadcast — it IS an aggregate); the deviation
+    sum is a third partial agg. Three shuffles, all on collapsing keys;
+    int64 headroom: |n·xᵢ − S| stays < 2⁶³ through ~10¹² cents × 10⁷
+    customers per segment — beyond that, shift to group-mean-centered
+    terms first (documented, not needed at certified scales)."""
+    rev = (
+        load(spark, sf_dir, "orders")
+        .join(
+            load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_custkey"),
+        )
+        .agg(
+            F.sum(
+                F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+            )
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    tot = rev.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s"),
+    )
+    return (
+        rev.join(tot, "segment")
+        .groupBy("segment")
+        .agg(
+            F.max("n").cast("bigint").alias("n_customers"),
+            F.max("s").cast("bigint").alias("total_cents"),
+            F.expr(
+                "CAST(floor((CAST(sum(abs(n * cents - s)) AS DOUBLE)"
+                " * 1000000)"
+                " / (2.0 * CAST(max(n) AS DOUBLE)"
+                " * CAST(max(s) AS DOUBLE))) AS BIGINT)"
+            ).alias("hoover_x1e6"),
+        )
+    )

@@ -1914,3 +1914,76 @@ def test_audit_join_strategies_is_driver_side_and_deterministic(spark):
     # the flagship composites must still broadcast their dimensions
     strategies = {s for (_, s, _) in r1}
     assert "BroadcastHashJoin" in strategies
+
+
+# ---- round-8 batch 2 --------------------------------------------------------
+def test_resource_allocation_topk_and_anti_join(spark):
+    """Wedges come from the adjacency self-joined on the center key; the
+    existing-edge exclusion is a left-anti hash join; the final top-k is
+    TakeOrdered (never a global sort); nothing cartesian."""
+    names = _node_names(spark, "graph_resource_allocation")
+    assert not any("Cartesian" in n or "NestedLoop" in n for n in names)
+    plan = plan_of(spark, "graph_resource_allocation")
+    assert "TakeOrderedAndProject" in plan
+    assert "LeftAnti" in plan
+
+
+def test_rsi_collapses_then_two_windows_one_exchange(spark):
+    """Events collapse to the (type, day) domain via a partial agg; the
+    lag pass and the 14-row rolling sums are Window nodes over the SAME
+    partitioning, so exactly one exchange feeds them."""
+    df = ops.QUERIES["window_rsi_momentum"](spark, SF_SMALL)
+    nodes = list(_walk_plan(df._jdf.queryExecution().sparkPlan()))
+    names = [n.nodeName() for n in nodes]
+    assert not any("Join" in n for n in names)
+    assert sum(1 for n in names if n == "Window") == 2
+    plan = plan_of(spark, "window_rsi_momentum")
+    assert "partial_" in plan
+
+
+def test_ks_separation_margin_domain_windows(spark):
+    """KS collapses to the integer margin domain before any window: the
+    windows run post-aggregate, and the single final row folds without a
+    data-sized sort."""
+    names = _node_names(spark, "ml_ks_separation")
+    assert not any("Cartesian" in n or "NestedLoop" in n for n in names)
+    plan = plan_of(spark, "ml_ks_separation")
+    assert "partial_" in plan
+
+
+def test_hhi_hoover_partial_aggs_no_cartesian(spark):
+    for name in ("agg_hhi_concentration", "agg_hoover_index"):
+        names = _node_names(spark, name)
+        assert not any("Cartesian" in n for n in names), name
+        plan = plan_of(spark, name)
+        assert "partial_" in plan, name
+
+
+def test_dedup_cascade_posting_joins_only(spark):
+    """Every candidate generator is an equi-join (shingle postings,
+    (tok0, length-bucket) blocks) — the plan may not contain a cartesian
+    product or nested-loop join anywhere except the final 1-row count
+    cross-joins, which are broadcast of single-row aggregates."""
+    df = ops.QUERIES["pipeline_dedup_cascade"](spark, SF_SMALL)
+    nodes = list(_walk_plan(df._jdf.queryExecution().sparkPlan()))
+
+    def scan_reachable_without_agg(node) -> bool:
+        name = node.nodeName()
+        if "Aggregate" in name:
+            return False
+        if "Scan" in name or "ExistingRDD" in name:
+            return True
+        children = node.children()
+        return any(
+            scan_reachable_without_agg(children.apply(i))
+            for i in range(children.size())
+        )
+
+    for n in nodes:
+        if "NestedLoop" in n.nodeName() or "Cartesian" in n.nodeName():
+            # only 1-row aggregate spines may cross-join
+            kids = n.children()
+            for i in range(kids.size()):
+                assert not scan_reachable_without_agg(kids.apply(i)), (
+                    "data-sized cartesian in cascade:\n" + n.toString()[:500]
+                )
