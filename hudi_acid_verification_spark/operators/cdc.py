@@ -56,6 +56,25 @@ def _hash_terms(pos_expr: str) -> str:
     )
 
 
+def _hash_terms_arr(pos_expr: str) -> str:
+    """Spark-side window hash over a precomputed per-char code-point
+    array ``ca`` (optimization r8): ``substring(text, i, 1)`` walks the
+    UTF8 string from the start to find char ``i`` — O(i) per call, which
+    made the whole in-row scan O(len²·W) per document (26 s at sf0.1).
+    ``element_at(ca, i)`` is an O(1) array index, restoring the O(len·W)
+    scan the docstring promises. ``ascii`` of the split-out single char
+    equals ``ascii(substring(text, i, 1))`` for every code point, so the
+    hash value — and therefore every cut — is bit-identical."""
+    return (
+        "("
+        + " + ".join(
+            f"element_at(ca, ({pos_expr}) + {k}) * {m}"
+            for k, m in enumerate(_CDC_POW)
+        )
+        + f") % {_CDC_P}"
+    )
+
+
 def _cdc_oracle() -> str:
     return f"""
     WITH d AS (
@@ -124,6 +143,10 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select(
         "doc_id", "text", F.length("text").alias("n")
     )
+    # per-char code points ONCE per doc (O(len)); the position scan then
+    # reads the window through O(1) element_at instead of O(i) substring
+    # walks — see _hash_terms_arr
+    d = d.withColumn("ca", F.expr("transform(split(text, ''), c -> ascii(c))"))
     # in-row boundary scan: positions i = 1..n-W+1; keep i+W-1 as a cut
     # where the window hash divides; append the end-of-doc sentinel cut
     cuts = F.when(
@@ -131,7 +154,7 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.filter(
             F.expr(
                 f"transform(sequence(1, n - {_CDC_W} + 1), "
-                f"i -> IF(({_hash_terms('i')}) % {_CDC_CUT} = 0, "
+                f"i -> IF(({_hash_terms_arr('i')}) % {_CDC_CUT} = 0, "
                 f"i + {_CDC_W} - 1, -1))"
             ),
             lambda x: x > 0,

@@ -656,6 +656,14 @@ def pipeline_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _jregex_quote(s: str) -> str:
+    """Literal-quote a token for a Java regex: backslash-escape every
+    non-alphanumeric char (escaping alphanumerics would create character
+    classes like ``\\w``; a backslash before any other char is always the
+    literal in Java regex)."""
+    return "".join(ch if ch.isalnum() else "\\" + ch for ch in s)
+
+
 @query("pipeline_bpe_encode")  # serves the trained merges: replay-tested
 def pipeline_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE ENCODE — the serving half of the tokenizer: train the merge
@@ -667,10 +675,11 @@ def pipeline_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape — the deliberate contrast with training: induction needs R
     materialized rounds (each round's counts depend on the previous
-    rewrite), but ENCODING is rank-ordered greedy folds with no data
+    rewrite), but ENCODING is rank-ordered greedy rewriting with no data
     dependence between documents, so all R merge rules chain lazily into
-    ONE corpus scan — R nested JVM ``aggregate`` folds fused by codegen,
-    zero shuffles until the final O(sources) rollup. At 100 TB: training
+    ONE corpus scan — R regexp_replace passes fused by codegen (O(len)
+    per round per doc; see the in-body note for why replaceAll equals
+    the greedy fold), zero shuffles until the final O(sources) rollup. At 100 TB: training
     cost is R passes once; encoding cost is one pass per corpus, which is
     why real pipelines train on a sample and encode everything. The merge
     rules are driver state (≤ R tiny rows) inlined into the expression —
@@ -684,20 +693,28 @@ def pipeline_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select(
         "doc_id",
         "source",
-        F.split("text", " ").alias("syms"),
+        "text",
         F.size(F.split("text", " ")).alias("n_raw"),
     )
-    expr = "syms"
+    # Optimization r8: each rank's greedy non-overlapping left-to-right
+    # merge is EXACTLY Java regex replaceAll semantics (the matcher scans
+    # the original string left to right and never rescans a replacement),
+    # so the R nested array folds — each of which copied the accumulator
+    # per token, O(len²) per doc per round — become R chained
+    # regexp_replace passes over the space-joined text, O(len) each. The
+    # fold's non-cascade rule (a fresh merge leaves `merged` ≠ a on top)
+    # maps to the matcher resuming AFTER the match. Verified
+    # token-for-token against the pure-Python fold replay
+    # (tests/test_corpus_invariants.py::test_bpe_encode_matches_...).
+    c = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
     for a, b, merged in merges:
-        step = (
-            "(acc, t) -> CASE WHEN size(acc) > 0"
-            f" AND element_at(acc, -1) = '{a}' AND t = '{b}'"
-            f" THEN concat(slice(acc, 1, size(acc) - 1), array('{merged}'))"
-            " ELSE concat(acc, array(t)) END"
-        )
-        expr = f"aggregate({expr}, CAST(array() AS ARRAY<STRING>), {step})"
+        pat = f"(?<= ){_jregex_quote(a)} {_jregex_quote(b)}(?= )"
+        rep = merged.replace("\\", "\\\\").replace("$", "\\$")
+        c = F.regexp_replace(c, pat, rep)
     enc = docs.select(
-        "source", "n_raw", F.size(F.expr(expr)).alias("n_enc")
+        "source",
+        "n_raw",
+        F.size(F.split(F.trim(c), " ")).alias("n_enc"),
     )
     return enc.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),

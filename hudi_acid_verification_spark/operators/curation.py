@@ -634,7 +634,17 @@ def pipeline_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline at scale); the O(len²)-per-pair levenshtein touches only
     blocked stage-2 survivor pairs. Each stage's candidate generation is
     a posting/blocked equi-join — never all-pairs. Counts collapse to
-    three 1-row aggregates unioned into the 3-row report."""
+    three 1-row aggregates unioned into the 3-row report.
+
+    Optimization r8: the fuzzy gate uses the BOUNDED levenshtein
+    (``levenshtein(ta, tb, {_CAS_LEV_MAX})``) — the banded DP computes
+    O(len·k) per pair instead of O(len²) and returns −1 past the bound,
+    so the filter is the sign test; survivors' distances are exact, so
+    the emitted pair set is unchanged. The gate was 9.7 s of the
+    operator's 11.5 s at sf0.1. (Stage-boundary localCheckpoints were
+    tried and REVERTED: the single-plan formulation lets Spark reuse
+    the shared exchanges and overlap independent stages inside one job,
+    which beats sequential eager checkpoints here.)"""
     d = load(spark, sf_dir, "documents").select(
         "doc_id", "text", F.split("text", " ").alias("toks")
     )
@@ -690,7 +700,9 @@ def pipeline_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     fuzzy_dupes = (
         ba.join(bb, ["tok0", "lb"])
         .filter(F.col("hi") > F.col("lo"))
-        .filter(F.levenshtein("ta", "tb") <= _CAS_LEV_MAX)
+        # bounded levenshtein: banded DP, O(len·k) per pair; returns −1
+        # past the bound, so >= 0 ⇔ true distance <= _CAS_LEV_MAX
+        .filter(F.levenshtein("ta", "tb", _CAS_LEV_MAX) >= 0)
         .select("hi")
         .distinct()
     )

@@ -496,7 +496,12 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
-    dist = F.levenshtein("a_text", "b_text")
+    # BOUNDED levenshtein (optimization r8): the 3-arg form runs the
+    # banded DP — O(len·threshold) per pair instead of O(len²) — and
+    # returns −1 when the true distance exceeds the bound, so the filter
+    # is the sign test and the surviving distances are exact (identical
+    # min_dist output).
+    dist = F.levenshtein("a_text", "b_text", _LEV_MAX_DIST)
     return (
         a.join(b, ["lang", "tok0", "tok1", "lb"])
         .filter(
@@ -504,7 +509,7 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.abs(F.col("a_len") - F.col("b_len")) <= _LEV_LEN_BAND)
         )
         .select("a_id", "b_id", dist.alias("dist"))
-        .filter(F.col("dist") <= _LEV_MAX_DIST)
+        .filter(F.col("dist") >= 0)
         .groupBy(F.col("b_id").alias("vec_id"))
         .agg(
             F.min("a_id").alias("dup_of"),

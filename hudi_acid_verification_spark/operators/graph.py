@@ -209,9 +209,40 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     order (≤ k lineitems → k²/2 pairs), never across orders — and runs
     as ONE order-key shuffle (per-order sorted part arrays → in-row
     combinations, ``_pair_edges``) instead of a two-sided self-join.
+
+    Optimization r8: the wedge-closure kernel is STAGED
+    (``_triangle_corners`` via ``materialize_once``) and shared with
+    `graph_clustering_coefficient` and `graph_neighborhood_jaccard` —
+    three operators over the same graph enumerate its triangles once,
+    exactly like the shared co-purchase edge artifact; this query's
+    marginal work is three partial-agg counts.
     """
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     edges = _pair_edges(li).localCheckpoint(eager=False)
+    deg = (
+        edges.select(F.col("u").alias("x"))
+        .unionAll(edges.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    tri = _triangle_corners(li)
+    n_tri = tri.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    n_nodes = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    n_edges = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    return n_nodes.crossJoin(n_edges).crossJoin(n_tri)
+
+
+def _oriented_edges(li) -> DataFrame:
+    """Staged degree-ordered ORIENTED edge list (src → dst struct(deg, id),
+    src the lower-(degree, id) endpoint): the shared front half of every
+    triangle-kernel consumer. Memoized via ``materialize_once`` so the
+    degree join and orientation run once per (context, input plan)."""
+    from . import materialize_once
+
+    return materialize_once(_oriented_edges_plan(_pair_edges(li)))
+
+
+def _oriented_edges_plan(edges: DataFrame) -> DataFrame:
     deg = (
         edges.select(F.col("u").alias("x"))
         .unionAll(edges.select(F.col("v").alias("x")))
@@ -238,29 +269,42 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # explicit src partitioning before the checkpoint: the oriented edge
     # list is small in bytes, so AQE would coalesce it to very few
-    # partitions — and the O(m^1.5) wedge self-join right below would run
-    # nearly single-task. A user repartition on the wedge key survives
-    # AQE and co-locates both wedge sides.
-    oriented = oriented.repartition(32, "src").localCheckpoint(eager=False)
+    # partitions — and the O(m^1.5) wedge self-join over the staged
+    # artifact would run nearly single-task. A user repartition on the
+    # wedge key survives AQE, is preserved by the checkpoint, and
+    # co-locates both wedge sides.
+    return oriented.repartition(32, "src")
+
+
+def _triangle_corners(li) -> DataFrame:
+    """Staged triangle list (a, b, c): a the wedge center (lowest
+    orientation rank), (b, c) the closing edge in orientation order.
+    Shared by `graph_triangle_count` (row count),
+    `graph_clustering_coefficient` (corner credit) and
+    `graph_neighborhood_jaccard` (per-edge credit = common-neighbor
+    count), so the O(m^1.5) wedge closure runs ONCE per graph — the same
+    amortization argument as the staged edge list itself."""
+    from . import materialize_once
+
+    return materialize_once(_triangle_corners_plan(_oriented_edges(li)))
+
+
+def _triangle_corners_plan(oriented: DataFrame) -> DataFrame:
     w1 = oriented.select("src", F.col("dst").alias("d1"))
     w2 = oriented.select("src", F.col("dst").alias("d2"))
     wedges = (
         w1.join(w2, "src")
         .filter(F.col("d1") < F.col("d2"))  # struct order = orientation order
         .select(
-            F.col("d1").getField("id").alias("wu"),
-            F.col("d2").getField("id").alias("wv"),
+            F.col("src").alias("a"),
+            F.col("d1").getField("id").alias("b"),
+            F.col("d2").getField("id").alias("c"),
         )
     )
     closing = oriented.select(
-        F.col("src").alias("wu"), F.col("dst").getField("id").alias("wv")
+        F.col("src").alias("b"), F.col("dst").getField("id").alias("c")
     )
-    n_tri = wedges.join(closing, ["wu", "wv"]).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
-    )
-    n_nodes = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
-    n_edges = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
-    return n_nodes.crossJoin(n_edges).crossJoin(n_tri)
+    return wedges.join(closing, ["b", "c"])
 
 
 @query(
@@ -785,9 +829,19 @@ def _stage_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pair_edges(full)
 
 
+def _stage_triangle_corners(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build (or fetch) the staged triangle list over the full co-purchase
+    graph — the wedge-closure kernel shared by `graph_triangle_count`,
+    `graph_clustering_coefficient` and `graph_neighborhood_jaccard`
+    (optimization r8: three consumers, one O(m^1.5) closure)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return _triangle_corners(li)
+
+
 from . import STAGING as _STAGING  # noqa: E402
 
 _STAGING["copurchase_edges"] = _stage_copurchase_edges
+_STAGING["triangle_corners"] = _stage_triangle_corners
 
 
 # ---- per-node clustering coefficient (round 8) ------------------------------
@@ -838,7 +892,15 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     then a partial-agg rollup per node — no second wedge pass. Exact
     integers end-to-end (cc scaled ×1e6 with floor; all-nonnegative so
     DIV == //). Degrees reuse the staged edge artifact's partial-agg
-    groupBy. No broadcast of unbounded sides; output is O(nodes)."""
+    groupBy. No broadcast of unbounded sides; output is O(nodes).
+
+    Optimization r8: consumes the STAGED triangle list
+    (``_triangle_corners``) shared with `graph_triangle_count` and
+    `graph_neighborhood_jaccard` — the wedge closure runs once per
+    graph; this query's marginal work is the corner explode + two
+    partial-agg groupBys. The triangle SET is identical (any
+    degree-ordered orientation enumerates each triangle exactly once),
+    so every corner credit — and the output — is unchanged."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     edges = _pair_edges(li).localCheckpoint(eager=False)
     deg = (
@@ -847,24 +909,7 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("x")
         .agg(F.count(F.lit(1)).alias("d"))
     )
-    du = deg.select(F.col("x").alias("u"), F.col("d").alias("du"))
-    dv = deg.select(F.col("x").alias("v"), F.col("d").alias("dv"))
-    ranked = edges.join(du, "u").join(dv, "v")
-    lower_u = (F.col("du") < F.col("dv")) | (
-        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
-    )
-    oriented = ranked.select(
-        F.when(lower_u, F.col("u")).otherwise(F.col("v")).alias("src"),
-        F.when(lower_u, F.col("v")).otherwise(F.col("u")).alias("dst"),
-    )
-    w1 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-    w2 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("c"))
-    wedges = w1.join(w2, "a").filter(F.col("b") < F.col("c"))
-    # close the wedge against the UNDIRECTED edge set (u < v canonical)
-    closing = edges.select(
-        F.least("u", "v").alias("b"), F.greatest("u", "v").alias("c")
-    )
-    tri = wedges.join(closing, ["b", "c"])
+    tri = _triangle_corners(li)
     credit = tri.select(
         F.explode(F.array("a", "b", "c")).alias("node")
     ).groupBy("node").agg(F.count(F.lit(1)).alias("t"))
@@ -924,10 +969,16 @@ def graph_neighborhood_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     which scores NON-edges for link prediction; here the degree-
     normalized score grades the edges themselves.
 
-    Scale shape: common-neighbor counting joins the edge list against
-    the adjacency twice ON NODE KEYS (shuffle volume O(Σ deg(u)·deg(v))
-    over edges — wedge-bounded, same class as the triangle kernel), then
-    one partial-agg rollup per edge; degrees broadcast-free via two node
+    Scale shape: a common neighbor w of the EXISTING edge (u, v) is
+    exactly a triangle {u, v, w}, so cn(u, v) = the number of staged
+    triangles containing the edge — each triangle credits its three
+    edges via one in-row 3-element explode, then a partial-agg rollup
+    per edge. That replaces the r8-original adjacency double-join
+    (shuffle O(Σ deg(u)·deg(v)) over edges, unbounded under skew) with
+    the degree-ordered wedge bound O(m^1.5), and the closure itself is
+    the STAGED artifact shared with `graph_triangle_count` /
+    `graph_clustering_coefficient` — marginal cost here is the explode
+    + rollup + three small joins. Degrees broadcast-free via two node
     joins. Union size needs no set materialization: |A∪B| = du+dv−cn.
     Exact integers (×1e6 floor, all-nonnegative DIV)."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
@@ -936,11 +987,29 @@ def graph_neighborhood_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("u").alias("a"), F.col("v").alias("b")
     ).unionAll(edges.select(F.col("v").alias("a"), F.col("u").alias("b")))
     deg = nbr.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+    tri = _triangle_corners(li)
+    # triangle corners arrive in ORIENTATION order; re-canonicalize each
+    # of its three edges to the edge list's (u < v) value order
     cn = (
-        edges.join(
-            nbr.select(F.col("a").alias("u"), F.col("b").alias("w")), "u"
+        tri.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.least("a", "b").alias("u"),
+                        F.greatest("a", "b").alias("v"),
+                    ),
+                    F.struct(
+                        F.least("a", "c").alias("u"),
+                        F.greatest("a", "c").alias("v"),
+                    ),
+                    F.struct(
+                        F.least("b", "c").alias("u"),
+                        F.greatest("b", "c").alias("v"),
+                    ),
+                )
+            ).alias("e")
         )
-        .join(nbr.select(F.col("a").alias("v"), F.col("b").alias("w")), ["v", "w"])
+        .select("e.u", "e.v")
         .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("c"))
     )

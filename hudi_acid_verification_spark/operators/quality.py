@@ -74,45 +74,58 @@ def text_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     the rules production quality filters (Gopher §A.1.1, C4) apply to drop
     boilerplate and degenerate machine text before training.
 
-    Shape: one explode → (doc_id, term) count → doc rollup for the unigram
-    signals, one 2-gram explode → doc rollup for the duplicate-bigram
-    signal, joined on doc_id. All three shuffles key on doc_id (or
-    doc_id+term, a superset), so at 100 TB the work is proportional to
-    token count with map-side partial aggregation absorbing the skew —
-    no corpus-wide key ever concentrates.
+    Shape (optimization r8): every signal is a PER-DOCUMENT function of
+    the token array, so the whole operator is ONE in-row pass — a
+    run-length fold over the doc's SORTED token array yields the unigram
+    signals (max run = top-token count, tokens in runs ≥ 2 = repeated
+    tokens) and ``array_distinct`` over the in-row 2-gram list yields the
+    duplicate-bigram signal. Zero exchanges, zero joins (the r1-r3 shape
+    paid three doc_id-keyed shuffles + a join for what per-row codegen
+    computes in place); at 100 TB the work is proportional to token
+    count with NO shuffle at all, the strictly better scale story. The
+    arithmetic producing each output double is the identical
+    operand sequence as before (exact integer counts cast to double,
+    one divide), so results are bit-identical.
     """
     toks = F.split("text", " ")
     d = load(spark, sf_dir, "documents")
-    tc = (
-        d.select("doc_id", F.explode(toks).alias("term"))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    uni = tc.groupBy("doc_id").agg(
-        F.sum("cnt").cast("bigint").alias("n_tokens"),
-        F.max("cnt").cast("bigint").alias("top_token_cnt"),
-        F.sum(F.when(F.col("cnt") >= 2, F.col("cnt")).otherwise(0))
-        .cast("bigint")
-        .alias("repeated_tokens"),
+    # run-length fold over the sorted tokens: run = current equal-run
+    # length, maxrun = top token count, rep = Σ tokens in runs ≥ 2 (a
+    # run reaching 2 credits both members, each extension credits 1)
+    uni_fold = F.expr(
+        "aggregate(array_sort(split(text, ' ')), "
+        "named_struct('prev', CAST(NULL AS STRING), 'run', 0L, "
+        "'maxrun', 0L, 'rep', 0L), "
+        "(a, t) -> IF(a.prev IS NOT NULL AND t = a.prev, "
+        "named_struct('prev', t, 'run', a.run + 1L, "
+        "'maxrun', greatest(a.maxrun, a.run + 1L), "
+        "'rep', a.rep + IF(a.run = 1L, 2L, 1L)), "
+        "named_struct('prev', t, 'run', 1L, "
+        "'maxrun', greatest(a.maxrun, 1L), 'rep', a.rep)))"
     )
     grams_of = F.transform(
         F.sequence(F.lit(1), F.size(toks) - 1),
         lambda i: F.array_join(F.slice(toks, i, 2), " "),
     )
-    big = (
-        d.filter(F.size(toks) >= 2)
-        .select("doc_id", F.explode(grams_of).alias("g"))
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_2grams"),
-            F.countDistinct("g").alias("n_distinct_2grams"),
+    per_doc = (
+        d.filter(F.size(toks) >= 2)  # same domain as the r1 join output:
+        # the bigram arm required size >= 2, and the join was inner
+        .select(
+            "doc_id",
+            F.size(toks).cast("bigint").alias("n_tokens"),
+            uni_fold["maxrun"].cast("bigint").alias("top_token_cnt"),
+            uni_fold["rep"].cast("bigint").alias("repeated_tokens"),
+            F.size(grams_of).cast("bigint").alias("n_2grams"),
+            F.size(F.array_distinct(grams_of))
+            .cast("bigint")
+            .alias("n_distinct_2grams"),
         )
     )
     top_frac = F.col("top_token_cnt").cast("double") / F.col("n_tokens")
     dup2 = F.lit(1.0) - F.col("n_distinct_2grams").cast("double") / F.col(
         "n_2grams"
     )
-    return uni.join(big, "doc_id").select(
+    return per_doc.select(
         "doc_id",
         "n_tokens",
         top_frac.alias("top_token_frac"),

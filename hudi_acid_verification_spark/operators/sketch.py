@@ -102,26 +102,41 @@ def sketch_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     a property test pins that invariant, and the oracle rebuilds the same
     grid in DuckDB so the estimates match bit-for-bit.
 
-    Shape: the grid build is one explode → groupBy(row, slot) whose
-    map-side partials cap the exchange at depth×width rows per partition —
-    constant shuffle volume at any corpus size. The probe side joins the
-    (tiny, ≤ depth×width row) grid back to candidate terms; at 100 TB the
-    candidate set comes from per-partition pre-aggregation, and the final
-    ranking is a TakeOrderedAndProject top-k, never a full sort.
+    Shape (optimization r8): the corpus collapses to (term, count) with
+    ONE partial-aggregated pass FIRST; the grid is then a vocab-sized
+    rollup (sum of term counts per cell — identical cells, since a
+    slot's count is exactly the sum of its terms' counts) and the hash
+    family runs over distinct terms × depth instead of every token
+    occurrence × depth. The old shape exploded and md5-hashed the full
+    token stream twice (grid pass + exact pass); this one scans the
+    corpus once and checkpoints the vocab-sized count table for both
+    consumers. At 100 TB: shuffle O(vocab) (Heaps-bounded), md5 cost
+    O(vocab·depth), and the final ranking stays a TakeOrderedAndProject
+    top-k, never a full sort.
     """
     toks = (
         load(spark, sf_dir, "documents")
         .select(F.explode(F.split("text", " ")).alias("term"))
         .filter(F.col("term") != "")
     )
+    # one corpus pass; the vocab-sized result feeds BOTH the grid build
+    # and the probe side, so materialize it once
+    exact = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .localCheckpoint()
+    )
     rows_i = F.explode(F.sequence(F.lit(0), F.lit(_CM_D - 1))).alias("row_i")
     cells = (
-        toks.select("term", rows_i)
-        .select("row_i", _slot_col(F.col("row_i"), F.col("term"), _CM_W).alias("slot"))
+        exact.select("exact_cnt", "term", rows_i)
+        .select(
+            "row_i",
+            _slot_col(F.col("row_i"), F.col("term"), _CM_W).alias("slot"),
+            "exact_cnt",
+        )
         .groupBy("row_i", "slot")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("exact_cnt").alias("cnt"))
     )
-    exact = toks.groupBy("term").agg(F.count(F.lit(1)).alias("exact_cnt"))
     probes = exact.select("term", "exact_cnt", rows_i).withColumn(
         "slot", _slot_col(F.col("row_i"), F.col("term"), _CM_W)
     )

@@ -1268,18 +1268,31 @@ def text_kgram_source_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct grams, Heaps-bounded ≪ corpus chars); the pair join runs on
     the gram key over profiles (posting-list join, output bounded by
     sources² which is tiny); norms are per-source scalars joined back.
-    The corpus is scanned once; nothing pairwise touches documents."""
+    The corpus is scanned once; nothing pairwise touches documents.
+
+    Optimization r8: grams come from a per-char split array via O(1)
+    ``element_at`` instead of ``substring(text, i, k)`` — the latter
+    re-walks the UTF8 string from its head on every call (O(i) per
+    position, O(len²) per document). The concat of the k split-out
+    chars is byte-identical to the substring."""
     d = load(spark, sf_dir, "documents").select(
         "source", "text", F.length("text").alias("n")
     )
-    grams = d.filter(F.col("n") >= _KGRAM_N).select(
-        "source",
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, n - {_KGRAM_N} + 1),"
-                f" i -> substring(text, i, {_KGRAM_N}))"
-            )
-        ).alias("g"),
+    gram_expr = "concat(" + ", ".join(
+        f"element_at(ca, i + {k})" for k in range(_KGRAM_N)
+    ) + ")"
+    grams = (
+        d.filter(F.col("n") >= _KGRAM_N)
+        .withColumn("ca", F.expr("split(text, '')"))
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, n - {_KGRAM_N} + 1),"
+                    f" i -> {gram_expr})"
+                )
+            ).alias("g"),
+        )
     )
     prof = grams.groupBy("source", "g").agg(F.count(F.lit(1)).alias("c"))
     nrm = prof.groupBy("source").agg(

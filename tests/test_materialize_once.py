@@ -58,13 +58,22 @@ def test_staged_rows_equal_fresh_build(spark):
 
 def test_graph_consumers_share_one_staging(spark):
     """Running two full-edge-list graph operators must stage the edge
-    build once: the second query reuses the first's artifact."""
+    build once: the second query reuses the first's artifact. The
+    triangle consumers additionally share ONE staged orientation + ONE
+    staged triangle list (optimization r8) — the third consumer adds no
+    new artifacts at all."""
     ops._ONCE.clear()
     ops.QUERIES["graph_degree_distribution"](spark, SF_SMALL).collect()
     n_after_first = len(ops._ONCE)
     ops.QUERIES["graph_triangle_count"](spark, SF_SMALL).collect()
-    # triangle count adds NO new staging for the shared full edge list
-    assert len(ops._ONCE) == n_after_first
+    # triangle count reuses the edge artifact and stages exactly the
+    # oriented edge list + the triangle list on top of it
+    assert len(ops._ONCE) == n_after_first + 2
+    n_after_tri = len(ops._ONCE)
+    ops.QUERIES["graph_clustering_coefficient"](spark, SF_SMALL).collect()
+    ops.QUERIES["graph_neighborhood_jaccard"](spark, SF_SMALL).collect()
+    # both triangle-kernel consumers reuse the staged kernel wholesale
+    assert len(ops._ONCE) == n_after_tri
 
 
 def test_lru_eviction_bounds_cache_and_rebuilds(spark, monkeypatch):
