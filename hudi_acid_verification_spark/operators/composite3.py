@@ -472,13 +472,25 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     the top-20 orders by (acctbal DESC, suppkey, partkey) — a total order,
     so the LIMIT cuts identically in both engines.
 
-    Scale notes: the pair aggregate is the one fact shuffle; `best` reuses
-    its partitioning (partkey prefix). The join-back is aggregate-sized,
-    part/supplier broadcast, and the global top-20 plans as
-    TakeOrderedAndProject — no full sort.
+    Scale notes: the selective part predicate is applied to the FACT
+    before the pair aggregate via a broadcast semi-join on the surviving
+    part keys (optimization r8, guide §3.2 — the earlier shape aggregated
+    every (part, supplier) pair and filtered afterwards, shuffling the
+    full pair domain for rows the part join would discard; the per-part
+    minimum over the kept parts is unchanged by dropping parts never
+    output). The pair aggregate is then the one fact shuffle; `best`
+    reuses its partitioning (partkey prefix). The join-back is
+    aggregate-sized, part/supplier broadcast, and the global top-20 plans
+    as TakeOrderedAndProject — no full sort.
     """
+    p_keys = (
+        load(spark, sf_dir, "part")
+        .filter((F.col("p_size") == 25) & (F.col("p_type") == "LARGE"))
+        .select(F.col("p_partkey").alias("l_partkey"))
+    )
     cost = (
         load(spark, sf_dir, "lineitem")
+        .join(F.broadcast(p_keys), "l_partkey", "left_semi")
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.min(F.col("l_extendedprice").cast(_DEC2)).alias("pair_cost"))
     )

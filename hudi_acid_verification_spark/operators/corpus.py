@@ -176,14 +176,18 @@ def pipeline_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     (map-side partial). At 100 TB this is scan + broadcast probe + one
     doc-keyed shuffle — the only scalable decontamination shape.
     """
-    toks = F.split("text", " ")
+    # Materialize the token array as a column FIRST (optimization r8, same
+    # lesson as dedup_repeated_ngrams): referencing split(text) inside the
+    # transform lambda re-tokenizes the document once per gram position —
+    # O(tokens²) splits per doc; a column reference splits once.
     grams_of = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (_NGRAM - 1)),
-        lambda i: F.md5(F.array_join(F.slice(toks, i, _NGRAM), " ")),
+        F.sequence(F.lit(1), F.size("toks") - (_NGRAM - 1)),
+        lambda i: F.md5(F.array_join(F.slice(F.col("toks"), i, _NGRAM), " ")),
     )
     grams = (
         load(spark, sf_dir, "documents")
-        .filter(F.size(toks) >= _NGRAM)
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .filter(F.size("toks") >= _NGRAM)
         .select("doc_id", F.explode(grams_of).alias("g"))
     )
     bench = (

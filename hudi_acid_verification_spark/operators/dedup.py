@@ -381,27 +381,37 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document from the token multiset.
 
     Each token votes ±1 per bit position of its md5-32 hash; the sign of the
-    per-bit sum sets the fingerprint bit. Expressed as explode × 32 bits →
-    two hash aggregations — integer-exact, order-independent, identical in
-    both engines. (Near-dup query over simhashes = small hamming distance;
-    the fingerprint itself is the checkable artifact.)
+    per-bit sum sets the fingerprint bit. The fingerprint is a PER-DOCUMENT
+    function of the in-row token array, so it is computed in ONE in-row
+    pass (optimization r8): hash every token once, fold the 32 per-bit
+    set-counts over the hash array, then assemble the fingerprint — zero
+    exchanges (the earlier shape exploded tokens × 32 bit positions into
+    two doc_id-keyed hash aggregations, shuffling 32× the token stream).
+    The sign test is exact-integer either way: the vote sum over n tokens
+    with c set bits is 2c − n, so bit b is set iff 2·c_b > n — identical
+    operands, identical fingerprints. (Near-dup query over simhashes =
+    small hamming distance; the fingerprint itself is the checkable
+    artifact.)
     """
     d = load(spark, sf_dir, "documents")
-    hashed = d.select(
-        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
-    ).select("doc_id", _h32_spark(F.col("tok")).alias("h"))
-    bits = hashed.select(
-        "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("bit")
+    hs = F.transform(F.split(F.col("text"), " "), _h32_spark)
+    toked = d.filter(F.col("text").isNotNull()).select("doc_id", hs.alias("hs"))
+    # per-bit set counts: one fold over the hash array, 32-long accumulator
+    counts = F.expr(
+        "aggregate(hs, array_repeat(0L, 32), "
+        "(acc, h) -> transform(acc, (c, b) -> c + shiftright(h, b) % 2))"
     )
-    pow2 = F.pow(F.lit(2.0), F.col("bit")).cast("bigint")
-    bit_sums = bits.groupBy("doc_id", "bit").agg(
-        F.sum(
-            F.when((F.col("h") / pow2).cast("bigint") % 2 == 1, 1).otherwise(-1)
-        ).alias("s")
+    folded = toked.select(
+        "doc_id",
+        F.size("hs").cast("bigint").alias("n"),
+        counts.alias("counts"),
     )
-    return bit_sums.groupBy("doc_id").agg(
-        F.sum(F.when(F.col("s") > 0, pow2).otherwise(F.lit(0))).alias("simhash")
+    simhash = F.expr(
+        "aggregate(zip_with(counts, sequence(0, 31), "
+        "(c, b) -> IF(2 * c > n, shiftleft(1L, b), 0L)), "
+        "0L, (acc, x) -> acc + x)"
     )
+    return folded.select("doc_id", simhash.alias("simhash"))
 
 
 _LEV_MAX_DIST = 25   # edit-distance duplicate threshold
@@ -631,6 +641,11 @@ def dedup_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     ceiling caps skew; the per-hash side never broadcasts — it is O(corpus
     vocabulary) at 100 TB, the join shuffles on h co-partitioned with occ).
     dup_frac is an exact-integer ratio, so it is bit-identical cross-engine.
+    (Optimization r8 note: an in-row per-doc histogram variant — sorted
+    span hashes + run-start probe fold, removing the (doc, h) aggregation
+    exchange — was MEASURED SLOWER back-to-back, 1.58 s → 2.00 s at sf0.1:
+    the per-row sort/probe CPU exceeds the saved exchange, and the dh/join
+    exchanges dominate regardless. Kept the two-shuffle shape.)
     """
     d = load(spark, sf_dir, "documents")
     # Materialize the token array as a column FIRST: referencing

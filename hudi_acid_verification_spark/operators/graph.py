@@ -94,11 +94,14 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     rs = degs.select("s", F.lit(_PR_SCALE).cast("bigint").alias("r"))
 
     def half_step(ranks: DataFrame, deg: DataFrame, frm: str, to: str) -> DataFrame:
-        contrib = (
-            edges.join(ranks, frm)
-            .join(deg, frm)
-            .select(to, F.expr(f"r DIV d{frm}").alias("contrib"))
+        # per-node share first (node-sized join), THEN the edge attach —
+        # the earlier shape joined ranks and degrees onto the edge table
+        # separately, two edge-volume joins per half-step for the same
+        # contrib values (optimization r8)
+        share = ranks.join(deg, frm).select(
+            frm, F.expr(f"r DIV d{frm}").alias("contrib")
         )
+        contrib = edges.join(share, frm).select(to, "contrib")
         return contrib.groupBy(to).agg(
             (
                 F.lit(_PR_BASE)
@@ -611,7 +614,14 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = degrees(edges)
     rows.append((0, deg.count(), edges.count()))
     for r in range(1, _KCORE_ROUNDS + 1):
-        alive = deg.filter(F.col("d") >= _KCORE_K).select("x")
+        # the surviving-vertex frame feeds two semi joins AND the count —
+        # checkpoint it so the degree aggregation runs once per round,
+        # not once per consumer (optimization r8)
+        alive = (
+            deg.filter(F.col("d") >= _KCORE_K)
+            .select("x")
+            .localCheckpoint(eager=False)
+        )
         edges = (
             edges.join(alive.withColumnRenamed("x", "u"), "u", "semi")
             .join(alive.withColumnRenamed("x", "v"), "v", "semi")
@@ -1079,13 +1089,20 @@ def graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per-term 1e6-scaled integer floor keeps the sum exact cross-engine
     (Σ floor(1e6/d) — no float accumulation anywhere).
 
-    Scale shape: wedge generation fans out of the adjacency self-joined
-    on the CENTER node (shuffle O(Σ deg²) over the hash-sampled subgraph
-    — the standard wedge bound; the sample mod {_CN_MOD} plus a df-cap on
-    hub centers is the 100 TB control documented in the module header);
-    the existing-edge exclusion is one left-anti join on the canonical
-    pair key; the final top-k is TakeOrdered (per-partition k, one k-row
-    merge — never a global sort)."""
+    Scale shape (optimization r8): wedge generation fans out of the
+    adjacency self-joined on the CENTER node (shuffle O(Σ deg²) over the
+    hash-sampled subgraph — the standard wedge bound; the sample mod
+    {_CN_MOD} plus a df-cap on hub centers is the 100 TB control
+    documented in the module header). The center's 1/deg WEIGHT is
+    attached to the adjacency BEFORE the self-join (node-sized join)
+    and the pair rollup runs BEFORE the existing-edge exclusion, so the
+    wedge stream flows through exactly ONE partial-aggregated shuffle —
+    the earlier shape anti-joined the raw wedge stream and then joined
+    degrees back onto it, two extra wedge-volume exchanges for the same
+    result (a pair's score does not depend on whether it is later
+    excluded). The exclusion is one left-anti join on the
+    aggregate-sized canonical pair key; the final top-k is TakeOrdered
+    (per-partition k, one k-row merge — never a global sort)."""
     li = (
         load(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -1096,22 +1113,24 @@ def graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("u").alias("a"), F.col("v").alias("b")
     ).unionAll(edges.select(F.col("v").alias("a"), F.col("u").alias("b")))
     deg = nbr.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+    # center weight rides the n2 side of the wedge join (node-sized
+    # attach), so no wedge-sized degree join is ever needed
     n1 = nbr.select(F.col("a").alias("ctr"), F.col("b").alias("lo"))
-    n2 = nbr.select(F.col("a").alias("ctr"), F.col("b").alias("hi"))
+    n2 = nbr.join(deg, "a").select(
+        F.col("a").alias("ctr"),
+        F.col("b").alias("hi"),
+        F.expr("1000000 DIV d").alias("ra_term"),
+    )
     wedges = n1.join(n2, "ctr").filter(F.col("lo") < F.col("hi"))
-    nonedge = wedges.join(
+    scored = wedges.groupBy("lo", "hi").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_common"),
+        F.sum("ra_term").cast("bigint").alias("ra_x1e6"),
+    )
+    nonedge = scored.join(
         edges.select(F.col("u").alias("lo"), F.col("v").alias("hi")),
         ["lo", "hi"],
         "left_anti",
     )
-    scored = (
-        nonedge.join(deg.select(F.col("a").alias("ctr"), "d"), "ctr")
-        .groupBy("lo", "hi")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_common"),
-            F.sum(F.expr("1000000 DIV d")).cast("bigint").alias("ra_x1e6"),
-        )
-    )
-    return scored.orderBy(
+    return nonedge.orderBy(
         F.col("ra_x1e6").desc(), "lo", "hi"
     ).limit(_RA_TOPK)

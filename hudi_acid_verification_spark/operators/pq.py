@@ -168,7 +168,12 @@ def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _SHORTLIST)
         .select("query_id", "neighbor_id")
     )
-    qside = emb.select(
+    # only query vectors can appear on the query side of the rescore —
+    # filter BEFORE broadcasting (optimization r8: the unfiltered frame
+    # broadcast the FULL embedding table, corpus-proportional — the
+    # unbounded-broadcast class — for a join whose keys are < _N_QUERIES
+    # by construction)
+    qside = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("qv").alias("qq"),
         F.col("nrm").alias("qn"),

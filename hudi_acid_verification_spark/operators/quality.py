@@ -87,13 +87,20 @@ def text_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     operand sequence as before (exact integer counts cast to double,
     one divide), so results are bit-identical.
     """
-    toks = F.split("text", " ")
     d = load(spark, sf_dir, "documents")
+    # Materialize the token array as a column FIRST (optimization r8, same
+    # lesson as dedup_repeated_ngrams): split(text) referenced inside the
+    # bigram transform lambda re-tokenizes the document once per position;
+    # a column reference splits once.
+    toked = d.select("doc_id", F.split("text", " ").alias("toks")).filter(
+        F.size("toks") >= 2  # same domain as the r1 join output: the
+        # bigram arm required size >= 2, and the join was inner
+    )
     # run-length fold over the sorted tokens: run = current equal-run
     # length, maxrun = top token count, rep = Σ tokens in runs ≥ 2 (a
     # run reaching 2 credits both members, each extension credits 1)
     uni_fold = F.expr(
-        "aggregate(array_sort(split(text, ' ')), "
+        "aggregate(array_sort(toks), "
         "named_struct('prev', CAST(NULL AS STRING), 'run', 0L, "
         "'maxrun', 0L, 'rep', 0L), "
         "(a, t) -> IF(a.prev IS NOT NULL AND t = a.prev, "
@@ -104,15 +111,14 @@ def text_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "'maxrun', greatest(a.maxrun, 1L), 'rep', a.rep)))"
     )
     grams_of = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        lambda i: F.array_join(F.slice(toks, i, 2), " "),
+        F.sequence(F.lit(1), F.size("toks") - 1),
+        lambda i: F.array_join(F.slice(F.col("toks"), i, 2), " "),
     )
     per_doc = (
-        d.filter(F.size(toks) >= 2)  # same domain as the r1 join output:
-        # the bigram arm required size >= 2, and the join was inner
+        toked
         .select(
             "doc_id",
-            F.size(toks).cast("bigint").alias("n_tokens"),
+            F.size("toks").cast("bigint").alias("n_tokens"),
             uni_fold["maxrun"].cast("bigint").alias("top_token_cnt"),
             uni_fold["rep"].cast("bigint").alias("repeated_tokens"),
             F.size(grams_of).cast("bigint").alias("n_2grams"),

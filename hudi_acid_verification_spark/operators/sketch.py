@@ -552,9 +552,15 @@ def sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     count rides along to certify the observed error in-band.
     """
     li = load(spark, sf_dir, "lineitem")
-    # no pre-distinct: duplicate keys produce the same (bucket, rank) and
-    # collapse inside the max-merge — the whole point of the sketch
-    hashes = li.select(
+    # The exact-count audit arm REQUIRES a distinct shuffle of the keys;
+    # the register pass reuses that deduped table (optimization r8: one
+    # corpus scan + one key shuffle, instead of a separate sketch scan —
+    # duplicate keys produce the same (bucket, rank) either way, so the
+    # registers are identical). Without the in-band audit, a production
+    # sketch hashes the raw stream and needs NO shuffle at all — that
+    # max-merge story is unchanged.
+    keys = li.select("l_orderkey").distinct().localCheckpoint()
+    hashes = keys.select(
         F.md5(F.col("l_orderkey").cast("string")).alias("h")
     )
     mapped = hashes.select(
@@ -583,8 +589,8 @@ def sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_zero"),
     )
-    exact = li.agg(
-        F.countDistinct("l_orderkey").cast("bigint").alias("n_exact")
+    exact = keys.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact")
     )
     est = F.lit(_HLL_ALPHA) * _HLL_M * _HLL_M / F.col("inv_sum")
     return (

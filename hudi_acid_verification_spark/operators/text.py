@@ -539,19 +539,30 @@ def text_token_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup family applied up front, not as an afterthought. Lift is one
     double expression over exact integer supports.
 
-    Scale: distinct (doc, token) is the inverted index (one shuffle); the
-    df ranking collapses to |vocab| rows; the bounded pair join shuffles
-    on doc_id; the pair rollup partial-aggregates to ≤ C(50,2) rows.
+    Scale (optimization r8): per-doc DISTINCT tokens are computed IN-ROW
+    (``array_distinct`` of the split — the earlier shape paid an
+    explode+distinct shuffle of the full (doc, token) stream, recomputed
+    once per consumer); the df ranking is then one partial-aggregated
+    token rollup to |vocab| rows; and the pair set is generated IN-ROW
+    from each doc's sorted top-token RANK list (the co-purchase
+    combination pattern from graph._pair_edges_plan) instead of a doc_id
+    self-join — one doc-keyed shuffle of ≤{_LIFT_TOP_TOKENS} ints/doc
+    replaces two string-row shuffles plus the join fan-out. The hot pair
+    stream carries ONE packed bigint (rank_a·1024 + rank_b; ranks are
+    tok-ascending, so rank order == the original tok_a < tok_b order) and
+    partial-aggregates to ≤ C(50,2) rows; token text and df re-attach
+    over that tiny result. Same pairs, same counts — bit-identical
+    output (sf0.1 row-checksum verified against the previous shape).
     """
     d = load(spark, sf_dir, "documents")
-    toks = (
-        d.select(
-            "doc_id",
-            F.explode(F.split(F.col("text"), " ")).alias("tok"),
-        )
-        .filter(F.col("tok") != "")
-        .distinct()
+    # in-row distinct token set; empty-token filter inside the array
+    base = d.select(
+        "doc_id",
+        F.array_distinct(
+            F.filter(F.split("text", " "), lambda t: t != "")
+        ).alias("ts"),
     )
+    toks = base.select("doc_id", F.explode("ts").alias("tok"))
     df_counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
     w = Window.orderBy(F.col("n").desc(), "tok")
     top = (
@@ -559,23 +570,59 @@ def text_token_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _LIFT_TOP_TOKENS)
         .select("tok", "n")
     )
-    tt = toks.join(F.broadcast(top), "tok").select("doc_id", "tok", "n")
-    a = tt.alias("a")
-    b = tt.alias("b")
-    pairs = (
-        a.join(b, "doc_id")
-        .filter(F.col("b.tok") > F.col("a.tok"))
-        .groupBy(
-            F.col("a.tok").alias("tok_a"), F.col("b.tok").alias("tok_b")
+    # per-doc sorted list of surviving token RANK ids (ints, not strings —
+    # the pair stream is the hot volume, so it carries packed-int keys
+    # only; token text and df re-attach over the ≤C(50,2) result rows)
+    topr = top.withColumn(
+        "rnk", F.row_number().over(Window.orderBy("tok"))
+    )
+    tt = (
+        toks.join(F.broadcast(topr.select("tok", "rnk")), "tok")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("rnk")).alias("rs"))
+        # explicit spread (the _pair_edges_plan lesson): AQE coalesces the
+        # small per-doc aggregate to ~1 partition, which would run the
+        # C(50,2)-per-doc combination explode single-task
+        .repartition(32, "doc_id")
+    )
+    # rs is sorted by rnk == token order (rnk is the tok-ascending rank),
+    # so x < y in the combos means tok_x < tok_y — the original pair order
+    combos = F.flatten(
+        F.transform(
+            F.col("rs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("rs"), i + F.lit(2), F.size(F.col("rs"))),
+                lambda y: x.cast("bigint") * 1024 + y,
+            ),
         )
-        .agg(
-            F.max(F.col("a.n")).cast("bigint").alias("n_a"),
-            F.max(F.col("b.n")).cast("bigint").alias("n_b"),
-            F.count(F.lit(1)).cast("bigint").alias("n_ab"),
-        )
+    )
+    pk = (
+        tt.select(F.explode(combos).alias("pk"))
+        .groupBy("pk")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
         .filter(F.col("n_ab") >= _LIFT_MIN_PAIR)
     )
-    total = toks.agg(
+    ta = topr.select(
+        F.col("rnk").alias("ra"), F.col("tok").alias("tok_a"),
+        F.col("n").alias("na"),
+    )
+    tb = topr.select(
+        F.col("rnk").alias("rb"), F.col("tok").alias("tok_b"),
+        F.col("n").alias("nb"),
+    )
+    pairs = (
+        pk.withColumn("ra", F.expr("pk DIV 1024").cast("int"))
+        .withColumn("rb", (F.col("pk") % 1024).cast("int"))
+        .join(F.broadcast(ta), "ra")
+        .join(F.broadcast(tb), "rb")
+        .select(
+            "tok_a", "tok_b",
+            F.col("na").cast("bigint").alias("n_a"),
+            F.col("nb").cast("bigint").alias("n_b"),
+            "n_ab",
+        )
+    )
+    total = base.filter(F.size("ts") > 0).agg(
         F.countDistinct("doc_id").cast("bigint").alias("n_docs")
     )
     return pairs.crossJoin(F.broadcast(total)).select(

@@ -2005,3 +2005,91 @@ def test_dedup_cascade_posting_joins_only(spark):
                 assert not scan_reachable_without_agg(kids.apply(i)), (
                     "data-sized cartesian in cascade:\n" + n.toString()[:500]
                 )
+
+
+def test_simhash_in_row_no_exchange(spark):
+    """Optimization r8: the 32-bit SimHash is a per-document function of
+    the in-row token array — one fold pass, no Exchange, no Generate
+    (the old shape exploded tokens × 32 bit positions through two
+    doc_id-keyed hash aggregations)."""
+    plan = plan_of(spark, "dedup_simhash")
+    assert "Exchange" not in plan
+    names = _node_names(spark, "dedup_simhash")
+    assert "Generate" not in names
+    assert not any("Join" in n for n in names)
+
+
+def test_q2_semi_prefilters_fact_before_pair_agg(spark):
+    """Optimization r8 (guide §3.2): the selective part predicate reaches
+    the FACT before the (part, supplier) pair aggregate via a broadcast
+    left-semi join, so the pair shuffle carries only surviving parts."""
+    df = ops.QUERIES["q2_min_cost_supplier"](spark, SF_SMALL)
+    nodes = list(_walk_plan(df._jdf.queryExecution().sparkPlan()))
+    semis = [
+        n for n in nodes
+        if "Join" in n.nodeName() and "LeftSemi" in n.toString()[:200]
+    ]
+    assert semis, "expected a left-semi part-key prefilter on the fact"
+
+    def has_agg(node) -> bool:
+        return any("Aggregate" in m.nodeName() for m in _walk_plan(node))
+
+    # the semi join must sit BELOW the pair aggregate: no Aggregate may
+    # appear inside the semi join's subtree (it filters raw fact rows)
+    assert any(not has_agg(s) for s in semis)
+
+
+def test_resource_allocation_aggregates_before_anti_join(spark):
+    """Optimization r8: the wedge stream is pair-aggregated BEFORE the
+    existing-edge exclusion and the center degree attaches to the
+    adjacency (node-sized) before the self-join — the anti join's probe
+    side must therefore contain the pair Aggregate."""
+    df = ops.QUERIES["graph_resource_allocation"](spark, SF_SMALL)
+    nodes = list(_walk_plan(df._jdf.queryExecution().sparkPlan()))
+    antis = [
+        n for n in nodes
+        if "Join" in n.nodeName() and "LeftAnti" in n.toString()[:200]
+    ]
+    assert antis, "expected the existing-edge left-anti exclusion"
+    probe = antis[0].children().apply(0)
+    assert any(
+        "Aggregate" in m.nodeName() for m in _walk_plan(probe)
+    ), "anti join must consume the aggregated pair table, not raw wedges"
+
+
+def test_pq_adc_rescore_query_side_is_sliced(spark):
+    """Optimization r8: the exact-rescore QUERY side (the hint-forced
+    broadcast) must be the vec_id < n_queries SLICE of the embedding
+    table, never the full corpus — the build side that produces the
+    query vectors (qq/qn) must carry the vec_id slice filter. (The
+    planner may still freely broadcast the small corpus side at this
+    fixture size; only the forced query-side hint is pinned here.)"""
+    from hudi_acid_verification_spark.operators.pq import _N_QUERIES
+    df = ops.QUERIES["similarity_pq_adc"](spark, SF_SMALL)
+    root = df._jdf.queryExecution().sparkPlan()
+
+    def is_sliced_query_side(node) -> bool:
+        s = node.toString()
+        # the query-vector attach projects qq/qn; its subtree must
+        # filter vec_id to the query slice
+        return (" AS qq" in s or "AS qn" in s) and (
+            f"< {_N_QUERIES}" in s or f"vec_id%" in s
+        )
+
+    bjoins = [
+        n for n in _walk_plan(root) if "BroadcastHashJoin" in n.nodeName()
+    ]
+    assert bjoins
+    qsides = []
+    for j in bjoins:
+        side = j.buildSide().toString()
+        build = j.children().apply(1 if "Right" in side else 0)
+        s = build.toString()
+        if " AS qq" in s or " AS qn" in s:
+            qsides.append(build)
+    assert qsides, "expected the query-vector side under a broadcast join"
+    for b in qsides:
+        assert f"< {_N_QUERIES}" in b.toString()[:3000], (
+            "query side broadcast without the vec_id slice filter:\n"
+            + b.toString()[:1500]
+        )
