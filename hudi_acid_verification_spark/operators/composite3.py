@@ -351,20 +351,33 @@ def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     result; the anti join implements the intended semantics, same stance
     as the reference's DELETE defect D2 fix).
 
-    Scale notes: the DISTINCT pair set is the expensive shuffle and it
-    happens FIRST, on the narrowest possible projection; everything after
-    (part filter join, anti join, distinct count) runs on pair
-    cardinality, not fact cardinality.
+    Scale notes: the DISTINCT pair set is the expensive shuffle, so the
+    selective part predicate semi-joins into the fact BEFORE it
+    (broadcast on surviving partkeys — optimization r8): the exchange
+    carries only pair rows that can survive the final inner part join,
+    on the narrowest possible projection; everything after (part filter
+    join, anti join, distinct count) runs on pair cardinality, not fact
+    cardinality.
     """
-    pairs = (
-        load(spark, sf_dir, "lineitem")
-        .select("l_partkey", "l_suppkey")
-        .distinct()
-    )
     p = load(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#4")
         & (F.col("p_type") != "PROMO")
         & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    # Optimization r8 (guide §3.2, the q2 lesson): the part predicate
+    # keeps ~1/7 of partkeys and the final join is INNER on part, so
+    # restricting the fact BEFORE the distinct-pair shuffle is exact —
+    # a broadcast semi-join on surviving partkeys cuts the expensive
+    # exchange to the selectivity of the part filter.
+    pairs = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .join(
+            F.broadcast(p.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .distinct()
     )
     excluded = load(spark, sf_dir, "supplier").filter(
         F.col("s_acctbal") < 0

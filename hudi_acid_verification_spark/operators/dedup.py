@@ -1304,11 +1304,15 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_inter"),
         )
     )
+    # Final Jaccard test in single-reference form (optimization r8):
+    # DEN·I ≥ NUM·(na+nb−I) ⟺ (DEN+NUM)·I ≥ NUM·(na+nb) on exact ints.
+    # The filter collapses into the verify join's condition, where each
+    # reference to n_inter inlines a full array_intersect evaluation —
+    # the one-reference form halves the per-candidate intersect cost.
     return (
         inter.filter(
-            F.lit(_PF_T_DEN) * F.col("n_inter")
-            >= F.lit(_PF_T_NUM)
-            * (F.col("na") + F.col("nb") - F.col("n_inter"))
+            F.lit(_PF_T_DEN + _PF_T_NUM) * F.col("n_inter")
+            >= F.lit(_PF_T_NUM) * (F.col("na") + F.col("nb"))
         )
         .select(
             "doc_a",

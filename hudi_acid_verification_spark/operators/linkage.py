@@ -26,7 +26,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-from . import load, query
+from . import STAGING as _STAGING
+from . import load, materialize_once, query
 
 _JW_KEY_LEN = 64   # compare the first N chars (the linkage key)
 _JW_LEN_BAND = 16  # block candidates within this |n_chars| difference
@@ -89,7 +90,23 @@ def _jw_udf(a: pd.Series, b: pd.Series) -> pd.Series:
 
 def _jw_matches(spark: SparkSession, sf_dir: str):
     """(documents projection, blocked JW match pairs) shared by the two
-    linkage operators — one blocking scheme, one calibrated metric."""
+    linkage operators — one blocking scheme, one calibrated metric.
+
+    The match-pair frame is STAGED via ``materialize_once`` (optimization
+    r8): both `dedup_fuzzy_jaro_winkler` and `dedup_survivorship_merge`
+    consume the identical blocked pair join + Arrow-batched JW scoring,
+    and before staging each of them re-ran the block join AND the Python
+    metric from scratch. One build, two consumers — the same amortization
+    contract as the LSH/shingle/edge artifacts, pre-warmed and separately
+    timed by bench.py as the ``jw_match_pairs`` staging line."""
+    d, matches = _jw_matches_plan(spark, sf_dir)
+    return d, materialize_once(matches)
+
+
+def _jw_matches_plan(spark: SparkSession, sf_dir: str):
+    """The UN-staged (documents projection, match-pair plan) — the build
+    `_jw_matches` materializes once; plan tests pin the blocked-join /
+    Arrow-UDF shape here, where it is still visible."""
     d = load(spark, sf_dir, "documents").select(
         "doc_id", "lang", "n_chars", "source",
         F.split("text", " ").getItem(0).alias("tok0"),
@@ -118,6 +135,14 @@ def _jw_matches(spark: SparkSession, sf_dir: str):
         .filter(F.col("jw_x1e6") >= _JW_TAU_X1E6)
     )
     return d, matches
+
+
+def _stage_jw_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build (or fetch) the staged blocked Jaro-Winkler match pairs."""
+    return _jw_matches(spark, sf_dir)[1]
+
+
+_STAGING["jw_match_pairs"] = _stage_jw_match_pairs
 
 
 # Shared blocked-pair SQL: same blocking as the Spark plan, DuckDB's

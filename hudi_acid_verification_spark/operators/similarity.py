@@ -309,12 +309,15 @@ def similarity_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the exact top-{K} the bucket probe recovered.
 
     Shape: the exact arm is the broadcast-queries × corpus-shard scan
-    (one pass, TakeOrdered heaps); the ANN arm reuses the same scored
-    pairs restricted by bucket equality — at 100 TB the ANN arm is the
-    cheap one (probes ~N/2^bits of the corpus) and the exact arm runs on
-    a SAMPLED query set, which is precisely how production recall
-    monitoring works (you can't afford exact search for every query, you
-    CAN for 1000 of them). All scoring is the quantized-int dot machinery
+    (one pass); both arms then come out of ONE window over the scored
+    pairs (optimization r8) — the exact rank plus a running count of
+    same-bucket rows under the identical total order, which IS the
+    in-bucket rank — so the pair frame is shuffled once by query_id and
+    aggregated in place. At 100 TB the ANN arm is the cheap one (probes
+    ~N/2^bits of the corpus) and the exact arm runs on a SAMPLED query
+    set, which is precisely how production recall monitoring works (you
+    can't afford exact search for every query, you CAN for 1000 of
+    them). All scoring is the quantized-int dot machinery
     — bit-identical across engines, so even the recall ratios hash-match.
     """
     emb = load(spark, sf_dir, "embeddings").select(
@@ -351,63 +354,56 @@ def similarity_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            "qbucket",
-            "vbucket",
+            (F.col("qbucket") == F.col("vbucket")).alias("same_bucket"),
             (
                 _dot_q(F.col("qq"), F.col("vq")).cast("double")
                 / (F.col("qn") * F.col("vn"))
             ).alias("cosine"),
         )
-    ).cache()
+    )
+    # ONE window pass computes BOTH arms (optimization r8): rnk is the
+    # exact rank over all pairs; the running count of same-bucket rows
+    # under the identical total order IS the in-bucket rank (row_number
+    # over the filtered subset), so the ANN top-k membership needs no
+    # second window, no exact⋈ann join, and no cache — the old shape
+    # windowed the cached pair frame twice and re-joined three times.
+    # Every query keeps exactly N−1 scored rows, so the final groupBy
+    # (same key as the window partition — no second exchange) covers
+    # zero-candidate queries with n_candidates = n_hits = 0, matching the
+    # old left-join + coalesce semantics.
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
-    exact = (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= _TOP_K)
-        .select("query_id", "neighbor_id")
-    )
-    in_bucket = scored.filter(F.col("qbucket") == F.col("vbucket"))
-    ann = (
-        in_bucket.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= _TOP_K)
-        .select(
-            F.col("query_id").alias("a_query"),
-            F.col("neighbor_id").alias("a_neighbor"),
-        )
-    )
-    cands = (
-        queries.join(
-            in_bucket.groupBy("query_id").agg(
-                F.count(F.lit(1)).alias("n_candidates")
-            ),
-            "query_id",
-            "left",
-        )
-        .select(
-            "query_id",
-            F.coalesce("n_candidates", F.lit(0)).cast("bigint").alias(
-                "n_candidates"
-            ),
-        )
-    )
-    hits = (
-        exact.join(
-            ann,
-            (F.col("query_id") == F.col("a_query"))
-            & (F.col("neighbor_id") == F.col("a_neighbor")),
-            "left",
-        )
-        .groupBy("query_id")
-        .agg(F.count("a_neighbor").alias("n_hits"))
-    )
-    return cands.join(hits, "query_id", "left").select(
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    same_i = F.when(F.col("same_bucket"), 1).otherwise(0)
+    ranked = scored.select(
         "query_id",
-        "n_candidates",
-        F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
-        (
-            F.coalesce("n_hits", F.lit(0)).cast("double") / F.lit(_TOP_K)
-        ).alias("recall_at_k"),
+        "same_bucket",
+        F.row_number().over(w).alias("rnk"),
+        F.sum(same_i).over(w_run).alias("ibr"),
+    )
+    n_hits = F.sum(
+        F.when(
+            (F.col("rnk") <= _TOP_K)
+            & F.col("same_bucket")
+            & (F.col("ibr") <= _TOP_K),
+            1,
+        ).otherwise(0)
+    )
+    return (
+        ranked.groupBy("query_id")
+        .agg(
+            F.sum(same_i).cast("bigint").alias("n_candidates"),
+            n_hits.cast("bigint").alias("n_hits"),
+        )
+        .select(
+            "query_id",
+            "n_candidates",
+            "n_hits",
+            (F.col("n_hits").cast("double") / F.lit(_TOP_K)).alias(
+                "recall_at_k"
+            ),
+        )
     )
 
 

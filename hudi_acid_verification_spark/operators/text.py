@@ -17,6 +17,8 @@ Cross-engine determinism notes:
 
 from __future__ import annotations
 
+import hashlib as _hashlib
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -313,6 +315,64 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QM_BUCKETS = 256      # hashing-trick feature space
 _QM_BIAS = -3          # model bias term (pseudo-trained, deterministic)
 
+# The pseudo-trained weight table, precomputed at import: weight(b) =
+# md5-derived int % 41 - 20, exactly the expression the oracle (and the
+# pre-r8 Spark weights frame) evaluates — pinned by
+# tests/test_quality_model_inrow.py against the SQL formulation. 256 small
+# ints fold into ONE constant array literal in the plan, so serving the
+# model costs zero joins (guide §2.4): the score is an in-row fold over
+# the token array.
+_QM_WEIGHTS = [
+    int(_hashlib.md5(f"w{b}".encode()).hexdigest()[:8], 16) % 41 - 20
+    for b in range(_QM_BUCKETS)
+]
+
+
+def _qm_score_cols(d: DataFrame, *extra: str) -> DataFrame:
+    """Per-document quality-model columns computed IN-ROW (optimization
+    r8): tokens = filtered split array; each token's bucket weight comes
+    from `element_at` on the constant-folded weight-array literal; the
+    score is one integer `aggregate` fold. Replaces the explode →
+    groupBy(doc_id, bucket) → broadcast-join(weights) → groupBy(doc_id)
+    shape — the scores are a pure function of the row, so the classifier
+    pays ZERO exchanges (the old plan paid two corpus-keyed hash
+    aggregations). Summation order differs (token order vs bucket
+    order) but all operands are int64 — bit-identical results.
+
+    Keeps docs with ≥1 non-empty token, matching the oracle's inner
+    feature join (zero-token and NULL-text docs are absent either way).
+    """
+    wlit = "array({})".format(
+        ",".join(f"{w}L" for w in _QM_WEIGHTS)
+    )
+    raw = (
+        F.expr(
+            f"aggregate(__qm_toks, 0L, (acc, t) -> acc + element_at({wlit},"
+            f" CAST(CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT)"
+            f" % {_QM_BUCKETS} AS INT) + 1))"
+        )
+        + F.lit(_QM_BIAS)
+    )
+    return (
+        d.filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            *extra,
+            F.filter(F.split("text", " "), lambda t: t != F.lit("")).alias(
+                "__qm_toks"
+            ),
+        )
+        .filter(F.size("__qm_toks") > 0)
+        .select(
+            "doc_id",
+            *extra,
+            F.size("__qm_toks").cast("bigint").alias("n_tokens"),
+            raw.cast("bigint").alias("score_sum"),
+            (raw.cast("double") / F.size("__qm_toks")).alias("mean_margin"),
+            (raw >= 0).alias("keep"),
+        )
+    )
+
 
 @query(
     "text_quality_model",
@@ -354,54 +414,19 @@ def text_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the bucket id) so both engines serve the identical model; swapping
     in real trained weights changes one small table, not the plan.
 
-    Scale shape: per-doc feature extraction is a narrow map (split +
-    hash + local count), the weight table is O(B) rows and BROADCASTS, and
-    the score is one partial-aggregated groupBy(doc_id) — so the whole
-    classifier costs one corpus scan plus an O(docs) shuffle, with no
-    driver state. This is how a logistic-regression-style gate actually
-    runs inside Spark at 100 TB (the sigmoid is monotone, so thresholding
-    the raw margin is the same decision boundary).
+    Scale shape (optimization r8): the score is a pure per-document
+    function of the token array, so it is computed IN-ROW — the weight
+    table folds into a constant array literal in the plan and each token
+    pays one md5 + one `element_at`, with ZERO exchanges and zero joins
+    (the earlier shape exploded tokens through a (doc, bucket) hash
+    aggregation, a broadcast weight join, and a second doc-keyed
+    aggregation). Integer sums in any order are exact, so every output
+    value is bit-identical; see `_qm_score_cols`. This is how a
+    logistic-regression-style gate actually runs inside Spark at 100 TB:
+    proportional map work, NO shuffle at all (the sigmoid is monotone, so
+    thresholding the raw margin is the same decision boundary).
     """
-    d = load(spark, sf_dir, "documents")
-    weights = (
-        spark.range(_QM_BUCKETS)
-        .select(
-            F.col("id").cast("int").alias("bucket"),
-            (
-                F.conv(
-                    F.substring(F.md5(F.concat(F.lit("w"), F.col("id").cast("string"))), 1, 8),
-                    16,
-                    10,
-                ).cast("bigint")
-                % 41
-                - 20
-            ).alias("weight"),
-        )
-    )
-    feats = (
-        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-        .filter(F.col("tok") != "")
-        .select(
-            "doc_id",
-            (
-                F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
-                % _QM_BUCKETS
-            ).cast("int").alias("bucket"),
-        )
-        .groupBy("doc_id", "bucket")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    raw = F.sum(F.col("tf") * F.col("weight")) + F.lit(_QM_BIAS)
-    return (
-        feats.join(F.broadcast(weights), "bucket")
-        .groupBy("doc_id")
-        .agg(
-            F.sum("tf").cast("bigint").alias("n_tokens"),
-            raw.cast("bigint").alias("score_sum"),
-            (raw.cast("double") / F.sum("tf")).alias("mean_margin"),
-            (raw >= 0).alias("keep"),
-        )
-    )
+    return _qm_score_cols(load(spark, sf_dir, "documents"))
 
 
 @query(
@@ -996,8 +1021,10 @@ def quality_margin_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers), and bin = 1 + #(thresholds strictly below) — value-based,
     tie-stable, no per-doc ntile.
 
-    Scale shape: margins are one corpus scan (the quality model's
-    broadcast-weights groupBy); the threshold spine works on the COLLAPSED
+    Scale shape: margins are one shuffle-free corpus scan (the quality
+    model's in-row fold, `_qm_score_cols`, with `source` carried in the
+    same projection — no re-join), checkpointed narrow (numbers only) for
+    the two consumers; the threshold spine works on the COLLAPSED
     (source, margin) domain — orders of magnitude smaller than the corpus
     — and broadcasts ≤ #sources rows back; the final rollup is one
     partial-agg groupBy. No global sort, no per-source single-reducer pass
@@ -1005,9 +1032,19 @@ def quality_margin_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     Zero-token docs never enter the model's feature join and are absent
     here too, matching the oracle's inner joins.
     """
-    qm = text_quality_model(spark, sf_dir)
-    src = load(spark, sf_dir, "documents").select("doc_id", "source")
-    m = qm.join(src, "doc_id").select(
+    # Optimization r8: the quality scores are computed IN-ROW with
+    # `source` carried in the same scan projection (see _qm_score_cols),
+    # so the old qm ⋈ documents re-join on doc_id is gone. The narrow
+    # doc-level margin frame feeds TWO consumers (the threshold spine and
+    # the final binning), and with no exchange left upstream to reuse, an
+    # un-checkpointed plan would run the md5-per-token scan twice — the
+    # lazy localCheckpoint materializes the 4-narrow-column frame once
+    # (numbers only, ~30 B/doc at any scale: the standard staged-margins
+    # shape, 1000× smaller than the text it summarizes).
+    qm = _qm_score_cols(
+        load(spark, sf_dir, "documents"), "source"
+    )
+    m = qm.select(
         "source",
         "n_tokens",
         "keep",
@@ -1024,7 +1061,7 @@ def quality_margin_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.expr("num DIV n_tokens") - F.lit(_QB_OFF * 1000000)
         ).cast("bigint").alias("margin_x1e6"),
-    )
+    ).localCheckpoint(eager=False)
     dom = m.groupBy("source", F.col("margin_x1e6").alias("mg")).agg(
         F.count(F.lit(1)).alias("c")
     )

@@ -168,11 +168,15 @@ def scalar_penny_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     loses pennies). Each line takes floor(share); the leftover pennies go
     to the lines with the largest remainders (ties by line number).
 
-    Shape: one groupBy(order) for totals, one window over the order
-    partition for remainder ranks and the floor-sum — both keyed on
-    l_orderkey, so the whole operator is a single exchange at any scale.
-    Pure int64 arithmetic throughout (cents × basis points stays < 2^63
-    for any real order).
+    Shape (optimization r8): order totals come from a full-partition
+    WINDOW sum instead of a groupBy + self-join back — the old plan
+    scanned the fact into an aggregation exchange AND joined the result
+    against a second copy of the lines; every quantity here is keyed on
+    l_orderkey, so the whole operator is now literally a single exchange
+    feeding three same-key window passes (totals, remainder ranks, the
+    floor-sum). Pure int64 arithmetic throughout (cents × basis points
+    stays < 2^63 for any real order) — window sums and grouped sums add
+    the same integers, so every output is bit-identical.
     """
     li = load(spark, sf_dir, "lineitem")
     lines = li.select(
@@ -182,13 +186,13 @@ def scalar_penny_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cents"),
     )
-    totals = lines.groupBy("l_orderkey").agg(
-        F.sum("cents").cast("bigint").alias("order_cents"),
-        F.expr(f"CAST((sum(cents) * {_DISCOUNT_BP}) DIV 10000 AS BIGINT)").alias(
-            "rebate_cents"
-        ),
+    w_tot = Window.partitionBy("l_orderkey")
+    j = lines.withColumn(
+        "order_cents", F.sum("cents").over(w_tot).cast("bigint")
+    ).withColumn(
+        "rebate_cents",
+        F.expr(f"CAST((order_cents * {_DISCOUNT_BP}) DIV 10000 AS BIGINT)"),
     )
-    j = lines.join(totals, "l_orderkey")
     base = F.expr("(cents * rebate_cents) DIV order_cents")
     rem = F.expr("(cents * rebate_cents) % order_cents")
     # tie-break includes cents: the fixture reuses line numbers within an

@@ -563,12 +563,16 @@ def test_shard_assignment_is_narrow_map_plus_one_agg(spark):
     assert "HashAggregate" in plan
 
 
-def test_quality_model_broadcasts_weights(spark):
-    """The hashed weight table is O(buckets) rows — it must broadcast to
-    the feature stream; the per-doc score is partial-aggregated."""
+def test_quality_model_is_in_row(spark):
+    """The classifier score is a per-document function of the token
+    array: the weight table folds into a constant array literal and the
+    score is one in-row aggregate — no exchange, no join, no explode
+    (optimization r8; the pre-r8 shape shuffled tokens through two
+    hash aggregations and a broadcast weight join)."""
     plan = plan_of(spark, "text_quality_model")
-    assert "BroadcastHashJoin" in plan
-    assert "partial_" in plan
+    for bad in ("Exchange", "Join", "Generate"):
+        assert bad not in plan, f"{bad} leaked into the in-row quality model"
+    assert "element_at" in plan  # the folded weight-array lookup
 
 
 def test_weighted_median_windows_collapsed_frame_only(spark):
@@ -623,12 +627,19 @@ def test_bpe_encode_is_single_fused_scan(spark):
     assert "PythonUDF" not in plan and "ArrowEval" not in plan
 
 
-def test_recall_eval_reuses_scored_pairs(spark):
-    """Both the exact and ANN arms must read the same cached scored-pair
-    relation (one broadcast queries × corpus pass), not score twice."""
-    plan = plan_of(spark, "similarity_recall_eval")
-    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+def test_recall_eval_single_window_single_pass(spark):
+    """Both the exact and ANN arms come out of ONE window over ONE scored
+    pair pass (optimization r8): exactly one broadcast nested-loop score
+    join, exactly one Window operator, and no pair-frame re-join or cache
+    (the pre-r8 shape cached the pairs, windowed them twice and joined the
+    arms back together)."""
+    plan, nodes = _plan_nodes(spark, "similarity_recall_eval")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "InMemoryTableScan" not in plan and "InMemoryRelation" not in plan
+    windows = [n for n in nodes if n.nodeName() == "Window"]
+    assert len(windows) == 1, f"expected 1 Window, saw {len(windows)}"
+    joins = [n for n in nodes if "Join" in n.nodeName()]
+    assert len(joins) == 1, f"expected only the score join, saw {len(joins)}"
 
 
 def test_quantize_int8_is_shuffle_free(spark):
@@ -1488,8 +1499,18 @@ def test_window_distinct_prunes_event_columns(spark):
 def test_jaro_winkler_udf_sees_blocked_pairs_only(spark):
     """The pandas UDF (ArrowEvalPython) must sit ABOVE the block join —
     Python sees candidate pairs, never the corpus crossed with itself —
-    and blocking must be an equi-join on (lang, tok0)."""
-    plan = plan_of(spark, "dedup_fuzzy_jaro_winkler")
+    and blocking must be an equi-join on (lang, tok0). Pinned on the
+    STAGED BUILD plan (r8: both linkage consumers read the
+    materialize_once'd match pairs, so the consumer plan shows only the
+    checkpoint scan)."""
+    from hudi_acid_verification_spark.operators.linkage import (
+        _jw_matches_plan,
+    )
+
+    df = _jw_matches_plan(spark, SF_SMALL)[1]
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
     assert "ArrowEvalPython" in plan
     join_pos = plan.find("SortMergeJoin")
     if join_pos == -1:
