@@ -146,6 +146,42 @@ def materialize_once(df: DataFrame, extra_key: str = "") -> DataFrame:
     return out
 
 
+def staged(
+    spark: SparkSession, name: str, build: Callable[[], DataFrame],
+    extra_key: str = "",
+) -> DataFrame:
+    """Named fast-path memo for the staged shared artifacts (optimization
+    r8). ``materialize_once`` keys on the canonicalized plan, which is
+    the right GENERAL contract but costs a full Catalyst analysis +
+    canonicalization + a py4j tree walk per LOOKUP — measured 2.1-2.5 s
+    per memo HIT on the LSH band-pair plan, paid again by every staged
+    consumer (the suite re-keyed those plans dozens of times per bench
+    pass). A named builder is a pure function of (code, fixture dir,
+    folded constants), so its key can be the NAME — an O(1) dict probe —
+    and ``build()`` (plan construction included, itself py4j-heavy for
+    the big artifact plans) runs only on miss.
+
+    Contract: ``name`` MUST fold every input that changes the artifact —
+    the fixture dir above all (the r8 1x/10x collision class) — and
+    ``extra_key`` keeps materialize_once's closure-constant discipline
+    (tests overriding module constants clear ``_ONCE``, which clears
+    these entries too). Entries share the same LRU/eviction/dead-context
+    lifecycle as plan-keyed ones."""
+    sc = spark.sparkContext
+    key = (sc.applicationId, "named\x00" + name + "\x00" + extra_key)
+    hit = _ONCE.get(key)
+    if hit is not None:
+        _ONCE[key] = _ONCE.pop(key)  # refresh LRU position
+        return hit
+    for stale in [k for k in _ONCE if k[0] != sc.applicationId]:
+        _ONCE.pop(stale, None)
+    while len(_ONCE) >= _ONCE_MAX:
+        _evict_oldest()
+    out = build().localCheckpoint()
+    _ONCE[key] = out
+    return out
+
+
 def _evict_oldest() -> None:
     """Drop the least-recently-used staged artifact. Releasing the Python
     reference is the whole mechanism: the JVM ContextCleaner GCs the

@@ -122,10 +122,16 @@ def _capped_shingles_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Staged df-capped shingle posting list: ``_capped_shingles_plan``
     built once per (context, corpus) via ``materialize_once`` — two pair
     operators (n-gram Jaccard, shingle containment) start from the capped
-    postings, and the df-cap join is the expensive half of each."""
-    from . import materialize_once
+    postings, and the df-cap join is the expensive half of each.
+    Name-keyed (r8): see ``operators.staged``."""
+    from . import staged
 
-    return materialize_once(_capped_shingles_plan(spark, sf_dir))
+    return staged(
+        spark,
+        f"capped_shingles:{sf_dir}",
+        lambda: _capped_shingles_plan(spark, sf_dir),
+        extra_key=f"ceil={_DF_CEIL_MIN}:{_DF_CEIL_FRAC}",
+    )
 
 
 def _capped_shingles_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -249,6 +255,47 @@ def _minhash_sigs(sh: DataFrame) -> DataFrame:
     )
 
 
+def _minhash_sigs_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged doc-level MinHash signature table (optimization r8): both
+    `dedup_near_minhash` and `dedup_minhash_accuracy` need the identical
+    K-minima aggregation over the identical shingle frame, and each used
+    to rebuild it per invocation. Doc × K ints — always tiny relative to
+    the shingle stream it collapses."""
+    from . import staged
+
+    return staged(
+        spark,
+        f"minhash_sigs:{sf_dir}",
+        lambda: _minhash_sigs(_shingles_spark(spark, sf_dir)),
+        extra_key=f"K={_K}:P={_P}",
+    )
+
+
+def _minhash_cands_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged distinct LSH candidate pairs from the banded signatures —
+    the shared front half of both MinHash consumers (r8); each still
+    runs its own exact-verification arm against the raw shingles."""
+    from . import staged
+
+    def build() -> DataFrame:
+        bands = _sig_bands(_minhash_sigs_staged(spark, sf_dir))
+        x = bands.select(F.col("doc_id").alias("doc_a"), "band_id", "band_key")
+        y = bands.select(F.col("doc_id").alias("doc_b"), "band_id", "band_key")
+        return (
+            x.join(y, ["band_id", "band_key"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+
+    return staged(
+        spark,
+        f"minhash_cands:{sf_dir}",
+        build,
+        extra_key=f"K={_K}:B={_BANDS}:R={_R}",
+    )
+
+
 def _sig_bands(sigs: DataFrame) -> DataFrame:
     """(doc_id, band_id, band_key) rows via ONE generator projection —
     explode of the B in-row band structs — instead of a B-way union that
@@ -317,18 +364,12 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates only. The LSH band join replaces the all-pairs comparison —
     the 100 TB path. Signatures use (a_k·h + b_k) mod 2^31-1 over the md5
     shingle hash, so Spark and DuckDB derive identical candidates.
+    The signature/candidate front half is STAGED (r8,
+    `_minhash_cands_staged`) — `dedup_minhash_accuracy` consumes the
+    identical build; only the exact-verify arm runs per query.
     """
     sh = _shingles_spark(spark, sf_dir).cache()
-    sigs = _minhash_sigs(sh)
-    bands = _sig_bands(sigs)
-    x = bands.select(F.col("doc_id").alias("doc_a"), "band_id", "band_key")
-    y = bands.select(F.col("doc_id").alias("doc_b"), "band_id", "band_key")
-    cands = (
-        x.join(y, ["band_id", "band_key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    cands = _minhash_cands_staged(spark, sf_dir)
     a = sh.select(F.col("doc_id").alias("doc_a"), "h")
     b = sh.select(F.col("doc_id").alias("doc_b"), "h")
     verified = (
@@ -941,18 +982,11 @@ def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the evaluation is no more expensive than the dedup it audits.
     """
     sh = _shingles_spark(spark, sf_dir).cache()
-    # sigs feeds three consumers (bands, pa, pb) — cache so the K-way
-    # minima aggregation runs once, not once per consumer subtree
-    sigs = _minhash_sigs(sh).cache()
-    bands = _sig_bands(sigs)
-    x = bands.select(F.col("doc_id").alias("doc_a"), "band_id", "band_key")
-    y = bands.select(F.col("doc_id").alias("doc_b"), "band_id", "band_key")
-    cands = (
-        x.join(y, ["band_id", "band_key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    # staged signature/candidate front half (r8): shared with
+    # dedup_near_minhash; the checkpointed frames make the old per-query
+    # sigs.cache() redundant
+    sigs = _minhash_sigs_staged(spark, sf_dir)
+    cands = _minhash_cands_staged(spark, sf_dir)
     pa = sigs.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"s{k}").alias(f"a{k}") for k in range(_K)],
@@ -1337,7 +1371,14 @@ def _stage_capped_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from . import STAGING as _STAGING  # noqa: E402
 
+def _stage_minhash_cands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build (or fetch) the staged MinHash signature + LSH candidate
+    front half shared by dedup_near_minhash / dedup_minhash_accuracy."""
+    return _minhash_cands_staged(spark, sf_dir)
+
+
 _STAGING["capped_shingles"] = _stage_capped_shingles
+_STAGING["minhash_cands"] = _stage_minhash_cands
 
 
 _INC_MOD = 10   # doc_id % 10 == _INC_NEW marks the arriving batch

@@ -155,3 +155,43 @@ def test_staged_artifacts_distinct_across_fixture_dirs(spark):
     fb = materialize_once(b.filter(F.col("vec_id") % 2 == 0))
     assert fa is not fb
     assert fa is materialize_once(a.filter(F.col("vec_id") % 2 == 0))
+
+
+def test_named_staged_fast_path_contract(spark):
+    """The r8 named fast path (`operators.staged`): O(1) name-keyed hits
+    return the SAME artifact without re-running the builder; distinct
+    names, fixture dirs, and extra_keys never collide; and the staged
+    rows equal a fresh (unstaged) build of the same plan."""
+    from hudi_acid_verification_spark.operators import staged
+
+    ops._ONCE.clear()
+    calls = {"n": 0}
+    base = load(spark, SF_SMALL, "region").select("r_regionkey")
+
+    def build():
+        calls["n"] += 1
+        return base
+
+    a = staged(spark, f"t:{SF_SMALL}", build)
+    assert staged(spark, f"t:{SF_SMALL}", build) is a
+    assert calls["n"] == 1, "memo hit must not re-run the builder"
+    assert staged(spark, f"t:{SF_SMALL}x", build) is not a  # name keys
+    assert staged(spark, f"t:{SF_SMALL}", build, extra_key="tau=2") is not a
+    assert calls["n"] == 3
+    ops._ONCE.clear()
+    # converted artifact: staged rows == fresh plan rows
+    from hudi_acid_verification_spark.operators.dedup import (
+        _capped_shingles_plan,
+        _capped_shingles_spark,
+    )
+
+    got = {
+        (r["doc_id"], r["h"])
+        for r in _capped_shingles_spark(spark, SF_SMALL).collect()
+    }
+    fresh = {
+        (r["doc_id"], r["h"])
+        for r in _capped_shingles_plan(spark, SF_SMALL).collect()
+    }
+    assert got == fresh and len(got) > 0
+    ops._ONCE.clear()
