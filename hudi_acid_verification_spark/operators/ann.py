@@ -2034,7 +2034,7 @@ def dedup_dbscan_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= _DBSCAN_TAU)
         .select("lo", "hi")
         .dropDuplicates(["lo", "hi"]),
-        extra_key=f"dbscan_tau={_DBSCAN_TAU}",
+        extra_key=f"dbscan_tau={_DBSCAN_TAU}:gen_tau={_DUP_TAU}",
     )
     nbr = pairs.select(
         F.col("lo").alias("a"), F.col("hi").alias("b")
@@ -2051,7 +2051,7 @@ def dedup_dbscan_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: pairs.join(core.withColumnRenamed("vec_id", "lo"), "lo").join(
             core.withColumnRenamed("vec_id", "hi"), "hi"
         ),
-        extra_key=f"dbscan_core={_DBSCAN_TAU}:{_DBSCAN_MINPTS}",
+        extra_key=f"dbscan_core={_DBSCAN_TAU}:{_DBSCAN_MINPTS}:gen_tau={_DUP_TAU}",
     )
     labels = _components_labels(spark, sf_dir, core_edges)
     core_lab = labels.join(core, "vec_id").select(

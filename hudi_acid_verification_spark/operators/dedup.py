@@ -292,7 +292,7 @@ def _minhash_cands_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         f"minhash_cands:{sf_dir}",
         build,
-        extra_key=f"K={_K}:B={_BANDS}:R={_R}",
+        extra_key=f"K={_K}:B={_BANDS}:R={_R}:P={_P}",
     )
 
 
@@ -1165,18 +1165,30 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         # one distinct shuffle, not three replans of the explode+distinct
     )
     dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    # The global token order is (df, tok) ITSELF — totally ordered because
-    # tok is unique — so per-doc positions come from one windowed sort per
-    # document, with NO global single-partition rank materialization.
+    # The global token order is (df, tok) — totally ordered because tok is
+    # unique. Optimization r9 (guide §2.3 "narrower types"): rank it ONCE
+    # into a dense integer id over the VOCABULARY (Heaps-bounded, tiny
+    # next to the corpus; the window is vocab-sized, never corpus-sized)
+    # and run the whole join/verify pipeline on int64 ids — the candidate
+    # join's 24M emissions and the 5M-candidate array_intersect verify
+    # compared UTF8 strings before, and tid order ≡ (df, tok) order, so
+    # every position, prefix, candidate and count is unchanged.
+    tid_tbl = dfreq.select(
+        "tok", F.row_number().over(Window.orderBy("df", "tok")).alias("tid")
+    )
+    itoks = (
+        toks.join(F.broadcast(tid_tbl), "tok")
+        .select("doc_id", "tid")
+        .localCheckpoint()  # int pairs; reused by ranking + verify arrays
+    )
     sized = (
-        toks.join(dfreq, "tok")
-        .withColumn(
+        itoks.withColumn(
             "n_tok", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
         )
         .withColumn(
             "pos",
             F.row_number().over(
-                Window.partitionBy("doc_id").orderBy("df", "tok")
+                Window.partitionBy("doc_id").orderBy("tid")
             ),
         )
     )
@@ -1187,7 +1199,7 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("bigint")
     prefix = (
         sized.filter(F.col("pos") <= F.col("n_tok") - ceil_tn + 1)
-        .select("doc_id", "tok", "n_tok", "pos")
+        .select("doc_id", "tid", "n_tok", "pos")
         .localCheckpoint()  # tiny (≈0.3·|toks|); joined against itself and
         # aggregated for the emission guard — materialize once
     )
@@ -1197,7 +1209,7 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # prune) fails loudly here instead of silently running near-all-pairs.
     # The same per-token census feeds the broadcast gate (total prefix
     # rows) and, on the shuffle fallback, the hot-token salt list.
-    ptok = prefix.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    ptok = prefix.groupBy("tid").agg(F.count(F.lit(1)).alias("c"))
     guard = ptok.agg(
         F.sum(F.col("c") * F.col("c")).alias("e"),
         F.sum("c").alias("rows"),
@@ -1214,13 +1226,13 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     pa = prefix.select(
         F.col("doc_id").alias("doc_a"),
-        "tok",
+        "tid",
         F.col("n_tok").alias("na"),
         F.col("pos").alias("pos_a"),
     )
     pb = prefix.select(
         F.col("doc_id").alias("doc_b"),
-        "tok",
+        "tid",
         F.col("n_tok").alias("nb"),
         F.col("pos").alias("pos_b"),
     )
@@ -1239,7 +1251,7 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         # dominate). Round-robin spreads probe rows evenly and the
         # broadcast join needs no co-partitioning, so each task emits
         # ~|pa|/64 · avg-df rows regardless of token skew.
-        joined = pa.repartition(64).join(F.broadcast(pb), "tok")
+        joined = pa.repartition(64).join(F.broadcast(pb), "tid")
     else:
         # Shuffle fallback (ADVICE r4): the prefix table is too large to
         # broadcast (Σdf² cleared the guard but |prefix| is huge — a big
@@ -1250,10 +1262,10 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         # still meets in exactly one bucket. df=1 tokens (the mass in
         # this regime) carry salt 0 with no replication.
         hot = ptok.filter(F.col("c") > _PF_SALT_HOT_DF).select(
-            "tok", F.lit(True).alias("is_hot")
+            "tid", F.lit(True).alias("is_hot")
         )
         pa_s = (
-            pa.join(F.broadcast(hot), "tok", "left")
+            pa.join(F.broadcast(hot), "tid", "left")
             .withColumn(
                 "salt",
                 F.when(
@@ -1264,7 +1276,7 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .drop("is_hot")
         )
         pb_s = (
-            pb.join(F.broadcast(hot), "tok", "left")
+            pb.join(F.broadcast(hot), "tid", "left")
             .withColumn(
                 "salt",
                 F.explode(
@@ -1284,7 +1296,7 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         # letting fixture-sized stats pick BroadcastHashJoin; hash beats
         # sort-merge here (emission-heavy output, no ordering to exploit)
         joined = pa_s.join(
-            pb_s.hint("shuffle_hash"), ["tok", "salt"]
+            pb_s.hint("shuffle_hash"), ["tid", "salt"]
         ).drop("salt")
     cand = (
         joined.filter(F.col("doc_b") > F.col("doc_a"))
@@ -1312,8 +1324,8 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # verification: overlap via array_intersect on per-doc SORTED token
     # arrays — candidates carry two arrays each, the token table is never
     # re-exploded against the pair set; |tarr| re-derives n_tok exactly
-    arrs = toks.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list("tok")).alias("tarr")
+    arrs = itoks.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("tid")).alias("tarr")
     )
     inter = (
         cand.join(

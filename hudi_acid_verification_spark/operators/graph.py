@@ -122,6 +122,35 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def _variant_li(spark: SparkSession, sf_dir: str, variant: str) -> DataFrame:
+    """THE per-variant lineitem projection (ADVICE r8): the single place
+    the full / _CN_MOD-sampled / _LPA_ORDER_MOD-sliced co-purchase
+    graphs are defined — every operator AND the staging registrar build
+    their edge list through here, so the filter expressions cannot
+    drift apart between consumers of one staged artifact."""
+    li = load(spark, sf_dir, "lineitem")
+    if variant == "full":
+        return li.select("l_orderkey", "l_partkey")
+    if variant == "cn":
+        return li.select("l_orderkey", "l_partkey").filter(
+            F.col("l_partkey") % _CN_MOD == 0
+        )
+    if variant == "lpa":
+        return li.filter(F.col("l_orderkey") % _LPA_ORDER_MOD == 0).select(
+            "l_orderkey", "l_partkey"
+        )
+    raise ValueError(f"unknown co-purchase variant: {variant}")
+
+
+def _variant_key(sf_dir: str, variant: str) -> str:
+    """Staged-artifact key for a co-purchase variant. Folds the sampling
+    constant the variant's filter uses (ADVICE r8), so a live override
+    of _CN_MOD / _LPA_ORDER_MOD re-keys the memo instead of silently
+    serving the stale edge list."""
+    mod = {"full": 1, "cn": _CN_MOD, "lpa": _LPA_ORDER_MOD}[variant]
+    return f"{sf_dir}:{variant}:mod={mod}"
+
+
 def _pair_edges(li, named: str | None = None) -> DataFrame:
     """Staged DISTINCT co-purchase edge list: ``_pair_edges_plan`` built
     once per (context, variant). Six registered operators (triangles,
@@ -227,15 +256,18 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly like the shared co-purchase edge artifact; this query's
     marginal work is three partial-agg counts.
     """
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    edges = _pair_edges(li, named=f"{sf_dir}:full").localCheckpoint(eager=False)
+    edges = _pair_edges(
+        _variant_li(spark, sf_dir, "full"), named=_variant_key(sf_dir, "full")
+    ).localCheckpoint(eager=False)
     deg = (
         edges.select(F.col("u").alias("x"))
         .unionAll(edges.select(F.col("v").alias("x")))
         .groupBy("x")
         .agg(F.count(F.lit(1)).alias("d"))
     )
-    tri = _triangle_corners(li, named=f"{sf_dir}:full")
+    tri = _triangle_corners(
+        _variant_li(spark, sf_dir, "full"), named=_variant_key(sf_dir, "full")
+    )
     n_tri = tri.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
     n_nodes = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
     n_edges = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
@@ -369,8 +401,9 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle, then a collapse to ≤ 64 histogram rows. At 100 TB this is
     two partial-aggregated exchanges; the histogram itself is driver-tiny.
     """
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    edges = _pair_edges(li, named=f"{sf_dir}:full")
+    edges = _pair_edges(
+        _variant_li(spark, sf_dir, "full"), named=_variant_key(sf_dir, "full")
+    )
     deg = (
         edges.select(F.col("u").alias("x"))
         .unionAll(edges.select(F.col("v").alias("x")))
@@ -466,12 +499,9 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     vertex set (partkey % {M}) is the standard subgraph-eval protocol —
     deterministic, engine-identical, and density-preserving.
     """
-    li = (
-        load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .filter(F.col("l_partkey") % _CN_MOD == 0)
-    )
-    edges = _pair_edges(li, named=f"{sf_dir}:cn").localCheckpoint(eager=False)
+    edges = _pair_edges(
+        _variant_li(spark, sf_dir, "cn"), named=_variant_key(sf_dir, "cn")
+    ).localCheckpoint(eager=False)
     deg = (
         edges.select(F.col("u").alias("x"))
         .unionAll(edges.select(F.col("v").alias("x")))
@@ -613,12 +643,9 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     (localCheckpoint) to keep the iterative lineage flat, the same idiom
     as dedup_components.
     """
-    li = (
-        load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .filter(F.col("l_partkey") % _CN_MOD == 0)
-    )
-    edges = _pair_edges(li, named=f"{sf_dir}:cn").localCheckpoint()
+    edges = _pair_edges(
+        _variant_li(spark, sf_dir, "cn"), named=_variant_key(sf_dir, "cn")
+    ).localCheckpoint()
 
     def degrees(e: DataFrame) -> DataFrame:
         return (
@@ -720,12 +747,9 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     frontier-sized, not graph-sized; all integer ids, so the result
     hashes bit-for-bit cross-engine.
     """
-    li = (
-        load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .filter(F.col("l_partkey") % _CN_MOD == 0)
+    e0 = _pair_edges(
+        _variant_li(spark, sf_dir, "cn"), named=_variant_key(sf_dir, "cn")
     )
-    e0 = _pair_edges(li, named=f"{sf_dir}:cn")
     adj = (
         e0.select(F.col("u").alias("src"), F.col("v").alias("dst"))
         .unionAll(e0.select(F.col("v").alias("src"), F.col("u").alias("dst")))
@@ -806,12 +830,9 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds are fixed (not converged), so plan depth is bounded and no
     driver-side convergence check is needed.
     """
-    li = (
-        load(spark, sf_dir, "lineitem")
-        .filter(F.col("l_orderkey") % _LPA_ORDER_MOD == 0)
-        .select("l_orderkey", "l_partkey")
+    e = _pair_edges(
+        _variant_li(spark, sf_dir, "lpa"), named=_variant_key(sf_dir, "lpa")
     )
-    e = _pair_edges(li, named=f"{sf_dir}:lpa")
     ee = e.unionAll(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint(eager=False)
@@ -845,16 +866,15 @@ def _stage_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     _CN_MOD partkey sample (common neighbors, k-core, BFS), and the
     _LPA_ORDER_MOD order slice (label propagation). Returns the full one;
     all three are materialized as a side effect."""
-    full = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    sampled = full.filter(F.col("l_partkey") % _CN_MOD == 0)
-    order_slice = (
-        load(spark, sf_dir, "lineitem")
-        .filter(F.col("l_orderkey") % _LPA_ORDER_MOD == 0)
-        .select("l_orderkey", "l_partkey")
+    _pair_edges(
+        _variant_li(spark, sf_dir, "cn"), named=_variant_key(sf_dir, "cn")
     )
-    _pair_edges(sampled, named=f"{sf_dir}:cn")
-    _pair_edges(order_slice, named=f"{sf_dir}:lpa")
-    return _pair_edges(full, named=f"{sf_dir}:full")
+    _pair_edges(
+        _variant_li(spark, sf_dir, "lpa"), named=_variant_key(sf_dir, "lpa")
+    )
+    return _pair_edges(
+        _variant_li(spark, sf_dir, "full"), named=_variant_key(sf_dir, "full")
+    )
 
 
 def _stage_triangle_corners(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -862,8 +882,9 @@ def _stage_triangle_corners(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph — the wedge-closure kernel shared by `graph_triangle_count`,
     `graph_clustering_coefficient` and `graph_neighborhood_jaccard`
     (optimization r8: three consumers, one O(m^1.5) closure)."""
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    return _triangle_corners(li, named=f"{sf_dir}:full")
+    return _triangle_corners(
+        _variant_li(spark, sf_dir, "full"), named=_variant_key(sf_dir, "full")
+    )
 
 
 from . import STAGING as _STAGING  # noqa: E402
@@ -929,15 +950,18 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-agg groupBys. The triangle SET is identical (any
     degree-ordered orientation enumerates each triangle exactly once),
     so every corner credit — and the output — is unchanged."""
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    edges = _pair_edges(li, named=f"{sf_dir}:full").localCheckpoint(eager=False)
+    edges = _pair_edges(
+        _variant_li(spark, sf_dir, "full"), named=_variant_key(sf_dir, "full")
+    ).localCheckpoint(eager=False)
     deg = (
         edges.select(F.col("u").alias("x"))
         .unionAll(edges.select(F.col("v").alias("x")))
         .groupBy("x")
         .agg(F.count(F.lit(1)).alias("d"))
     )
-    tri = _triangle_corners(li, named=f"{sf_dir}:full")
+    tri = _triangle_corners(
+        _variant_li(spark, sf_dir, "full"), named=_variant_key(sf_dir, "full")
+    )
     credit = tri.select(
         F.explode(F.array("a", "b", "c")).alias("node")
     ).groupBy("node").agg(F.count(F.lit(1)).alias("t"))
@@ -1009,13 +1033,16 @@ def graph_neighborhood_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     + rollup + three small joins. Degrees broadcast-free via two node
     joins. Union size needs no set materialization: |A∪B| = du+dv−cn.
     Exact integers (×1e6 floor, all-nonnegative DIV)."""
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    edges = _pair_edges(li, named=f"{sf_dir}:full").localCheckpoint(eager=False)
+    edges = _pair_edges(
+        _variant_li(spark, sf_dir, "full"), named=_variant_key(sf_dir, "full")
+    ).localCheckpoint(eager=False)
     nbr = edges.select(
         F.col("u").alias("a"), F.col("v").alias("b")
     ).unionAll(edges.select(F.col("v").alias("a"), F.col("u").alias("b")))
     deg = nbr.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
-    tri = _triangle_corners(li, named=f"{sf_dir}:full")
+    tri = _triangle_corners(
+        _variant_li(spark, sf_dir, "full"), named=_variant_key(sf_dir, "full")
+    )
     # triangle corners arrive in ORIENTATION order; re-canonicalize each
     # of its three edges to the edge list's (u < v) value order
     cn = (
@@ -1121,12 +1148,9 @@ def graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     excluded). The exclusion is one left-anti join on the
     aggregate-sized canonical pair key; the final top-k is TakeOrdered
     (per-partition k, one k-row merge — never a global sort)."""
-    li = (
-        load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .filter(F.col("l_partkey") % _CN_MOD == 0)
-    )
-    edges = _pair_edges(li, named=f"{sf_dir}:cn").localCheckpoint(eager=False)
+    edges = _pair_edges(
+        _variant_li(spark, sf_dir, "cn"), named=_variant_key(sf_dir, "cn")
+    ).localCheckpoint(eager=False)
     nbr = edges.select(
         F.col("u").alias("a"), F.col("v").alias("b")
     ).unionAll(edges.select(F.col("v").alias("a"), F.col("u").alias("b")))

@@ -127,40 +127,57 @@ def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = emb.withColumn(
         "nrm", F.sqrt(_dot_q(F.col("qv"), F.col("qv")).cast("double"))
     )
-    subspaces = F.array(
-        *[F.slice("qv", m * _SUB_DIM + 1, _SUB_DIM) for m in range(_M)]
+    # Optimization r9 (guide §2.4 "remove shuffles outright"): encoding
+    # and ADC are per-ROW functions of (vector, codebook) and (codes,
+    # query LUT) — the earlier shape exploded N×M subvector rows, joined
+    # them against the centroid rows (N·M·K = 10.2M rows at sf0.1) and
+    # paid TWO hash aggregations (argmin per (vec, m); ADC sum per
+    # (query, neighbor)). Here the K×M codebook folds into ONE broadcast
+    # row (16 quantized vectors — KB-sized at any corpus scale) and both
+    # the argmin and the LUT evaluate IN-ROW; the only rows that ever
+    # exist are N code rows and Q·N ADC rows. Distances are the same
+    # exact int64 products, and array_min over struct(dist, k) is
+    # min(struct(dist, k)) — identical codes, identical sums.
+    def _sd(a: str, b: str) -> str:
+        terms = [
+            f"(element_at({a}, m*{_SUB_DIM}+{j}) - element_at({b}, m*{_SUB_DIM}+{j}))"
+            f" * (element_at({a}, m*{_SUB_DIM}+{j}) - element_at({b}, m*{_SUB_DIM}+{j}))"
+            for j in range(1, _SUB_DIM + 1)
+        ]
+        return "(" + " + ".join(terms) + ")"
+
+    cb_row = (
+        emb.filter(F.col("vec_id").between(_CODE_LO, _CODE_HI))
+        .select(F.col("vec_id").alias("k"), "qv")
+        .agg(F.sort_array(F.collect_list(F.struct("k", "qv"))).alias("cbl"))
     )
-    subs = emb.select("vec_id", F.posexplode(subspaces).alias("m", "sub"))
-    cents = subs.filter(F.col("vec_id").between(_CODE_LO, _CODE_HI)).select(
-        F.col("vec_id").alias("k"), "m", F.col("sub").alias("csub")
+    enc = emb.crossJoin(F.broadcast(cb_row))
+    codes_arr = F.expr(
+        f"transform(sequence(0, {_M - 1}), m -> "
+        f"array_min(transform(cbl, c -> "
+        f"struct({_sd('qv', 'c.qv')} AS dist, c.k AS k))).k)"
     )
-    sqdist = F.aggregate(
-        F.zip_with("sub", "csub", lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("bigint"),
-        lambda acc, z: acc + z,
+    codes = enc.select("vec_id", codes_arr.alias("codes"))
+    lut_arr = F.expr(
+        f"transform(sequence(0, {_M - 1}), m -> "
+        f"transform(cbl, c -> {_sd('qv', 'c.qv')}))"
     )
-    dists = subs.join(F.broadcast(cents), "m").select(
-        "vec_id", "m", "k", sqdist.alias("dist")
+    lut_rows = enc.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), lut_arr.alias("lut")
     )
-    codes = (
-        dists.groupBy("vec_id", "m")
-        .agg(F.min(F.struct("dist", "k")).alias("mn"))
-        .select("vec_id", "m", F.col("mn.k").alias("code"))
-    )
-    lut = dists.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("m").alias("lut_m"),
-        F.col("k").alias("lut_k"),
-        "dist",
+    adc_dist = F.expr(
+        f"aggregate(sequence(0, {_M - 1}), 0L, (acc, m) -> acc + "
+        f"element_at(element_at(lut, m+1), "
+        f"CAST(element_at(codes, m+1) - {_CODE_LO - 1} AS INT)))"
     )
     adc = (
-        codes.join(
-            F.broadcast(lut),
-            (F.col("m") == F.col("lut_m")) & (F.col("code") == F.col("lut_k")),
-        )
+        codes.crossJoin(F.broadcast(lut_rows))
         .filter(F.col("vec_id") != F.col("query_id"))
-        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
-        .agg(F.sum("dist").cast("bigint").alias("adc_dist"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            adc_dist.cast("bigint").alias("adc_dist"),
+        )
     )
     w_short = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
     shortlist = (

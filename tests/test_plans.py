@@ -1818,22 +1818,30 @@ def _node_names(spark, name: str) -> list[str]:
 
 
 def test_cdc_chunks_single_explode_no_position_blowup(spark):
-    """The rolling-hash boundary scan happens IN-ROW (transform over
-    sequence inside codegen). The chunk relation feeds two lineage
-    branches (frequency aggregate + join-back), so its O(chunks) explode
-    may print twice — but no Generate may expand a per-position
-    ``sequence`` (the O(len²) formulation this operator exists to avoid;
-    the sequence scan lives in-row under transform/filter inside a
-    Project), and the only joins are hash joins (no cartesian)."""
+    """The rolling-hash boundary scan runs as a NumPy batch kernel behind
+    ONE Arrow boundary (optimization r9, guide §4.2) fed by a projection
+    of exactly the two columns the kernel needs — no Generate may expand
+    a per-position ``sequence`` (the O(len²) formulation this operator
+    exists to avoid), and the only joins are hash joins (no cartesian).
+    The chunk relation feeds two lineage branches (frequency aggregate +
+    join-back), so the MapInArrow node may print twice."""
+    from hudi_acid_verification_spark.operators.cdc import _chunk_rows
+
+    kernel = _chunk_rows(spark, SF_SMALL)
+    knodes = list(_walk_plan(kernel._jdf.queryExecution().sparkPlan()))
+    arrows = [n for n in knodes if n.nodeName() == "MapInArrow"]
+    assert len(arrows) == 1
+    head = arrows[0].toString().split("\n")[0]
+    assert "doc_id" in head and "text" in head and "lang" not in head, (
+        "kernel input must be the 2-column projection: " + head[:300]
+    )
+    # the operator itself: both lineage branches read the ONE checkpointed
+    # kernel (ExistingRDD), never a re-expanded per-position Generate
     df = ops.QUERIES["dedup_cdc_chunks"](spark, SF_SMALL)
     nodes = list(_walk_plan(df._jdf.queryExecution().sparkPlan()))
     names = [n.nodeName() for n in nodes]
-    gens = [n for n in nodes if n.nodeName() == "Generate"]
-    assert 1 <= len(gens) <= 2
-    for g in gens:
-        assert "sequence(" not in g.toString().split("\n")[0], (
-            "per-position explode: " + g.toString()[:300]
-        )
+    assert not any(n == "Generate" for n in names), names
+    assert sum(1 for n in names if "ExistingRDD" in n) == 2
     assert not any("Cartesian" in n or "NestedLoop" in n for n in names)
 
 
