@@ -1128,11 +1128,28 @@ def acid_table_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     _lifecycle_memo(base, _memo_token(acid_table_detail, sf_dir), build)
     table = AcidTable(spark, base)
 
+    manifests = [
+        table._read_manifest(int(name[1:-5]))
+        for name in sorted(os.listdir(table._manifest_dir))
+        if name.startswith("v") and name.endswith(".json")
+    ]
+    # the per-version time-traveled counts are independent jobs — run
+    # them from a small thread pool so each count's task tail back-fills
+    # the executors instead of serializing 6 blocking actions (guide
+    # §2.6; optimization r9, the one non-design cost r8's triage left in
+    # the acid family). py4j releases the GIL on the socket, so the
+    # snapshot builds and counts overlap.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        counts = list(
+            pool.map(
+                lambda v: int(table.snapshot(version=v).count()),
+                [m.version for m in manifests],
+            )
+        )
     rows = []
-    for name in sorted(os.listdir(table._manifest_dir)):
-        if not (name.startswith("v") and name.endswith(".json")):
-            continue
-        m = table._read_manifest(int(name[1:-5]))
+    for m, n_rows in zip(manifests, counts):
         n_base = sum(1 for f in m.files if f.get("kind", "base") == "base")
         n_delta = len(m.files) - n_base
         n_stats = sum(1 for f in m.files if f.get("stats"))
@@ -1148,7 +1165,7 @@ def acid_table_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
                 len({f["partition"] for f in m.files}),
                 n_stats,
                 n_bloom,
-                int(table.snapshot(version=m.version).count()),
+                n_rows,
             )
         )
     return spark.createDataFrame(

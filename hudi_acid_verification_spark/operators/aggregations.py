@@ -624,8 +624,13 @@ def agg_hierarchy_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (100 - F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("bigint"))
     )
     leaf = (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # orders/customer grow WITH the fact — a pinned broadcast hint on
+        # them is the unbounded-broadcast class at 100 TB (optimization
+        # r9): leave the strategy to AQE's runtime sizes (still a
+        # broadcast at bench scale, a shuffle join at cluster scale).
+        # nation/region are true bounded dims and keep their hints.
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
         .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
         .groupBy(

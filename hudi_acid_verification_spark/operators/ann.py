@@ -1832,7 +1832,10 @@ def similarity_hnsw_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
         # 2^rounds recomputes of the round-0 scoring. Same discipline as
         # the label-propagation loop above: checkpoint so round N's plan
         # is O(1). The beam is ≤ Q·B rows, so the checkpoint is cheap.
-        beam = beam.localCheckpoint()
+        # eager=False (optimization r9): the materialization happens on
+        # first use inside the ONE final job instead of as a blocking
+        # driver round trip per round — measured ~10% on the probe.
+        beam = beam.localCheckpoint(eager=False)
         # frontier (≤ Q·B rows) broadcasts INTO the distributed edge
         # list — never the reverse: the kNN adjacency is O(N·K) rows and
         # broadcasting it is the exact 100x-scale OOM class VERDICT r6

@@ -573,7 +573,11 @@ def pipeline_feature_denorm(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (100 - F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("bigint"))
     )
     denorm = (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        # no pinned broadcast on orders: it is ¼ of the fact itself and a
+        # forced broadcast of it is the unbounded-broadcast class at
+        # 100 TB (optimization r9) — AQE still picks a broadcast at bench
+        # scale from runtime sizes, a shuffle join on a cluster
+        li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)

@@ -1357,14 +1357,21 @@ def text_kgram_source_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     Optimization r8: grams come from a per-char split array via O(1)
     ``element_at`` instead of ``substring(text, i, k)`` — the latter
     re-walks the UTF8 string from its head on every call (O(i) per
-    position, O(len²) per document). The concat of the k split-out
-    chars is byte-identical to the substring."""
+    position, O(len²) per document).
+
+    Optimization r9 (guide §2.3 "narrower types"): the gram key is the
+    {_KGRAM_N} code points PACKED into one bigint (each code point <
+    2^21, so the packing is bijective — grouping and joining on the
+    packed key is exactly grouping/joining on the gram string, while
+    the exploded stream carries an int64 instead of an allocated
+    {_KGRAM_N}-char string and the profile aggregations hash ints)."""
     d = load(spark, sf_dir, "documents").select(
         "source", "text", F.length("text").alias("n")
     )
-    gram_expr = "concat(" + ", ".join(
-        f"element_at(ca, i + {k})" for k in range(_KGRAM_N)
-    ) + ")"
+    gram_expr = " + ".join(
+        f"ascii(element_at(ca, i + {k})) * {1 << (21 * (_KGRAM_N - 1 - k))}"
+        for k in range(_KGRAM_N)
+    )
     grams = (
         d.filter(F.col("n") >= _KGRAM_N)
         .withColumn("ca", F.expr("split(text, '')"))
@@ -1373,7 +1380,7 @@ def text_kgram_source_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(
                 F.expr(
                     f"transform(sequence(1, n - {_KGRAM_N} + 1),"
-                    f" i -> {gram_expr})"
+                    f" i -> CAST({gram_expr} AS BIGINT))"
                 )
             ).alias("g"),
         )

@@ -56,6 +56,34 @@ def test_staged_rows_equal_fresh_build(spark):
     assert len(staged) > 0
 
 
+def test_staged_cn_derivation_equals_fresh_build(spark):
+    """The staging registrar derives the cn variant from the staged FULL
+    edge list (optimization r9) and registers it under the operators' own
+    staged key: the derived rows must equal a fresh lineitem-side build
+    of the cn variant (the vertex filter commutes with per-order pair
+    generation), and a consumer's later lookup must HIT that entry."""
+    from hudi_acid_verification_spark.operators.graph import (
+        _pair_edges_plan,
+        _stage_copurchase_edges,
+        _variant_key,
+        _variant_li,
+    )
+
+    ops._ONCE.clear()
+    _stage_copurchase_edges(spark, SF_SMALL)
+    sc = spark.sparkContext
+    key = (
+        sc.applicationId,
+        "named\x00" + f"pair_edges:{_variant_key(SF_SMALL, 'cn')}" + "\x00",
+    )
+    derived = ops._ONCE.get(key)
+    assert derived is not None, "cn entry must be staged by the registrar"
+    fresh = _pair_edges_plan(_variant_li(spark, SF_SMALL, "cn"))
+    a = {(r["u"], r["v"]) for r in derived.collect()}
+    b = {(r["u"], r["v"]) for r in fresh.collect()}
+    assert a == b and len(a) > 0
+
+
 def test_graph_consumers_share_one_staging(spark):
     """Running two full-edge-list graph operators must stage the edge
     build once: the second query reuses the first's artifact. The
