@@ -80,6 +80,11 @@ SCALE_SET = [
     "quality_lexicon_gate",
     "window_gap_interpolate",
     "dedup_cluster_stats",
+    # round-9 additions: both corpus-volume-driven and both rewritten
+    # (Arrow CDC kernel; packed-int gram keys) — in the set so their
+    # scale shape is measured, not argued
+    "dedup_cdc_chunks",
+    "text_kgram_source_cosine",
     # round-8: the event/window family (VERDICT r7 #1 — the uncovered
     # regime; events replicate 10x with fixture-shaped per-user history,
     # so these measure window/shuffle scaling over 10x keys)
